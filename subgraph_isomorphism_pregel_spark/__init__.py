@@ -1,0 +1,24 @@
+"""subgraph_isomorphism_pregel_spark — a PySpark-native link-graph analytics engine.
+
+A from-scratch rebuild of the *capability* of ninotreve/subgraph-isomorphism-pregel
+(a C++ Pregel+ BSP subgraph-isomorphism matcher, ICDE 2022 "Hybrid Subgraph Matching
+Framework Powered by Sketch Tree") as an idiomatic Spark engine:
+
+- iterative DataFrame superstep loop (driver ``while`` loop == Pregel superstep,
+  shuffle == barrier) instead of MPI all-to-all
+  (reference: /root/reference/src/basic/Worker.h:410-569),
+- CSR-packed per-partition adjacency in Arrow/numpy arrays inside grouped pandas
+  UDFs instead of per-vertex C++ objects
+  (reference: /root/reference/src/SItypes/SIValue.h:31-42),
+- the standard link-graph algorithm suite (PageRank, connected components,
+  label propagation, triangle counting) plus the reference's labeled
+  subgraph-isomorphism matcher (sketch-tree plan + BSP partial-embedding
+  expansion, reference: /root/reference/src/pregel_app_subgraph.h),
+- an input contract of an Iceberg-style source-code corpus
+  ``(repo, path, commit, lang, content)`` from which the dependency edge
+  table is derived.
+
+No code is ported from the reference; it is cited by file:line for parity only.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,101 @@
+"""Synchronous label propagation (community detection flavor).
+
+Deterministic semantics (matched by the unrolled SQL oracle):
+  lab_0(v) = v's id
+  lab_t+1(v) = the label with the highest count among v's neighbors' lab_t,
+               ties broken by the SMALLEST label; isolated vertices keep lab_t.
+Runs a fixed number of rounds (synchronous LP on bipartite graphs oscillates,
+so a fixed k is the well-defined variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pregel import Pregel, VertexProgram, build_parts
+
+
+def lp_program(P: int, rounds: int) -> VertexProgram:
+    def init(part):
+        nv = len(part["ids"])
+        return {"lab": part["ids"].astype(np.int64), "msgs_in": 0, "active": nv}
+
+    def scatter(part, step, carry):
+        lab, indptr, indices = part["lab"], part["indptr"], part["indices"]
+        if indices.size == 0:
+            return None
+        outdeg = np.diff(indptr)
+        src_idx = np.repeat(np.arange(len(lab)), outdeg)
+        pairs = np.stack([indices, lab[src_idx]], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pid": (uniq[:, 0] % P).astype(np.int32),
+                "dst": uniq[:, 0],
+                "lab": uniq[:, 1],
+                "cnt": cnt,
+            }
+        )
+
+    def combine(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("pid", "dst", "lab").agg(F.sum("cnt").alias("cnt"))
+
+    def update(part, inbox: pd.DataFrame, step, carry):
+        ids, lab = part["ids"], part["lab"].copy()
+        changed = 0
+        if len(inbox):
+            dst = inbox["dst"].values
+            labs = inbox["lab"].values
+            cnt = inbox["cnt"].values
+            # winner per dst: max count, tie -> min label
+            order = np.lexsort((labs, -cnt, dst))
+            dst_o, labs_o = dst[order], labs[order]
+            first = np.ones(len(dst_o), dtype=bool)
+            first[1:] = dst_o[1:] != dst_o[:-1]
+            win_dst, win_lab = dst_o[first], labs_o[first]
+            pos = np.searchsorted(ids, win_dst)
+            changed = int((lab[pos] != win_lab).sum())
+            lab[pos] = win_lab
+        return {"lab": lab, "msgs_in": int(len(inbox)), "active": changed}
+
+    return VertexProgram(
+        name="label_propagation",
+        state_schema="lab array<long>, msgs_in long, active long",
+        msg_schema="pid int, dst long, lab long, cnt long",
+        init=init,
+        scatter=scatter,
+        combine=combine,
+        update=update,
+        stats=[("msgs_in", F.sum), ("active", F.sum)],
+        converged=lambda srow, step: step >= rounds,
+    )
+
+
+def labels_df(parts: DataFrame) -> DataFrame:
+    z = F.explode(F.arrays_zip("ids", "lab")).alias("z")
+    return parts.select(z).select(
+        F.col("z.ids").alias("id"), F.col("z.lab").alias("lp_label")
+    )
+
+
+def label_propagation(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 3,
+    num_partitions: int = 32,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    parts = build_parts(spark, vertices, edges, num_partitions)
+    kern = Pregel(spark, parts, num_partitions)
+    final, metrics = kern.run(
+        lp_program(num_partitions, rounds),
+        max_steps=rounds,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    return labels_df(final), metrics

@@ -1,0 +1,139 @@
+"""PageRank as a vertex program over the BSP kernel.
+
+Semantics (matched exactly by the numpy oracle in tests and the unrolled SQL
+oracle in __spark_entry__):
+
+    rank_0(v)    = 1/N
+    rank_t+1(v)  = (1-d)/N + d * ( sum_{u->v} rank_t(u)/outdeg(u)
+                                   + dangling_mass_t / N )
+    dangling_mass_t = sum of rank_t(u) over outdeg(u) == 0
+    stop when max_v |rank_t+1(v) - rank_t(v)| < tol   (tol 1e-6, per the
+    north rule's allclose-1e-6 requirement)
+
+The scatter stage pre-aggregates contributions per (source partition,
+destination) in numpy before the shuffle — map-side combining that bounds a
+hub vertex's inbox to P rows (skew handling; the reference's Combiner is
+disabled dead code, /root/reference/src/utils/Combiner.h:4-11).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pregel import Pregel, VertexProgram, build_parts
+
+DAMPING = 0.85
+
+
+def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: int | None = None) -> VertexProgram:
+    N = float(n_vertices)
+    d = DAMPING
+
+    def init(part):
+        nv = len(part["ids"])
+        rank = np.full(nv, 1.0 / N)
+        outdeg = np.diff(part["indptr"])
+        return {
+            "rank": rank,
+            "max_delta": 1.0,
+            "dangling_partial": float(rank[outdeg == 0].sum()),
+            "msgs_in": 0,
+            "active": nv,
+        }
+
+    def scatter(part, step, carry):
+        rank, indptr, indices = part["rank"], part["indptr"], part["indices"]
+        outdeg = np.diff(indptr)
+        if indices.size == 0:
+            return None
+        per_edge = np.repeat(np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0), outdeg)
+        dsts, inv = np.unique(indices, return_inverse=True)
+        contrib = np.bincount(inv, weights=per_edge)
+        return pd.DataFrame(
+            {"pid": (dsts % P).astype(np.int32), "dst": dsts, "contrib": contrib}
+        )
+
+    def combine(msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("pid", "dst").agg(F.sum("contrib").alias("contrib"))
+
+    def update(part, inbox: pd.DataFrame, step, carry):
+        ids, rank = part["ids"], part["rank"]
+        outdeg = np.diff(part["indptr"])
+        contrib = np.zeros(len(ids))
+        if len(inbox):
+            pos = np.searchsorted(ids, inbox["dst"].values)
+            contrib[pos] = inbox["contrib"].values
+        dangling = float(carry.get("dangling", 0.0))
+        new_rank = (1.0 - d) / N + d * (contrib + dangling / N)
+        delta = np.abs(new_rank - rank)
+        return {
+            "rank": new_rank,
+            "max_delta": float(delta.max(initial=0.0)),
+            "dangling_partial": float(new_rank[outdeg == 0].sum()),
+            "msgs_in": int(len(inbox)),
+            "active": int((delta >= tol).sum()),
+        }
+
+    def carry_fn(srow):
+        return {"dangling": float(srow["dangling_partial"] or 0.0)}
+
+    def converged(srow, step):
+        if fixed_steps is not None:
+            return step >= fixed_steps
+        return float(srow["max_delta"]) < tol
+
+    return VertexProgram(
+        name="pagerank",
+        state_schema="rank array<double>, max_delta double, dangling_partial double, msgs_in long, active long",
+        msg_schema="pid int, dst long, contrib double",
+        init=init,
+        scatter=scatter,
+        combine=combine,
+        update=update,
+        stats=[
+            ("max_delta", F.max),
+            ("dangling_partial", F.sum),
+            ("msgs_in", F.sum),
+            ("active", F.sum),
+        ],
+        carry_fn=carry_fn,
+        converged=converged,
+    )
+
+
+def scores_df(parts: DataFrame) -> DataFrame:
+    """parts -> (id, score), JVM-side explode of the aligned arrays."""
+    z = F.explode(F.arrays_zip("ids", "rank")).alias("z")
+    return parts.select(z).select(
+        F.col("z.ids").alias("id"), F.col("z.rank").alias("score")
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_partitions: int = 32,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    fixed_steps: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """End-to-end PageRank: (vertices, edges) -> ((id, score) DataFrame, metrics)."""
+    n = vertices.count()
+    n_dangling = n - edges.select("src").distinct().count()
+    parts = build_parts(spark, vertices, edges, num_partitions)
+    prog = pagerank_program(n, num_partitions, tol=tol, fixed_steps=fixed_steps)
+    kern = Pregel(spark, parts, num_partitions)
+    final, metrics = kern.run(
+        prog,
+        max_steps=fixed_steps or max_steps,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        carry0={"dangling": n_dangling / n if n else 0.0},
+    )
+    return scores_df(final), metrics

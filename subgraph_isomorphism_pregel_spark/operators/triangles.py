@@ -1,0 +1,79 @@
+"""Exact triangle counting via degree-ordered adjacency intersection.
+
+Pure DataFrame plan (Catalyst: two shuffle joins + whole-stage-codegen
+array_intersect — no Python in the hot path):
+
+  1. orient each undirected edge from the lower (degree, id) endpoint to the
+     higher — every triangle becomes exactly one oriented wedge closure, and
+     out-degrees are bounded by O(sqrt(E)) on skewed graphs (the standard
+     compact-forward trick, which is the scalable answer to hub vertices);
+  2. adj+ = collect_list of oriented out-neighbors per vertex (sorted);
+  3. join oriented edges with adj+ on both endpoints;
+     triangles through edge (u,v) = |adj+(u) ∩ adj+(v)|.
+
+Global count = sum; per-vertex counts = explode each common neighbor w and
+credit u, v, w each once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """edges (both directions) -> one direction per undirected edge,
+    low (deg, id) -> high (deg, id)."""
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "id")
+    e = (
+        edges.join(deg.withColumnRenamed("deg", "sdeg"), edges.src == deg.id)
+        .drop("id")
+        .join(
+            deg.withColumnRenamed("deg", "ddeg").withColumnRenamed("id", "id2"),
+            F.col("dst") == F.col("id2"),
+        )
+        .drop("id2")
+    )
+    keep = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return e.where(keep).select("src", "dst")
+
+
+def triangle_edges(edges: DataFrame) -> DataFrame:
+    """(u, v, common) — oriented edges with the array of closing vertices."""
+    o = _oriented(edges)
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    a1 = adj.withColumnRenamed("src", "u1").withColumnRenamed("nbrs", "nbrs1")
+    a2 = adj.withColumnRenamed("src", "u2").withColumnRenamed("nbrs", "nbrs2")
+    return (
+        o.join(a1, o.src == a1.u1)
+        .join(a2, o.dst == a2.u2)
+        .select(
+            F.col("src"),
+            F.col("dst"),
+            F.array_intersect("nbrs1", "nbrs2").alias("common"),
+        )
+        .where(F.size("common") > 0)
+    )
+
+
+def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
+    row = triangle_edges(edges).agg(F.sum(F.size("common")).alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
+def triangles_per_vertex(spark: SparkSession, vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, tri) — number of triangles each vertex participates in (0 included)."""
+    te = triangle_edges(edges)
+    corners = (
+        te.select(F.col("src").alias("id"), F.size("common").alias("c"))
+        .unionByName(te.select(F.col("dst").alias("id"), F.size("common").alias("c")))
+        .unionByName(te.select(F.explode("common").alias("id"), F.lit(1).alias("c")))
+    )
+    counts = corners.groupBy("id").agg(F.sum("c").alias("tri"))
+    return (
+        vertices.select("id")
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("tri", F.lit(0)).alias("tri"))
+    )

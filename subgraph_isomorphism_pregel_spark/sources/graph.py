@@ -1,0 +1,144 @@
+"""Graph construction: reference text format, the golden toy graph, and
+deterministic graphs derived from the TPC-H-ish test tables.
+
+The reference reads graphs as whitespace-separated lines
+``vID label nbr1ID nbr1Label ...`` with labels taken as the first character's
+code point (reference: /root/reference/src/pregel_app_subgraph.h:689-714,
+README.md:16-20). We reproduce that format for golden-parity fixtures, but the
+engine's native representation is a pair of DataFrames::
+
+    vertices(id: long, label: int)
+    edges(src: long, dst: long)        # undirected graphs store both directions
+
+Two *deterministic* derived graphs over the driver-provided TPC-H-ish parquet
+tables give the correctness gate SQL-expressible inputs (the same construction
+is written in ANSI SQL in ``__spark_entry__.oracle_sql``):
+
+- ``supply_graph``: bipartite part—supplier graph from distinct
+  ``(l_partkey, l_suppkey)`` pairs of ``lineitem`` (real FK data, skewed
+  degrees — exercises PageRank / connected components / label propagation).
+- ``ring_graph``: an arithmetic labeled graph over ``part``'s key space
+  (ring + two chord families) — unipartite, contains triangles, labels
+  ``id % 4`` — exercises triangle counting and the subgraph matcher.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SUPPLIER_ID_OFFSET = 1_000_000  # disjoint id spaces for the bipartite graph
+
+
+def parse_reference_text(spark: SparkSession, text: str) -> tuple[DataFrame, DataFrame]:
+    """Parse the reference's vertex-adjacency text format into (vertices, edges).
+
+    Labels are single tokens mapped to the code point of their first character,
+    matching the reference parser (/root/reference/src/pregel_app_subgraph.h:701).
+    Lines starting with '#' are skipped (:695). The file already lists both
+    edge directions; we keep them as-is.
+    """
+    v_rows, e_rows = [], []
+    for line in text.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        vid, lbl = int(tok[0]), ord(tok[1][0])
+        v_rows.append((vid, lbl))
+        for i in range(2, len(tok), 2):
+            e_rows.append((vid, int(tok[i])))
+    vertices = spark.createDataFrame(v_rows, "id long, label int")
+    edges = spark.createDataFrame(e_rows, "src long, dst long")
+    return vertices, edges
+
+
+# The reference's toy data graph and 4-cycle query, verbatim
+# (/root/reference/graphs/toy.txt, /root/reference/graphs/query.txt).
+# Golden assertion: the query has exactly 4 isomorphic mappings into the toy
+# graph (/root/reference/README.md:83).
+TOY_GRAPH_TEXT = """\
+1 a	2 c 4 c 5 b
+2 c	1 a 3 b 5 b
+3 b	2 c 4 c 5 b 13 d
+4 c	1 a 3 b 5 b 9 b
+5 b	1 a 2 c 3 b 4 c
+6 d	7 a 9 b 10 d
+7 a	6 d 8 d 10 d 11 a
+8 d	7 a 9 b 10 d
+9 b	4 c 6 d 8 d 10 d
+10 d	6 d 7 a 8 d 9 b
+11 a	7 a 12 b 14 b 15 c
+12 b	11 a 13 d 15 c
+13 d	3 b 12 b 14 b 15 c
+14 b	11 a 13 d 15 c
+15 c	11 a 12 b 13 d 14 b
+"""
+
+TOY_QUERY_TEXT = """\
+1 a	2 c 4 c
+2 c	1 a 3 b
+3 b	2 c 4 c
+4 c	1 a 3 b
+"""
+
+
+def toy_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """The reference's 15-vertex toy data graph (labels a/b/c/d)."""
+    v, e = parse_reference_text(spark, TOY_GRAPH_TEXT)
+    # toy.txt omits the reverse direction of edges 7-11 and 3-13 in some rows;
+    # symmetrize defensively (union both directions, distinct).
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return v, e
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected closure: both directions, no self loops, distinct."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        edges.unionByName(rev)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Bipartite part—supplier graph from lineitem FK pairs (undirected).
+
+    Vertices: p in part keys (label 0) ∪ (SUPPLIER_ID_OFFSET + s) for supplier
+    keys (label 1). Edges: distinct supply relationships, both directions.
+    Real-data degree skew: a popular part/supplier becomes a hub.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPPLIER_ID_OFFSET)).alias("dst"),
+    ).distinct()
+    edges = symmetrize(pairs)
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.when(F.col("id") >= SUPPLIER_ID_OFFSET, 1).otherwise(0))
+    )
+    return vertices, edges
+
+
+def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic labeled unipartite graph over part's key space.
+
+    ids 0..n-1 (p_partkey - 1). Edge families (all mod n, undirected):
+      ring:    i — (i+1)
+      chord A: i — (i+2)        (guarantees triangles i, i+1, i+2)
+      chord B: i — (5i+3)
+    Labels: id % 4. The identical construction is expressible in ANSI SQL,
+    which makes match/triangle queries oracle-checkable in DuckDB.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    ids = part.select((F.col("p_partkey") - 1).alias("i"))
+    e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
+    e2 = ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
+    e3 = ids.select(F.col("i").alias("src"), ((F.col("i") * 5 + 3) % n).alias("dst"))
+    edges = symmetrize(e1.unionByName(e2).unionByName(e3))
+    vertices = ids.select(F.col("i").alias("id"), (F.col("i") % 4).cast("int").alias("label"))
+    return vertices, edges

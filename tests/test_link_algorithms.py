@@ -1,0 +1,107 @@
+"""Link-graph algorithms vs independent oracles on the toy graph and a seeded
+random graph (SURVEY.md §5 items 1-3)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from subgraph_isomorphism_pregel_spark.operators.components import connected_components
+from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
+from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
+from subgraph_isomorphism_pregel_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from subgraph_isomorphism_pregel_spark.sources.graph import toy_graph
+
+from .oracles import (
+    components_oracle,
+    lp_oracle,
+    pagerank_oracle,
+    triangles_oracle,
+)
+
+
+def random_graph(n=60, p=0.08, seed=0, extra_isolated=2):
+    rng = random.Random(seed)
+    vs = list(range(n + extra_isolated))
+    es = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                es.add((i, j))
+                es.add((j, i))
+    return vs, sorted(es)
+
+
+def to_dfs(spark, vs, es):
+    vertices = spark.createDataFrame([(v, v % 4) for v in vs], "id long, label int")
+    edges = spark.createDataFrame(es, "src long, dst long")
+    return vertices, edges
+
+
+@pytest.fixture(scope="module", params=["toy", "random"])
+def graph(request, spark):
+    if request.param == "toy":
+        v, e = toy_graph(spark)
+        vs = [r["id"] for r in v.collect()]
+        es = [(r["src"], r["dst"]) for r in e.collect()]
+        return v, e, vs, es
+    vs, es = random_graph()
+    v, e = to_dfs(spark, vs, es)
+    return v, e, vs, es
+
+
+def test_pagerank_matches_oracle(spark, graph):
+    v, e, vs, es = graph
+    scores, metrics = pagerank(spark, v, e, num_partitions=8, tol=1e-9)
+    got = {r["id"]: r["score"] for r in scores.collect()}
+    want = pagerank_oracle(vs, es, tol=1e-9)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+    # ranks are a probability distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert len(metrics) > 0
+    assert {m["superstep"] for m in metrics}  # metrics rows per superstep/partition
+
+
+def test_connected_components_matches_oracle(spark, graph):
+    v, e, vs, es = graph
+    comp, _ = connected_components(spark, v, e, num_partitions=8)
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    want = components_oracle(vs, es)
+    assert got == want
+
+
+def test_label_propagation_matches_oracle(spark, graph):
+    v, e, vs, es = graph
+    lp, _ = label_propagation(spark, v, e, rounds=3, num_partitions=8)
+    got = {r["id"]: r["lp_label"] for r in lp.collect()}
+    want = lp_oracle(vs, es, rounds=3)
+    assert got == want
+
+
+def test_triangles_match_oracle(spark, graph):
+    v, e, vs, es = graph
+    total, per = triangles_oracle(vs, es)
+    assert triangle_count(spark, e) == total
+    got = {r["id"]: r["tri"] for r in triangles_per_vertex(spark, v, e).collect()}
+    assert got == per
+    # triangle identity: 3 * triangles == closed wedges
+    assert sum(got.values()) == 3 * total
+
+
+def test_partitioning_invariance(spark):
+    """Same results at 1, 4, 8 partitions — the most important property
+    (SURVEY.md §5.3)."""
+    vs, es = random_graph(n=40, seed=3)
+    v, e = to_dfs(spark, vs, es)
+    results = []
+    for P in (1, 4, 8):
+        scores, _ = pagerank(spark, v, e, num_partitions=P, tol=1e-9)
+        results.append({r["id"]: r["score"] for r in scores.collect()})
+    for other in results[1:]:
+        assert set(other) == set(results[0])
+        assert all(abs(other[k] - results[0][k]) < 1e-9 for k in other)
