@@ -1,0 +1,176 @@
+"""Labeled subgraph-isomorphism matching: BSP frontier expansion as DataFrame
+joins.
+
+The reference implements MATCH as a vertex-centric message-passing pipeline
+(/root/reference/src/pregel_app_subgraph.h:211-513): each superstep extends
+every partial embedding by one query vertex along the sketch-tree order,
+checking (a) label of the candidate, (b) injectivity against same-label
+earlier positions, (c) adjacency to all backward non-tree neighbors
+(`check_feasibility`, :70-83), then ships the grown embedding to the owner of
+the new vertex.
+
+Spark-first re-expression: the frontier is a DataFrame with an
+``array<long>`` embedding column; one superstep == one equi-join
+
+    frontier ⋈ adj ON element_at(m, parent_pos+1) = adj.src
+               AND adj.dst_label = label(next_u)
+
+plus whole-stage-codegen filters for injectivity, and one join against the
+adjacency-list table for backward-edge checks (``array_contains``). Catalyst
+plans the join (broadcast when adj is small, shuffle otherwise, AQE skew
+splitting on hot vertices), which is exactly the hash-partitioned exchange the
+reference hand-rolls with MPI. Pseudo children (degree-1 query leaves with a
+query-unique label) are counted, not enumerated, from a precomputed
+per-(vertex,label) neighbor-count table — the aggregate-pushdown of reference
+M7 (`pregel_app_subgraph.h:153-209`).
+
+Counts equal the reference's "Mapping count" (README.md:83: toy graph +
+4-cycle query = 4), verified by golden + brute-force oracle tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.sketch_tree import QueryPlan, build_plan
+
+
+def _perm_expr(cnt_col, k: int):
+    """count * (count-1) * ... * (count-k+1) as a Column (injective choices
+    of k distinct neighbors; reference math_choose, global.h:236-244)."""
+    expr = (cnt_col - F.lit(0)).cast("long")
+    for j in range(1, k):
+        expr = expr * (cnt_col - F.lit(j))
+    return expr
+
+
+class SubgraphMatcher:
+    """Reusable matcher over one data graph (build once, run many queries)."""
+
+    def __init__(self, spark: SparkSession, vertices: DataFrame, edges: DataFrame):
+        self.spark = spark
+        self.vertices = vertices
+        # adj: one row per directed edge with the destination's label
+        # (denormalized once — the reference caches neighbor labels in
+        # KeyLabel entries, /root/reference/src/SItypes/SIValue.h:6-18)
+        dstlab = vertices.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
+        self.adj = edges.join(dstlab, "dst").select("src", "dst", "dst_label").persist()
+        # adjacency list per vertex (for backward-edge membership tests)
+        self.adjlist = (
+            edges.groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+            .withColumnRenamed("src", "al_id")
+            .persist()
+        )
+        # per-(vertex, neighbor label) counts (for pseudo-child counting)
+        self.nbr_label_counts = (
+            self.adj.groupBy("src", "dst_label")
+            .agg(F.count("*").alias("n_nbrs"))
+            .withColumnRenamed("src", "nl_id")
+            .persist()
+        )
+
+    def frontier(self, plan: QueryPlan) -> DataFrame:
+        """Run MATCH; returns (m: array<long>, cnt: long) — one row per
+        embedding of the non-pseudo query vertices, cnt = multiplicity from
+        counted pseudo children."""
+        root = plan.nodes[0]
+        f = (
+            self.vertices.where(F.col("label") == root.label)
+            .select(F.array(F.col("id")).alias("m"), F.lit(1).cast("long").alias("cnt"))
+        )
+        f = self._apply_pseudo(f, root)
+        for node in plan.nodes[1:]:
+            a = self.adj.where(F.col("dst_label") == F.lit(node.label)).alias("a")
+            cond = F.element_at(F.col("m"), node.parent_pos + 1) == F.col("a.src")
+            f = f.join(a, cond)
+            for p in node.samelabel_pos:
+                f = f.where(F.element_at(F.col("m"), p + 1) != F.col("a.dst"))
+            if node.backward_pos:
+                al = self.adjlist.alias(f"al{node.pos}")
+                f = f.join(al, F.col("a.dst") == F.col(f"al{node.pos}.al_id"))
+                for p in node.backward_pos:
+                    f = f.where(
+                        F.array_contains(
+                            F.col(f"al{node.pos}.nbrs"),
+                            F.element_at(F.col("m"), p + 1),
+                        )
+                    )
+            f = f.select(
+                F.concat(F.col("m"), F.array(F.col("a.dst"))).alias("m"),
+                F.col("cnt"),
+            )
+            f = self._apply_pseudo(f, node)
+        return f
+
+    def _apply_pseudo(self, f: DataFrame, node) -> DataFrame:
+        """Fold counted pseudo children of `node` into cnt."""
+        for lbl, k in node.pseudo:
+            nl = self.nbr_label_counts.where(F.col("dst_label") == F.lit(lbl)).alias(
+                f"nl{node.pos}_{lbl}"
+            )
+            f = (
+                f.join(
+                    nl,
+                    F.element_at(F.col("m"), node.pos + 1) == F.col(f"nl{node.pos}_{lbl}.nl_id"),
+                    "left",
+                )
+                .withColumn("_pc", F.coalesce(F.col(f"nl{node.pos}_{lbl}.n_nbrs"), F.lit(0)))
+                .where(F.col("_pc") >= k)
+                .select(F.col("m"), (F.col("cnt") * _perm_expr(F.col("_pc"), k)).alias("cnt"))
+            )
+        return f
+
+    def count(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+        pseudo: bool = True,
+    ) -> int:
+        """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
+        the reference's "Mapping count" (/root/reference/README.md:83)."""
+        plan = build_plan(query_v, query_e, order=order, pseudo=pseudo)
+        f = self.frontier(plan)
+        row = f.agg(F.sum("cnt").alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
+    def embeddings(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+    ) -> DataFrame:
+        """Materialized embeddings: one column ``u_<qid>`` per query vertex
+        (pseudo counting disabled so every query vertex is enumerated)."""
+        plan = build_plan(query_v, query_e, order=order, pseudo=False)
+        f = self.frontier(plan)
+        cols = [
+            F.element_at(F.col("m"), node.pos + 1).alias(f"u_{node.u}")
+            for node in plan.nodes
+        ]
+        return f.select(*cols)
+
+    def unpersist(self) -> None:
+        self.adj.unpersist()
+        self.adjlist.unpersist()
+        self.nbr_label_counts.unpersist()
+
+
+def match_count(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    query_v: dict[int, int],
+    query_e: set[tuple[int, int]],
+    order: str = "degree",
+    pseudo: bool = True,
+) -> int:
+    m = SubgraphMatcher(spark, vertices, edges)
+    try:
+        return m.count(query_v, query_e, order=order, pseudo=pseudo)
+    finally:
+        m.unpersist()

@@ -1,0 +1,138 @@
+"""Driver-side query planner: spanning-tree matching order for the matcher.
+
+Re-implements (from scratch, in Python, over a plain dict graph) the planning
+role of the reference's sketch tree (/root/reference/src/SItypes/SIQuery.h):
+
+- root selection by 'degree' (max degree), 'random' (first id), or
+  'anti-degree' (min degree) — reference Q1 (`SIQuery.h:226-278`);
+- DFS spanning tree ordering children by descending degree — reference Q2
+  (`SIQuery.h:338-427`);
+- per-node backward constraints: non-tree query edges to already-ordered
+  vertices (adjacency checks) and same-label earlier positions (injectivity)
+  — reference M3's feasibility inputs (`pregel_app_subgraph.h:70-83`);
+- pseudo children: degree-1 leaves counted instead of enumerated — reference
+  Q2/M7 (`SIQuery.h:411-423`, `pregel_app_subgraph.h:153-209`). We only apply
+  the counting shortcut when the pseudo child's label is unique in the query
+  (no cross-branch injectivity conflicts possible), otherwise the child is
+  matched by ordinary expansion — same results, reference-equal counts.
+
+The plan is a tiny immutable object; the matcher broadcasts it implicitly in
+its join expressions (reference broadcasts the whole query graph,
+`Worker.h:349-385`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PlanNode:
+    u: int  # query vertex id
+    label: int
+    pos: int  # position in the matching order (and in the embedding array)
+    parent_pos: int | None  # position of the spanning-tree parent (None for root)
+    backward_pos: tuple[int, ...]  # positions with a non-tree query edge to u
+    samelabel_pos: tuple[int, ...]  # earlier positions with the same label
+    # (label, multiplicity) pseudo children counted at this node
+    pseudo: tuple[tuple[int, int], ...] = ()
+
+
+@dataclass(frozen=True)
+class QueryPlan:
+    nodes: tuple[PlanNode, ...]  # matching order; nodes[0] is the root
+    n_query_vertices: int  # including pseudo children
+
+    @property
+    def depth(self) -> int:
+        return len(self.nodes)
+
+
+def build_plan(
+    query_v: dict[int, int],
+    query_e: set[tuple[int, int]],
+    order: str = "degree",
+    pseudo: bool = True,
+) -> QueryPlan:
+    """query_v: id -> label; query_e: directed pairs (both directions present)."""
+    adj: dict[int, set[int]] = {u: set() for u in query_v}
+    for a, b in query_e:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {u: len(adj[u]) for u in query_v}
+
+    if order == "degree":
+        root = max(query_v, key=lambda u: (deg[u], -u))
+    elif order == "anti-degree":
+        root = min(query_v, key=lambda u: (deg[u], u))
+    else:  # 'random' — the reference uses node 0 (`SIQuery.h:234-236`)
+        root = min(query_v)
+
+    label_counts: dict[int, int] = {}
+    for u, l in query_v.items():
+        label_counts[l] = label_counts.get(l, 0) + 1
+
+    # pseudo children: degree-1 vertices with a label unique in the query,
+    # never the root
+    is_pseudo = {
+        u: (pseudo and deg[u] == 1 and label_counts[query_v[u]] == 1 and u != root)
+        for u in query_v
+    }
+
+    order_list: list[int] = []
+    pos_of: dict[int, int] = {}
+    parent_of: dict[int, int | None] = {root: None}
+    pseudo_of: dict[int, list[int]] = {u: [] for u in query_v}
+
+    def dfs(u: int) -> None:
+        pos_of[u] = len(order_list)
+        order_list.append(u)
+        children = sorted(
+            (c for c in adj[u] if c not in pos_of and c not in parent_of),
+            key=lambda c: (-deg[c], c),
+        )
+        for c in children:
+            if c in pos_of:
+                continue
+            if is_pseudo[c]:
+                pseudo_of[u].append(c)
+                parent_of[c] = u
+                continue
+            parent_of[c] = u
+            dfs(c)
+
+    dfs(root)
+    # vertices unreachable from root would mean a disconnected query — the
+    # reference assumes connected queries; so do we.
+    n_real = len(order_list)
+    n_pseudo = sum(len(v) for v in pseudo_of.values())
+    if n_real + n_pseudo != len(query_v):
+        raise ValueError("query graph must be connected")
+
+    nodes = []
+    for i, u in enumerate(order_list):
+        lbl = query_v[u]
+        pp = pos_of[parent_of[u]] if parent_of[u] is not None else None
+        back = tuple(
+            sorted(
+                pos_of[w]
+                for w in adj[u]
+                if w in pos_of and pos_of[w] < i and pos_of[w] != pp and not is_pseudo[w]
+            )
+        )
+        same = tuple(p for p in range(i) if query_v[order_list[p]] == lbl)
+        ps_counts: dict[int, int] = {}
+        for c in pseudo_of[u]:
+            ps_counts[query_v[c]] = ps_counts.get(query_v[c], 0) + 1
+        nodes.append(
+            PlanNode(
+                u=u,
+                label=lbl,
+                pos=i,
+                parent_pos=pp,
+                backward_pos=back,
+                samelabel_pos=same,
+                pseudo=tuple(sorted(ps_counts.items())),
+            )
+        )
+    return QueryPlan(nodes=tuple(nodes), n_query_vertices=len(query_v))

@@ -83,6 +83,25 @@ TOY_QUERY_TEXT = """\
 """
 
 
+def parse_query_text(text: str) -> tuple[dict[int, int], set[tuple[int, int]]]:
+    """Reference query format -> (query_v: id->label, query_e: directed pairs,
+    symmetrized like the reference's addNode (SIQuery.h:293-303))."""
+    qv: dict[int, int] = {}
+    qe: set[tuple[int, int]] = set()
+    for line in text.strip().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        vid, lbl = int(tok[0]), ord(tok[1][0])
+        qv[vid] = lbl
+        for i in range(2, len(tok), 2):
+            w = int(tok[i])
+            qe.add((vid, w))
+            qe.add((w, vid))
+    return qv, qe
+
+
 def toy_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """The reference's 15-vertex toy data graph (labels a/b/c/d)."""
     v, e = parse_reference_text(spark, TOY_GRAPH_TEXT)

@@ -1,0 +1,109 @@
+"""Subgraph matcher: golden toy count (== 4, /root/reference/README.md:83),
+brute-force oracle cross-checks, pseudo on/off equality, order invariance."""
+
+import random
+
+import pytest
+
+from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
+from subgraph_isomorphism_pregel_spark.plans.sketch_tree import build_plan
+from subgraph_isomorphism_pregel_spark.sources.graph import (
+    TOY_QUERY_TEXT,
+    parse_query_text,
+    toy_graph,
+)
+
+from .oracles import match_count_oracle
+
+A, B, C, D = ord("a"), ord("b"), ord("c"), ord("d")
+
+# hand-built queries over the toy graph's label alphabet
+QUERIES = {
+    # the reference's own query: 4-cycle a-c-b-c (golden count 4)
+    "cycle4_golden": parse_query_text(TOY_QUERY_TEXT),
+    # 3-path a-c-b
+    "path3": ({1: A, 2: C, 3: B}, {(1, 2), (2, 1), (2, 3), (3, 2)}),
+    # star d(b, b, a): exercises same-label injectivity among siblings
+    "star_bba": (
+        {1: D, 2: B, 3: B, 4: A},
+        {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1)},
+    ),
+    # triangle with a pendant (pseudo-able leaf, unique label)
+    "tri_pendant": (
+        {1: B, 2: C, 3: B, 4: D},
+        {(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (1, 4), (4, 1)},
+    ),
+    # single vertex
+    "single": ({1: D}, set()),
+}
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    v, e = toy_graph(spark)
+    m = SubgraphMatcher(spark, v, e)
+    data_v = {r["id"]: r["label"] for r in v.collect()}
+    data_e = {(r["src"], r["dst"]) for r in e.collect()}
+    yield m, data_v, data_e
+    m.unpersist()
+
+
+def test_golden_mapping_count_is_4(toy):
+    m, _, _ = toy
+    qv, qe = QUERIES["cycle4_golden"]
+    assert m.count(qv, qe) == 4
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_toy_queries_match_bruteforce(toy, name):
+    m, data_v, data_e = toy
+    qv, qe = QUERIES[name]
+    want = match_count_oracle(data_v, data_e, qv, qe)
+    assert m.count(qv, qe, pseudo=True) == want
+    assert m.count(qv, qe, pseudo=False) == want
+
+
+@pytest.mark.parametrize("order", ["degree", "anti-degree", "random"])
+def test_order_invariance(toy, order):
+    m, data_v, data_e = toy
+    qv, qe = QUERIES["cycle4_golden"]
+    assert m.count(qv, qe, order=order) == 4
+
+
+def test_random_graphs_vs_oracle(spark):
+    rng = random.Random(7)
+    n, p, n_labels = 30, 0.15, 3
+    vs = {i: rng.randrange(n_labels) for i in range(n)}
+    es = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    queries = [
+        # path of 3 distinct labels
+        ({0: 0, 1: 1, 2: 2}, {(0, 1), (1, 0), (1, 2), (2, 1)}),
+        # triangle with repeated label
+        ({0: 0, 1: 0, 2: 1}, {(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)}),
+        # star with two same-label leaves
+        ({0: 1, 1: 0, 2: 0, 3: 2}, {(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)}),
+    ]
+    try:
+        for qv, qe in queries:
+            want = match_count_oracle(vs, es, qv, qe)
+            assert m.count(qv, qe, pseudo=True) == want
+            assert m.count(qv, qe, pseudo=False) == want
+    finally:
+        m.unpersist()
+
+
+def test_plan_shape():
+    qv, qe = QUERIES["cycle4_golden"]
+    plan = build_plan(qv, qe, order="degree")
+    assert plan.nodes[0].parent_pos is None
+    assert plan.n_query_vertices == 4
+    # the 4-cycle closes with exactly one backward edge
+    assert sum(len(n.backward_pos) for n in plan.nodes) == 1
