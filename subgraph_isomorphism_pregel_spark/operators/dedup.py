@@ -1,0 +1,176 @@
+"""Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine) — the training-data-pipeline suite.
+
+Everything stays JVM-side (codegen array/string expressions + shuffle joins);
+hashes are md5 hex strings so each operator has an exact DuckDB-SQL oracle.
+
+Scale notes:
+- exact dedup is one hash aggregation (map-side partial agg);
+- shingle/minhash tables explode ~tokens-per-doc rows, then aggregate back to
+  one row per (doc, band) — shuffle volume O(corpus tokens), the standard LSH
+  pipeline shape;
+- the pairwise verify joins only touch LSH-candidate buckets, never the full
+  n^2 cross join (the cross join variant in similarity.py is the small-n
+  baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min doc_id among exact
+    text duplicates (single hash-shuffle groupBy)."""
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(groups, "h")
+        .select("doc_id", "canonical_id", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s): distinct word k-gram shingles per document."""
+    t = tokens("text")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(toks)-{k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {k})))"
+    )
+    return (
+        docs.select("doc_id", t.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", F.explode(sh).alias("s"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with word-k-gram Jaccard >= threshold.
+
+    shingle equi-join (never a cross join) + per-doc shingle counts."""
+    sh = _shingles(docs, k).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    cb = cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    out = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """(doc_id, h0..h{K-1}): K-permutation MinHash where permutation k is the
+    lexicographic min of md5(k || ':' || shingle) — salt-keyed md5 instead of
+    random linear permutations so the signature is reproducible anywhere."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
+) -> DataFrame:
+    """Candidate pairs from banded MinHash-LSH, verified with true Jaccard.
+
+    (doc_a, doc_b, jaccard): pairs sharing >=1 of `bands` band-buckets AND
+    true shingle Jaccard >= threshold. Only candidate buckets are verified."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    # candidate pairs: same bucket in any band
+    cand = None
+    for b in range(bands):
+        l = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        p = l.join(r, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    # verify candidates with exact Jaccard
+    sh = _shingles(docs).persist()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    ca = cnt.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    cb = cnt.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash. Bit j is the majority vote over
+    tokens of the high bit of hex digit j of md5(token) — i.e. +1 if
+    md5(token)[j] in 89abcdef else -1, bit set iff the sum is positive.
+    Pure string/array expressions; exact SQL twin."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    tok = tok.select("doc_id", F.md5("tk").alias("h"))
+    j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
+    votes = tok.select("doc_id", j, F.col("h")).select(
+        "doc_id",
+        "j",
+        F.when(F.substring("h", F.col("j"), F.lit(1)).isin(*"89abcdef"), 1)
+        .otherwise(-1)
+        .alias("v"),
+    )
+    bitsum = votes.groupBy("doc_id", "j").agg(F.sum("v").alias("sv"))
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("j") - 1)).otherwise(0.0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact top-k (the correctness baseline). The dot
+  product is computed by exploding (vec position, value) pairs and summing in
+  double precision with a deterministic rounding, so the DuckDB oracle can
+  reproduce it bit-for-bit (array-order float sums differ between engines
+  otherwise).
+- embedding_dup_pairs: all pairs above a cosine threshold (near-duplicate
+  detection by embedding).
+- lsh_topk: the scale path — random-hyperplane LSH bucketing with numpy
+  inside a pandas UDF; only intra-bucket pairs are scored. Approximate, so it
+  gets a rows-only correctness check (non-SQL-expressible deterministic
+  hyperplanes), plus a recall test against brute force in pytest.
+
+At 10^12 scale, brute force is O(n^2) and dead; LSH buckets + per-bucket
+numpy GEMM is the shape that survives (bucket count scales with n, bucket
+size bounded)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_pairs(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, val, norm): exploded positions with the L2 norm."""
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    norms = e.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm"))
+    return e.join(norms, "vec_id")
+
+
+def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int | None = 20) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): exact top-k cosine neighbors for
+    each query vector (vec_id < n_queries; None = all), self excluded.
+    Ties broken by neighbor_id; cos rounded to 6dp BEFORE ranking so the
+    ranking is engine-independent."""
+    p = _norm_pairs(emb)
+    q = p.select(
+        F.col("vec_id").alias("query_id"),
+        "pos",
+        F.col("val").alias("qval"),
+        F.col("norm").alias("qnorm"),
+    )
+    if n_queries is not None:
+        q = q.where(F.col("query_id") < n_queries)
+    d = p.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "pos",
+        F.col("val").alias("nval"),
+        F.col("norm").alias("nnorm"),
+    )
+    dots = (
+        q.join(d, "pos")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id", "qnorm", "nnorm")
+        .agg(F.sum(F.col("qval") * F.col("nval")).alias("dot"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("qnorm") * F.col("nnorm")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(vec_a, vec_b, cos): unordered pairs with cosine >= threshold."""
+    p = _norm_pairs(emb)
+    a = p.select(F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("av"), F.col("norm").alias("an"))
+    b = p.select(F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("bv"), F.col("norm").alias("bn"))
+    return (
+        a.join(b, "pos")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b", "an", "bn")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("dot") / (F.col("an") * F.col("bn")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: values from a seeded
+    Philox generator keyed only by (dim, n_planes)."""
+    rng = np.random.Generator(np.random.Philox(key=1234567 + dim * 31 + n_planes))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vec_id, bucket): sign pattern of the vector against n_planes
+    deterministic hyperplanes — vectorized numpy over Arrow batches."""
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["embedding"].values).astype(np.float64)
+            if H is None:
+                H = _hyperplanes(M.shape[1], n_planes)
+            signs = (M @ H.T) > 0
+            bucket = signs @ (1 << np.arange(n_planes))
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "bucket": bucket.astype(np.int64)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, bucket long")
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+    """Approximate top-k: brute force restricted to LSH buckets.
+
+    Each bucket is scored with one numpy GEMM inside applyInPandas — the
+    per-partition dense math is the CSR-gather analog for embeddings."""
+    with_b = emb.join(lsh_buckets(emb, n_planes), "vec_id")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "rank": [], "cos": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int32", "cos": "float64"})
+        pdf = pdf.sort_values("vec_id")  # deterministic tie-breaking
+        ids = pdf["vec_id"].values
+        M = np.vstack(pdf["embedding"].values).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ M.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, len(ids) - 1)
+        out = []
+        order = np.argsort(-S, axis=1, kind="stable")
+        for i in range(len(ids)):
+            for r in range(kk):
+                j = order[i, r]
+                out.append((ids[i], ids[j], r + 1, S[i, j]))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "rank", "cos"])
+
+    return (
+        with_b.groupBy("bucket")
+        .applyInPandas(score, "query_id long, neighbor_id long, rank int, cos double")
+        .orderBy("query_id", "rank")
+    )

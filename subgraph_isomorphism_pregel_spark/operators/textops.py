@@ -1,0 +1,81 @@
+"""Text-analysis operators for a large-scale training-data pipeline, over a
+``documents(doc_id, text, lang, source, n_chars)`` table.
+
+All hot paths are pure Spark SQL expressions (whole-stage codegen, no Python),
+and every operator has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql:
+
+- token_count      whitespace tokenization
+- text_stats       quality scoring from length/punctuation/stopword ratios
+- langid           marker-token language identification with deterministic
+                   tie-breaking
+- fingerprint      winnowing-style document fingerprint: min of the rolling
+                   8-gram md5 hashes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import LANG_MARKERS, LANG_PRIORITY, STOPWORDS, count_in, tokens
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokens, empties dropped."""
+    return docs.select("doc_id", F.size(tokens("text")).alias("n_tokens")).orderBy("doc_id")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_calc, punct_count, stop_count, quality)
+
+    quality = round((0.2*stop_ratio + 0.8*least(n_tokens,100)/100)
+                    * (1 - punct_ratio), 6)
+    with punct_ratio = punct_chars/chars, stop_ratio = stopword tokens/tokens.
+    """
+    t = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).alias("punct_count"),
+        count_in(t, STOPWORDS).alias("stop_count"),
+    )
+    stop_ratio = F.col("stop_count") / F.greatest(F.col("n_tokens"), F.lit(1))
+    punct_ratio = F.col("punct_count") / F.greatest(F.col("n_chars_calc"), F.lit(1))
+    quality = F.round(
+        (0.2 * stop_ratio + 0.8 * F.least(F.col("n_tokens"), F.lit(100)) / 100.0)
+        * (1.0 - punct_ratio),
+        6,
+    )
+    return d.withColumn("quality", quality).orderBy("doc_id")
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — argmax of marker-token counts, ties broken
+    by the fixed LANG_PRIORITY order."""
+    t = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        *[count_in(t, LANG_MARKERS[l]).alias(f"s_{l}") for l in LANG_PRIORITY],
+    )
+    best = F.greatest(*[F.col(f"s_{l}") for l in LANG_PRIORITY])
+    pred = F.lit(None).cast("string")
+    # reversed so the FIRST language in priority order wins ties
+    for l in reversed(LANG_PRIORITY):
+        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("score")
+    ).orderBy("doc_id")
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — winnowing-style fingerprint: the lexicographic min of
+    md5 over all 8-char substrings (rolling k-grams). Documents shorter than
+    8 chars fingerprint the whole text."""
+    fp = F.array_min(
+        F.expr(
+            "transform(sequence(1, greatest(length(text)-7, 1)),"
+            " i -> md5(substring(text, i, 8)))"
+        )
+    )
+    return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")

@@ -1,0 +1,208 @@
+"""Text/dedup/similarity operators vs pure-python oracles on the sf0.001
+documents/embeddings tables plus hand-built fixtures."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from subgraph_isomorphism_pregel_spark.functions import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
+from subgraph_isomorphism_pregel_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+    attach_binary,
+    extract_media_meta,
+    frame_sample,
+)
+from subgraph_isomorphism_pregel_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+)
+from subgraph_isomorphism_pregel_spark.operators.textops import (
+    fingerprint,
+    langid,
+    text_stats,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def py_tokens(text):
+    return [t for t in text.strip().split(" ") if t]
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == len(py_tokens(r["text"])), r["doc_id"]
+
+
+def test_text_stats(spark, docs):
+    got = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    for r in docs.collect():
+        toks = py_tokens(r["text"])
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_chars_calc"] == len(r["text"])
+        assert g["stop_count"] == sum(1 for t in toks if t in STOPWORDS)
+        punct = sum(1 for c in r["text"] if c in ".!?,;:")
+        assert g["punct_count"] == punct
+        sr = g["stop_count"] / max(g["n_tokens"], 1)
+        pr = punct / max(len(r["text"]), 1)
+        want_q = round((0.2 * sr + 0.8 * min(len(toks), 100) / 100.0) * (1 - pr), 6)
+        assert abs(g["quality"] - want_q) < 1e-9
+
+
+def test_langid(spark, docs):
+    got = {r["doc_id"]: r for r in langid(docs).collect()}
+    for r in docs.collect():
+        toks = py_tokens(r["text"])
+        scores = {l: sum(1 for t in toks if t in LANG_MARKERS[l]) for l in LANG_PRIORITY}
+        best = max(scores.values())
+        want = next(l for l in LANG_PRIORITY if scores[l] == best)
+        assert got[r["doc_id"]]["pred_lang"] == want
+        assert got[r["doc_id"]]["score"] == best
+
+
+def test_fingerprint(spark, docs):
+    got = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    for r in docs.collect():
+        text = r["text"]
+        n = max(len(text) - 7, 1)
+        want = min(hashlib.md5(text[i : i + 8].encode()).hexdigest() for i in range(n))
+        assert got[r["doc_id"]] == want
+
+
+def test_dedup_exact(spark):
+    rows = [(1, "aa bb"), (2, "cc"), (3, "aa bb"), (4, "dd"), (5, "aa bb")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"]) for r in dedup_exact(d).collect()}
+    assert got == {1: (1, 3), 2: (2, 1), 3: (1, 3), 4: (4, 1), 5: (1, 3)}
+
+
+def test_ngram_jaccard(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),  # shares 3 of the union of 3-gram shingles
+        (3, "x y z w v u"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(d, 3, 0.3).collect()}
+    # doc1 shingles: {abc,bcd,cde,def}; doc2: {abc,bcd,cde,deg}; common 3, union 5
+    assert got == {(1, 2): 0.6}
+
+
+def test_minhash_identical_docs_collide(spark):
+    rows = [(1, "p q r s t u v w"), (2, "p q r s t u v w"), (3, "completely different text here")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: tuple(r[f"h{k}"] for k in range(12)) for r in minhash_signatures(d).collect()}
+    assert sig[1] == sig[2] != sig[3]
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(d).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_oracle(spark, docs):
+    small = docs.limit(5)
+    got = {r["doc_id"]: r["simhash"] for r in simhash(small).collect()}
+    for r in small.collect():
+        toks = py_tokens(r["text"])
+        val = 0
+        for j in range(32):
+            s = sum(1 if hashlib.md5(t.encode()).hexdigest()[j] in "89abcdef" else -1 for t in toks)
+            if s > 0:
+                val |= 1 << j
+        assert got[r["doc_id"]] == val
+
+
+def np_cosine_topk(vecs, ids, k, n_queries):
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    S = M @ M.T
+    out = {}
+    for qi, q in enumerate(ids):
+        if q >= n_queries:
+            continue
+        cos = [(round(S[qi, j], 6), ids[j]) for j in range(len(ids)) if j != qi]
+        cos.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [(nid, r + 1, c) for r, (c, nid) in enumerate(cos[:k])]
+    return out
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = np_cosine_topk(vecs, ids, k=5, n_queries=10)
+    got = {}
+    for r in cosine_topk(emb, k=5, n_queries=10).collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["rank"], r["cos"]))
+    assert set(got) == set(want)
+    for q in want:
+        for (gn, gr, gc), (wn, wr, wc) in zip(got[q], want[q]):
+            assert gr == wr and abs(gc - wc) < 2e-6
+            # neighbor ids may differ only on exact cos ties
+            if gn != wn:
+                assert abs(gc - wc) < 2e-6
+
+
+def test_lsh_topk_matches_bruteforce_within_bucket(spark, emb):
+    res = lsh_topk(emb, k=3).collect()
+    assert len(res) > 0
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    for r in res[:50]:
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        want = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        assert abs(r["cos"] - want) < 2e-6
+
+
+def test_embedding_dup_pairs_threshold(spark, emb):
+    got = embedding_dup_pairs(emb, threshold=0.9).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if c >= 0.9:
+                want.add((a, b))
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == want
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_binary(docs.limit(10))
+    meta = extract_media_meta(media).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    assert len(meta) == 10
+    for m in meta:
+        b = texts[m["media_id"]].encode()
+        assert m["n_bytes"] == len(b)
+        assert m["sha256"] == hashlib.sha256(b).hexdigest()
+        assert 1 <= m["width"] <= 256 and 1 <= m["height"] <= 256
+    fr = frame_sample(media, frame_bytes=64, stride=2)
+    fc = fr.collect()
+    assert fr.schema["frame"].dataType.typeName() == "binary"
+    for r in fc:
+        assert r["frame_no"] % 2 == 0
+        assert len(r["frame"]) <= 64
+    with pytest.raises(Exception):
+        extract_media_meta(media, real_decode=True).collect()
