@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: PageRank over the part–supplier dependency graph
+derived from sf0.001, top-20 files by rank.
+
+`queries()` — one callable per implemented operator (SURVEY.md §2 + the
+training-data-pipeline suite); each takes (spark, sf_dir) and returns a
+DataFrame whose column names match the oracle SQL exactly.
+
+`oracle_sql()` — the DuckDB twin of each query. Graph queries share the two
+deterministic graph constructions (bipartite supply graph from lineitem,
+arithmetic labeled ring graph over part's key space) written identically in
+SQL CTEs; iterative algorithms are unrolled to their fixed step counts.
+Approximate/non-SQL ops (LSH ANN) are intentionally omitted -> rows-only
+check.
 """
 
 from __future__ import annotations
@@ -12,27 +20,489 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from subgraph_isomorphism_pregel_spark.operators.components import connected_components
+from subgraph_isomorphism_pregel_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
+from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
+from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
+from subgraph_isomorphism_pregel_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_topk,
+)
+from subgraph_isomorphism_pregel_spark.operators.textops import (
+    fingerprint,
+    langid,
+    text_stats,
+    token_count,
+)
+from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
+from subgraph_isomorphism_pregel_spark.sources.graph import ring_graph, supply_graph
+from subgraph_isomorphism_pregel_spark.streaming.windowed import windowed_counts
+
+PR_STEPS = 5  # fixed PageRank iterations for the SQL-oracle variant
+CC_UNROLL = 16  # min-propagation rounds unrolled in the CC oracle
+LP_ROUNDS = 3
+
+
+# ---------------------------------------------------------------- helpers
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = supply_graph(spark, sf_dir)
+    scores, _ = pagerank(spark, v, e, num_partitions=16, fixed_steps=PR_STEPS)
+    return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
+
+
+def q_components_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = supply_graph(spark, sf_dir)
+    comp, _ = connected_components(spark, v, e, num_partitions=16)
+    return comp.orderBy("id")
+
+
+def q_labelprop_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = supply_graph(spark, sf_dir)
+    lab, _ = label_propagation(spark, v, e, rounds=LP_ROUNDS, num_partitions=16)
+    return lab.orderBy("id")
+
+
+def q_degree_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, e = supply_graph(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count("*").alias("n_vertices")).orderBy("degree")
+    )
+
+
+def q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, e = ring_graph(spark, sf_dir)
+    return triangles_per_vertex(spark, v, e).orderBy("id")
+
+
+def _ring_matcher(spark, sf_dir):
+    v, e = ring_graph(spark, sf_dir)
+    return SubgraphMatcher(spark, v, e)
+
+
+def q_match_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _ring_matcher(spark, sf_dir)
+    n = m.count({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)}, pseudo=False)
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_match_triangle_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _ring_matcher(spark, sf_dir)
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)}
+    n = m.count({1: 0, 2: 1, 3: 2}, qe, pseudo=False)
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_match_cycle4_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _ring_matcher(spark, sf_dir)
+    qv = {1: 0, 2: 1, 3: 2, 4: 3}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
+    n = m.count(qv, qe, pseudo=False)
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_match_star_pseudo_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star 1(l0)-{2(l1),3(l2)}: leaf label-unique -> exercises pseudo counting."""
+    m = _ring_matcher(spark, sf_dir)
+    qv = {1: 0, 2: 1, 3: 2}
+    qe = {(1, 2), (2, 1), (1, 3), (3, 1)}
+    n = m.count(qv, qe, pseudo=True)
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    return langid(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=12)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=12, bands=4, threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir), k=5, n_queries=20)
+
+
+def q_embedding_dups(spark, sf_dir):
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    # approximate — rows-only check (no SQL oracle by design)
+    return lsh_topk(_emb(spark, sf_dir), k=3)
+
+
+def q_windowed_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(ev).orderBy("window_start", "event_type")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-6 convergence on the sf0.001 supply graph."""
+    sf_dir = "/root/testdata/sf0.001"
+    v, e = supply_graph(spark, sf_dir)
+    scores, _ = pagerank(spark, v, e, num_partitions=8, tol=1e-6)
+    return scores.orderBy(F.desc("score"), F.asc("id")).limit(20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pagerank_supply": q_pagerank_supply,
+        "components_supply": q_components_supply,
+        "labelprop_supply": q_labelprop_supply,
+        "degree_distribution_supply": q_degree_supply,
+        "triangles_ring": q_triangles_ring,
+        "match_path3_ring": q_match_path3_ring,
+        "match_triangle_ring": q_match_triangle_ring,
+        "match_cycle4_ring": q_match_cycle4_ring,
+        "match_star_pseudo_ring": q_match_star_pseudo_ring,
+        "token_count": q_token_count,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dups": q_embedding_dups,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "windowed_events": q_windowed_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+# shared CTE fragments
+SUPPLY_EDGES = """
+base AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem),
+edges AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst AS src, src AS dst FROM base),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)
+"""
+
+RING_GRAPH = """
+nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - 1 AS i FROM part),
+raw AS (
+  SELECT i AS src, (i + 1) % (SELECT n FROM nn) AS dst FROM ids
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM ids
+  UNION ALL SELECT i, (i * 5 + 3) % (SELECT n FROM nn) FROM ids),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw) t
+  WHERE src <> dst),
+rv AS MATERIALIZED (SELECT i AS id, CAST(i % 4 AS INT) AS label FROM ids)
+"""
+
+DOC_WORDS = """
+w AS (SELECT doc_id, text,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+      FROM documents)
+"""
+
+SHINGLES = (
+    DOC_WORDS
+    + """,
+gs AS (SELECT unnest(range(1, (SELECT max(greatest(len(words) - 2, 1)) FROM w) + 1)) AS i),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+              concat_ws(' ', words[i], words[i+1], words[i+2]) AS s
+       FROM w, gs
+       WHERE len(words) > 0 AND i <= greatest(len(words) - 2, 1))
+"""
+)
+
+EMB_PAIRS = """
+gs AS (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i),
+p AS MATERIALIZED (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, gs WHERE i <= len(embedding)),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS norm FROM p GROUP BY vec_id)
+"""
+
+
+def _pagerank_sql() -> str:
+    d, steps = 0.85, PR_STEPS
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nv AS (SELECT count(*) AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS score FROM verts)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT v.id,
+         {1 - d} / (SELECT n FROM nv) + {d} * coalesce(s.contrib, 0) AS score
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.score / dg.outdeg) AS contrib
+    FROM r{t - 1} r JOIN edges e ON r.id = e.src JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _cc_sql() -> str:
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)",
+    ]
+    for t in range(1, CC_UNROLL + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT a.id, least(a.comp, coalesce(m.mn, a.comp)) AS comp
+  FROM c{t - 1} a LEFT JOIN (
+    SELECT e.dst AS id, min(c.comp) AS mn
+    FROM c{t - 1} c JOIN edges e ON c.id = e.src GROUP BY e.dst) m
+  ON a.id = m.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, comp AS component FROM c{CC_UNROLL} ORDER BY id"
+    )
+
+
+def _lp_sql() -> str:
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+    ]
+    for t in range(1, LP_ROUNDS + 1):
+        ctes.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(p.lab, v.lab) AS lab
+  FROM l{t - 1} v LEFT JOIN (
+    SELECT id, lab FROM (
+      SELECT e.dst AS id, l.lab, count(*) AS c,
+             row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.lab ASC) AS rn
+      FROM l{t - 1} l JOIN edges e ON l.id = e.src GROUP BY e.dst, l.lab) z
+    WHERE rn = 1) p ON v.id = p.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, lab AS lp_label FROM l{LP_ROUNDS} ORDER BY id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pagerank_supply": _pagerank_sql(),
+        "components_supply": _cc_sql(),
+        "labelprop_supply": _lp_sql(),
+        "degree_distribution_supply": f"""
+WITH {SUPPLY_EDGES.strip().rstrip(',')}
+SELECT degree, count(*) AS n_vertices FROM (
+  SELECT src, count(*) AS degree FROM edges GROUP BY src) d
+GROUP BY degree ORDER BY degree""",
+        "triangles_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')},
+tri AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM edges a JOIN edges b ON a.dst = b.src JOIN edges c ON b.dst = c.src AND c.dst = a.src
+  WHERE a.src < a.dst AND a.dst < b.dst),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT v.id, coalesce(t.c, 0) AS tri FROM rv v LEFT JOIN (
+  SELECT id, count(*) AS c FROM corners GROUP BY id) t ON v.id = t.id
+ORDER BY v.id""",
+        "match_path3_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v1.id <> v3.id""",
+        "match_triangle_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v3.id = e3.src AND e3.dst = v1.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2""",
+        "match_cycle4_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v3.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges e4 ON v4.id = e4.src AND e4.dst = v1.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v4.label = 3
+  AND v1.id <> v3.id AND v2.id <> v4.id""",
+        "match_star_pseudo_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v1.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2""",
+        "token_count": f"""
+WITH {DOC_WORDS.strip().rstrip(',')}
+SELECT doc_id, len(words) AS n_tokens FROM w ORDER BY doc_id""",
+        "text_stats": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+s AS (SELECT doc_id,
+             len(words) AS n_tokens,
+             length(text) AS n_chars_calc,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_count,
+             len(list_filter(words, x -> x IN ('the','a','of','to','and','in','is','on','for','with'))) AS stop_count
+      FROM w)
+SELECT doc_id, n_tokens, n_chars_calc, punct_count, stop_count,
+       round((0.2 * (stop_count / greatest(n_tokens, 1))
+              + 0.8 * least(n_tokens, 100) / 100.0)
+             * (1.0 - punct_count / greatest(n_chars_calc, 1)), 6) AS quality
+FROM s ORDER BY doc_id""",
+        "langid": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+s AS (SELECT doc_id,
+  len(list_filter(words, x -> x IN ('the','is','and','of','a'))) AS s_en,
+  len(list_filter(words, x -> x IN ('der','die','und','ist','das'))) AS s_de,
+  len(list_filter(words, x -> x IN ('el','la','de','que','los'))) AS s_es,
+  len(list_filter(words, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+  len(list_filter(words, x -> x IN ('de','le','shi','zai','he'))) AS s_zh
+  FROM w),
+b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       CAST(best AS BIGINT) AS score
+FROM b ORDER BY doc_id""",
+        "fingerprint": """
+SELECT doc_id,
+       list_aggregate(
+         list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                        i -> md5(substr(text, i, 8))),
+         'min') AS fp
+FROM documents ORDER BY doc_id""",
+        "dedup_exact": """
+WITH g AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS group_size
+           FROM documents GROUP BY md5(text))
+SELECT d.doc_id, g.canonical_id, g.group_size
+FROM documents d JOIN g ON md5(d.text) = g.h ORDER BY d.doc_id""",
+        "ngram_jaccard": f"""
+WITH {SHINGLES.strip().rstrip(',')},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(common / (ca.n + cb.n - common), 6) AS jaccard
+FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE round(common / (ca.n + cb.n - common), 6) >= 0.2
+ORDER BY doc_a, doc_b""",
+        "minhash_signatures": f"""
+WITH {SHINGLES.strip().rstrip(',')}
+SELECT doc_id,
+       {', '.join(f"min(md5('{k}:' || s)) AS h{k}" for k in range(12))}
+FROM sh GROUP BY doc_id ORDER BY doc_id""",
+        "minhash_lsh_pairs": f"""
+WITH {SHINGLES.strip().rstrip(',')},
+sig AS (SELECT doc_id,
+        {', '.join(f"min(md5('{k}:' || s)) AS h{k}" for k in range(12))}
+        FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id,
+        {', '.join(f"md5(concat_ws('|', h{b * 3}, h{b * 3 + 1}, h{b * 3 + 2})) AS band{b}" for b in range(4))}
+        FROM sig),
+cand AS (
+  {' UNION '.join(f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id" for b in range(4))}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+           GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, round(common / (ca.n + cb.n - common), 6) AS jaccard
+FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+WHERE round(common / (ca.n + cb.n - common), 6) >= 0.2
+ORDER BY doc_a, doc_b""",
+        "simhash": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+tok AS (SELECT doc_id, md5(unnest(words)) AS h FROM w),
+votes AS (SELECT doc_id, g.j,
+                 sum(CASE WHEN substr(h, g.j, 1) IN ('8','9','a','b','c','d','e','f')
+                          THEN 1 ELSE -1 END) AS sv
+          FROM tok, LATERAL generate_series(1, 32) AS g(j)
+          GROUP BY doc_id, g.j)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sv > 0 THEN power(2, j - 1) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id""",
+        "cosine_topk": f"""
+WITH {EMB_PAIRS.strip().rstrip(',')},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         round(sum(q.val * d.val) / (qn.norm * dn.norm), 6) AS cos
+  FROM p q JOIN p d ON q.pos = d.pos AND q.vec_id <> d.vec_id
+  JOIN norms qn ON qn.vec_id = q.vec_id JOIN norms dn ON dn.vec_id = d.vec_id
+  WHERE q.vec_id < 20
+  GROUP BY q.vec_id, d.vec_id, qn.norm, dn.norm),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM dots)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+        "embedding_dups": f"""
+WITH {EMB_PAIRS.strip().rstrip(',')}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(sum(a.val * b.val) / (an.norm * bn.norm), 6) AS cos
+FROM p a JOIN p b ON a.pos = b.pos AND a.vec_id < b.vec_id
+JOIN norms an ON an.vec_id = a.vec_id JOIN norms bn ON bn.vec_id = b.vec_id
+GROUP BY a.vec_id, b.vec_id, an.norm, bn.norm
+HAVING round(sum(a.val * b.val) / (an.norm * bn.norm), 6) >= 0.4
+ORDER BY vec_a, vec_b""",
+        "windowed_events": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    }
