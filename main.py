@@ -1,0 +1,127 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
+        --algo {pagerank,cc,lp,triangles,match} \
+        (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
+        [--query query.txt] [--order degree|anti-degree|random] [--pseudo on|off] \
+        [--partitions 32] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
+
+Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/
+global.h:265-327) with table inputs instead of HDFS text files. The query file
+uses the reference's text format (README.md:16-20)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
+    p.add_argument("--algo", required=True, choices=["pagerank", "cc", "lp", "triangles", "match"])
+    p.add_argument("--edges", help="edge table parquet (src,dst)")
+    p.add_argument("--vertices", help="vertex table parquet (id,label)")
+    p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
+    p.add_argument("--toy", action="store_true", help="use the reference's builtin toy graph")
+    p.add_argument("--query", help="query graph text file (reference format), for --algo match")
+    p.add_argument("--order", default="degree", choices=["degree", "anti-degree", "random"])
+    p.add_argument("--pseudo", default="on", choices=["on", "off"])
+    p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--checkpoint-dir")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", help="write the result DataFrame to this parquet path")
+    p.add_argument("--cores", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def load_graph(spark, args):
+    from pyspark.sql import functions as F
+
+    from subgraph_isomorphism_pregel_spark.sources.corpus import derive_edges, derive_files
+    from subgraph_isomorphism_pregel_spark.sources.graph import symmetrize, toy_graph
+
+    if args.toy:
+        return toy_graph(spark)
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+        files = derive_files(corpus)
+        vertices = files.select(F.col("file_id").alias("id"), "label")
+        edges = symmetrize(derive_edges(corpus, files))
+        return vertices, edges
+    if not args.edges:
+        raise SystemExit("need --edges/--vertices, --corpus, or --toy")
+    edges = spark.read.parquet(args.edges)
+    if args.vertices:
+        vertices = spark.read.parquet(args.vertices)
+    else:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .withColumn("label", F.lit(0))
+        )
+    return vertices, edges
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+    from subgraph_isomorphism_pregel_spark.session import get_spark
+
+    spark = get_spark(f"sip-{args.algo}", cores=args.cores)
+    vertices, edges = load_graph(spark, args)
+    metrics = []
+
+    if args.algo == "pagerank":
+        from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
+
+        result, metrics = pagerank(
+            spark, vertices, edges, num_partitions=args.partitions, tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+    elif args.algo == "cc":
+        from subgraph_isomorphism_pregel_spark.operators.components import connected_components
+
+        result, metrics = connected_components(
+            spark, vertices, edges, num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+    elif args.algo == "lp":
+        from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
+
+        result, metrics = label_propagation(
+            spark, vertices, edges, rounds=args.rounds, num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+    elif args.algo == "triangles":
+        from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
+
+        result = triangles_per_vertex(spark, vertices, edges)
+    else:  # match
+        if not args.query:
+            raise SystemExit("--algo match requires --query")
+        from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
+        from subgraph_isomorphism_pregel_spark.sources.graph import parse_query_text
+
+        with open(args.query) as f:
+            qv, qe = parse_query_text(f.read())
+        matcher = SubgraphMatcher(spark, vertices, edges)
+        n = matcher.count(qv, qe, order=args.order, pseudo=args.pseudo == "on")
+        print(f"Mapping count: {n}")  # same headline as the reference (README.md:83)
+        result = spark.createDataFrame([(n,)], "mapping_count long")
+
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        result.show(20, truncate=False)
+    if metrics:
+        last = max(m["superstep"] for m in metrics)
+        print(json.dumps({"supersteps": last, "metric_rows": len(metrics)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

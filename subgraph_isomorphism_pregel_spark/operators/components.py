@@ -44,18 +44,17 @@ def cc_program(P: int) -> VertexProgram:
         np.minimum.at(mins, inv, val)
         return pd.DataFrame({"pid": (dsts % P).astype(np.int32), "dst": dsts, "comp": mins})
 
-    def combine(msgs: DataFrame) -> DataFrame:
-        return msgs.groupBy("pid", "dst").agg(F.min("comp").alias("comp"))
-
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, comp = part["ids"], part["comp"].copy()
         changed = np.zeros(len(ids), dtype=np.int32)
         if len(inbox):
+            # fold per-source-partition partial minima (reducer-side combine)
             pos = np.searchsorted(ids, inbox["dst"].values)
-            cand = inbox["comp"].values
-            better = cand < comp[pos]
-            comp[pos[better]] = cand[better]
-            changed[pos[better]] = 1
+            cand = np.full(len(ids), np.iinfo(np.int64).max)
+            np.minimum.at(cand, pos, inbox["comp"].values)
+            better = cand < comp
+            comp[better] = cand[better]
+            changed[better] = 1
         return {
             "comp": comp,
             "changed": changed,
@@ -69,7 +68,6 @@ def cc_program(P: int) -> VertexProgram:
         msg_schema="pid int, dst long, comp long",
         init=init,
         scatter=scatter,
-        combine=combine,
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: int(srow["active"] or 0) == 0,

@@ -40,16 +40,16 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
             }
         )
 
-    def combine(msgs: DataFrame) -> DataFrame:
-        return msgs.groupBy("pid", "dst", "lab").agg(F.sum("cnt").alias("cnt"))
-
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, lab = part["ids"], part["lab"].copy()
         changed = 0
         if len(inbox):
-            dst = inbox["dst"].values
-            labs = inbox["lab"].values
-            cnt = inbox["cnt"].values
+            # fold per-source-partition partial counts (reducer-side combine)
+            pairs = np.stack([inbox["dst"].values, inbox["lab"].values], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            csum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(csum, inv, inbox["cnt"].values)
+            dst, labs, cnt = uniq[:, 0], uniq[:, 1], csum
             # winner per dst: max count, tie -> min label
             order = np.lexsort((labs, -cnt, dst))
             dst_o, labs_o = dst[order], labs[order]
@@ -67,7 +67,6 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         msg_schema="pid int, dst long, lab long, cnt long",
         init=init,
         scatter=scatter,
-        combine=combine,
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: step >= rounds,

@@ -56,16 +56,14 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
             {"pid": (dsts % P).astype(np.int32), "dst": dsts, "contrib": contrib}
         )
 
-    def combine(msgs: DataFrame) -> DataFrame:
-        return msgs.groupBy("pid", "dst").agg(F.sum("contrib").alias("contrib"))
-
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, rank = part["ids"], part["rank"]
         outdeg = np.diff(part["indptr"])
         contrib = np.zeros(len(ids))
         if len(inbox):
+            # fold per-source-partition partials (reducer side of the combine)
             pos = np.searchsorted(ids, inbox["dst"].values)
-            contrib[pos] = inbox["contrib"].values
+            np.add.at(contrib, pos, inbox["contrib"].values)
         dangling = float(carry.get("dangling", 0.0))
         new_rank = (1.0 - d) / N + d * (contrib + dangling / N)
         delta = np.abs(new_rank - rank)
@@ -91,7 +89,6 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         msg_schema="pid int, dst long, contrib double",
         init=init,
         scatter=scatter,
-        combine=combine,
         update=update,
         stats=[
             ("max_delta", F.max),

@@ -216,7 +216,11 @@ class Pregel:
                 return do_scatter
 
             msgs_df = parts_df.mapInPandas(make_scatter(step, carry_b), program.msg_schema)
-            inbox_df = program.combine(msgs_df)
+            # combine=None: scatter already pre-aggregated per source partition,
+            # so a Spark-side groupBy would shuffle the exact same volume and
+            # cost one extra exchange — the update UDF folds partials in numpy
+            # instead (map-side combining semantics, reducer-side fold).
+            inbox_df = program.combine(msgs_df) if program.combine else msgs_df
 
             def make_update(_step, _carry):
                 def do_update(part_pdf, inbox_pdf):
@@ -250,6 +254,9 @@ class Pregel:
             t_plan = time.time()
             ckpt_path = self._write_checkpoint(checkpoint_dir, step, new_parts, carry)
             old_parts = parts_df
+            # the checkpoint is written partitionBy("pid") -> one file per pid,
+            # so the read-back scans with P-way parallelism (a single coalesced
+            # file would serialize the next scatter) and no extra exchange
             parts_df = self.spark.read.parquet(ckpt_path).persist()
 
             # ONE action per superstep: collect the per-pid scalar stat columns
@@ -302,7 +309,7 @@ class Pregel:
 
     def _write_checkpoint(self, ckdir, step, parts_df, carry) -> str:
         path = os.path.join(ckdir, f"step_{step:05d}")
-        parts_df.write.mode("overwrite").parquet(path)
+        parts_df.write.mode("overwrite").partitionBy("pid").parquet(path)
         return path
 
     def _finish_checkpoint(self, ckdir, step, carry, metrics, per_pid, srow) -> None:
