@@ -52,12 +52,24 @@ class SubgraphMatcher:
 
     def __init__(self, spark: SparkSession, vertices: DataFrame, edges: DataFrame):
         self.spark = spark
-        self.vertices = vertices
-        # adj: one row per directed edge with the destination's label
+        # degree-decorated vertices (LDF: label-and-degree candidate filter —
+        # the reference's Q7 hook is dead code (`pregel_app_subgraph.h:65-68`);
+        # implemented for real here)
+        deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+        self.vertices = (
+            vertices.join(deg, "id", "left")
+            .select("id", "label", F.coalesce("degree", F.lit(0)).alias("degree"))
+            .persist()
+        )
+        # adj: one row per directed edge with the destination's label+degree
         # (denormalized once — the reference caches neighbor labels in
         # KeyLabel entries, /root/reference/src/SItypes/SIValue.h:6-18)
-        dstlab = vertices.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
-        self.adj = edges.join(dstlab, "dst").select("src", "dst", "dst_label").persist()
+        dstlab = self.vertices.select(
+            F.col("id").alias("dst"),
+            F.col("label").alias("dst_label"),
+            F.col("degree").alias("dst_degree"),
+        )
+        self.adj = edges.join(dstlab, "dst").select("src", "dst", "dst_label", "dst_degree").persist()
         # adjacency list per vertex (for backward-edge membership tests)
         self.adjlist = (
             edges.groupBy("src")
@@ -79,12 +91,17 @@ class SubgraphMatcher:
         counted pseudo children."""
         root = plan.nodes[0]
         f = (
-            self.vertices.where(F.col("label") == root.label)
+            self.vertices.where(
+                (F.col("label") == root.label) & (F.col("degree") >= root.qdeg)
+            )
             .select(F.array(F.col("id")).alias("m"), F.lit(1).cast("long").alias("cnt"))
         )
         f = self._apply_pseudo(f, root)
         for node in plan.nodes[1:]:
-            a = self.adj.where(F.col("dst_label") == F.lit(node.label)).alias("a")
+            a = self.adj.where(
+                (F.col("dst_label") == F.lit(node.label))
+                & (F.col("dst_degree") >= F.lit(node.qdeg))
+            ).alias("a")
             cond = F.element_at(F.col("m"), node.parent_pos + 1) == F.col("a.src")
             f = f.join(a, cond)
             for p in node.samelabel_pos:
@@ -124,6 +141,25 @@ class SubgraphMatcher:
             )
         return f
 
+    def candidate_counts(
+        self, query_v: dict[int, int], query_e: set[tuple[int, int]]
+    ) -> dict[int, int]:
+        """LDF candidate cardinality per query vertex (one aggregation pass):
+        |{v : label(v)=label(u), deg(v) >= deg_q(u)}| — drives
+        order='candidate' (the reference's aggregator-diagonal heuristic,
+        `SIQuery.h:261-268`)."""
+        qdeg: dict[int, int] = {u: 0 for u in query_v}
+        for a, _ in query_e:
+            qdeg[a] += 1
+        aggs = [
+            F.sum(
+                ((F.col("label") == l) & (F.col("degree") >= qdeg[u])).cast("long")
+            ).alias(f"c_{u}")
+            for u, l in query_v.items()
+        ]
+        row = self.vertices.agg(*aggs).collect()[0]
+        return {u: int(row[f"c_{u}"] or 0) for u in query_v}
+
     def count(
         self,
         query_v: dict[int, int],
@@ -133,7 +169,8 @@ class SubgraphMatcher:
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83)."""
-        plan = build_plan(query_v, query_e, order=order, pseudo=pseudo)
+        cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
+        plan = build_plan(query_v, query_e, order=order, pseudo=pseudo, cand_counts=cand)
         f = self.frontier(plan)
         row = f.agg(F.sum("cnt").alias("n")).collect()[0]
         return int(row["n"] or 0)

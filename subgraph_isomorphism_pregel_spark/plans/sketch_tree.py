@@ -36,6 +36,7 @@ class PlanNode:
     samelabel_pos: tuple[int, ...]  # earlier positions with the same label
     # (label, multiplicity) pseudo children counted at this node
     pseudo: tuple[tuple[int, int], ...] = ()
+    qdeg: int = 0  # degree of u in the query (LDF: candidates need >= this)
 
 
 @dataclass(frozen=True)
@@ -53,8 +54,15 @@ def build_plan(
     query_e: set[tuple[int, int]],
     order: str = "degree",
     pseudo: bool = True,
+    cand_counts: dict[int, int] | None = None,
 ) -> QueryPlan:
-    """query_v: id -> label; query_e: directed pairs (both directions present)."""
+    """query_v: id -> label; query_e: directed pairs (both directions present).
+
+    order='candidate' picks the root with the fewest LDF candidates in the
+    data graph (cand_counts: query vertex -> candidate count, supplied by the
+    matcher) — the reference's `-order candidate` hook (`SIQuery.h:261`,
+    driven by the aggregator diagonal), which its released pipeline never
+    populates; here it is computed for real."""
     adj: dict[int, set[int]] = {u: set() for u in query_v}
     for a, b in query_e:
         adj[a].add(b)
@@ -65,6 +73,10 @@ def build_plan(
         root = max(query_v, key=lambda u: (deg[u], -u))
     elif order == "anti-degree":
         root = min(query_v, key=lambda u: (deg[u], u))
+    elif order == "candidate":
+        if not cand_counts:
+            raise ValueError("order='candidate' requires cand_counts")
+        root = min(query_v, key=lambda u: (cand_counts.get(u, 0), u))
     else:  # 'random' — the reference uses node 0 (`SIQuery.h:234-236`)
         root = min(query_v)
 
@@ -87,9 +99,14 @@ def build_plan(
     def dfs(u: int) -> None:
         pos_of[u] = len(order_list)
         order_list.append(u)
+        if order == "candidate" and cand_counts:
+            # most selective child first (fewest data-graph candidates)
+            child_key = lambda c: (cand_counts.get(c, 0), c)  # noqa: E731
+        else:
+            child_key = lambda c: (-deg[c], c)  # noqa: E731
         children = sorted(
             (c for c in adj[u] if c not in pos_of and c not in parent_of),
-            key=lambda c: (-deg[c], c),
+            key=child_key,
         )
         for c in children:
             if c in pos_of:
@@ -133,6 +150,7 @@ def build_plan(
                 backward_pos=back,
                 samelabel_pos=same,
                 pseudo=tuple(sorted(ps_counts.items())),
+                qdeg=deg[u],
             )
         )
     return QueryPlan(nodes=tuple(nodes), n_query_vertices=len(query_v))

@@ -63,7 +63,7 @@ def test_toy_queries_match_bruteforce(toy, name):
     assert m.count(qv, qe, pseudo=False) == want
 
 
-@pytest.mark.parametrize("order", ["degree", "anti-degree", "random"])
+@pytest.mark.parametrize("order", ["degree", "anti-degree", "random", "candidate"])
 def test_order_invariance(toy, order):
     m, data_v, data_e = toy
     qv, qe = QUERIES["cycle4_golden"]
