@@ -33,6 +33,7 @@ def parse_args(argv):
     p.add_argument("--checkpoint-dir")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="write the result DataFrame to this parquet path")
+    p.add_argument("--metrics-output", help="write the per-(superstep,partition) metrics table to this parquet path")
     p.add_argument("--cores", type=int, default=None)
     return p.parse_args(argv)
 
@@ -120,6 +121,11 @@ def main(argv=None):
     if metrics:
         last = max(m["superstep"] for m in metrics)
         print(json.dumps({"supersteps": last, "metric_rows": len(metrics)}))
+        if args.metrics_output:
+            from subgraph_isomorphism_pregel_spark.operators.pregel import metrics_df
+
+            metrics_df(spark, metrics).write.mode("overwrite").parquet(args.metrics_output)
+            print(f"wrote {args.metrics_output}")
     return 0
 
 

@@ -85,10 +85,28 @@ class SubgraphMatcher:
             .persist()
         )
 
-    def frontier(self, plan: QueryPlan) -> DataFrame:
+    def frontier(self, plan: QueryPlan, prune: bool = False) -> DataFrame:
         """Run MATCH; returns (m: array<long>, cnt: long) — one row per
         embedding of the non-pseudo query vertices, cnt = multiplicity from
-        counted pseudo children."""
+        counted pseudo children.
+
+        prune=True enables embedding-column pruning + factorized counting:
+        after each extension, mapping positions that no later step references
+        (as parent, backward neighbor, or same-label injectivity witness) are
+        dropped and identical pruned rows are merged with summed counts — the
+        Spark form of the reference's chd_constraint column pruning + dummy-
+        vertex prefix sharing (`SIQuery.h:544-591`, `SIMessage.h:176-203`,
+        `pregel_app_subgraph.h:85-99`). Counting-only (rows no longer carry
+        full embeddings)."""
+        # needed_after[i]: original positions some node j>i still references
+        n = len(plan.nodes)
+        needed_after = [set() for _ in range(n)]
+        acc: set[int] = set()
+        for j in range(n - 1, 0, -1):
+            nd = plan.nodes[j]
+            acc |= {nd.parent_pos, *nd.backward_pos, *nd.samelabel_pos}
+            needed_after[j - 1] = set(acc)
+
         root = plan.nodes[0]
         f = (
             self.vertices.where(
@@ -96,16 +114,23 @@ class SubgraphMatcher:
             )
             .select(F.array(F.col("id")).alias("m"), F.lit(1).cast("long").alias("cnt"))
         )
-        f = self._apply_pseudo(f, root)
+        f = self._apply_pseudo(f, root, slot_of=None)
+        live = [0]  # original position -> slot: live.index(pos)
+
+        def slot(pos: int) -> int:
+            return live.index(pos) + 1  # 1-based element_at
+
+        if prune:
+            f, live = self._prune(f, live, needed_after[0])
         for node in plan.nodes[1:]:
             a = self.adj.where(
                 (F.col("dst_label") == F.lit(node.label))
                 & (F.col("dst_degree") >= F.lit(node.qdeg))
             ).alias("a")
-            cond = F.element_at(F.col("m"), node.parent_pos + 1) == F.col("a.src")
+            cond = F.element_at(F.col("m"), slot(node.parent_pos)) == F.col("a.src")
             f = f.join(a, cond)
             for p in node.samelabel_pos:
-                f = f.where(F.element_at(F.col("m"), p + 1) != F.col("a.dst"))
+                f = f.where(F.element_at(F.col("m"), slot(p)) != F.col("a.dst"))
             if node.backward_pos:
                 al = self.adjlist.alias(f"al{node.pos}")
                 f = f.join(al, F.col("a.dst") == F.col(f"al{node.pos}.al_id"))
@@ -113,18 +138,40 @@ class SubgraphMatcher:
                     f = f.where(
                         F.array_contains(
                             F.col(f"al{node.pos}.nbrs"),
-                            F.element_at(F.col("m"), p + 1),
+                            F.element_at(F.col("m"), slot(p)),
                         )
                     )
             f = f.select(
                 F.concat(F.col("m"), F.array(F.col("a.dst"))).alias("m"),
                 F.col("cnt"),
             )
-            f = self._apply_pseudo(f, node)
+            live = live + [node.pos]
+            f = self._apply_pseudo(f, node, slot_of=slot)
+            if prune:
+                f, live = self._prune(f, live, needed_after[node.pos])
         return f
 
-    def _apply_pseudo(self, f: DataFrame, node) -> DataFrame:
+    @staticmethod
+    def _prune(f: DataFrame, live: list[int], needed: set[int]):
+        keep = [p for p in live if p in needed]
+        if keep == live:
+            return f, live
+        if not keep:
+            # everything determined: a single-row count remains
+            return f.agg(F.sum("cnt").alias("cnt")).select(
+                F.array().cast("array<long>").alias("m"), F.col("cnt")
+            ), []
+        cols = F.array(*[F.element_at(F.col("m"), live.index(p) + 1) for p in keep])
+        f = (
+            f.select(cols.alias("m"), F.col("cnt"))
+            .groupBy("m")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return f, keep
+
+    def _apply_pseudo(self, f: DataFrame, node, slot_of=None) -> DataFrame:
         """Fold counted pseudo children of `node` into cnt."""
+        pos1 = slot_of(node.pos) if slot_of else node.pos + 1
         for lbl, k in node.pseudo:
             nl = self.nbr_label_counts.where(F.col("dst_label") == F.lit(lbl)).alias(
                 f"nl{node.pos}_{lbl}"
@@ -132,7 +179,7 @@ class SubgraphMatcher:
             f = (
                 f.join(
                     nl,
-                    F.element_at(F.col("m"), node.pos + 1) == F.col(f"nl{node.pos}_{lbl}.nl_id"),
+                    F.element_at(F.col("m"), pos1) == F.col(f"nl{node.pos}_{lbl}.nl_id"),
                     "left",
                 )
                 .withColumn("_pc", F.coalesce(F.col(f"nl{node.pos}_{lbl}.n_nbrs"), F.lit(0)))
@@ -166,12 +213,13 @@ class SubgraphMatcher:
         query_e: set[tuple[int, int]],
         order: str = "degree",
         pseudo: bool = True,
+        prune: bool = False,
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83)."""
         cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
         plan = build_plan(query_v, query_e, order=order, pseudo=pseudo, cand_counts=cand)
-        f = self.frontier(plan)
+        f = self.frontier(plan, prune=prune)
         row = f.agg(F.sum("cnt").alias("n")).collect()[0]
         return int(row["n"] or 0)
 
@@ -182,8 +230,10 @@ class SubgraphMatcher:
         order: str = "degree",
     ) -> DataFrame:
         """Materialized embeddings: one column ``u_<qid>`` per query vertex
-        (pseudo counting disabled so every query vertex is enumerated)."""
-        plan = build_plan(query_v, query_e, order=order, pseudo=False)
+        (pseudo counting and pruning disabled so every query vertex is
+        enumerated — the flag the reference ships disabled, SURVEY §2.1 S5)."""
+        cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
+        plan = build_plan(query_v, query_e, order=order, pseudo=False, cand_counts=cand)
         f = self.frontier(plan)
         cols = [
             F.element_at(F.col("m"), node.pos + 1).alias(f"u_{node.u}")

@@ -35,9 +35,12 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
     def init(part):
         nv = len(part["ids"])
         rank = np.full(nv, 1.0 / N)
-        outdeg = np.diff(part["indptr"])
+        outdeg = np.diff(part["indptr"]).astype(np.int64)
         return {
             "rank": rank,
+            # static per-vertex out-degree lives in the state table because
+            # update() runs without the structure table (struct/state split)
+            "outdeg": outdeg,
             "max_delta": 1.0,
             "dangling_partial": float(rank[outdeg == 0].sum()),
             "msgs_in": 0,
@@ -58,7 +61,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
 
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, rank = part["ids"], part["rank"]
-        outdeg = np.diff(part["indptr"])
+        outdeg = part["outdeg"]
         contrib = np.zeros(len(ids))
         if len(inbox):
             # fold per-source-partition partials (reducer side of the combine)
@@ -85,7 +88,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
 
     return VertexProgram(
         name="pagerank",
-        state_schema="rank array<double>, max_delta double, dangling_partial double, msgs_in long, active long",
+        state_schema="rank array<double>, outdeg array<long>, max_delta double, dangling_partial double, msgs_in long, active long",
         msg_schema="pid int, dst long, contrib double",
         init=init,
         scatter=scatter,

@@ -14,11 +14,11 @@ Pregel+ worker loop (/root/reference/src/basic/Worker.h:410-569):
                                                 in an Arrow-backed DataFrame row
     Vertex::compute + send_messages             `scatter` (mapInPandas, vectorized
                                                 numpy over the CSR block)
-    MessageBuffer::sync_messages (MPI           one Spark shuffle:
-    all-to-all, MessageBuffer.h:66-105)         groupBy(pid,dst).agg(...) with
-                                                map-side partial aggregation
-                                                (subsumes the reference's disabled
-                                                Combiner, src/utils/Combiner.h)
+    MessageBuffer::sync_messages (MPI           ONE Spark shuffle (the message
+    all-to-all, MessageBuffer.h:66-105)         exchange) — scatter pre-aggregates
+                                                per source partition in numpy,
+                                                subsuming the reference's disabled
+                                                Combiner (src/utils/Combiner.h)
     distribute_messages + next compute          `update` (cogrouped applyInPandas
                                                 of parts × inbox, keyed by pid)
     MPI_Barrier per superstep                   stage boundary of the shuffle
@@ -31,9 +31,18 @@ they hit the shuffle, so a hot destination vertex receives at most P partial
 rows instead of deg(v) rows — the same effect as key salting with P salts —
 and AQE skew handling is enabled on top for the frontier shuffles.
 
-Checkpoint/resume: EVERY superstep the parts DataFrame is written to parquet
+Storage layout (the shuffle story): the graph is SPLIT into a static
+structure table (CSR blocks) written once and a dynamic state table
+checkpointed every superstep, both parquet tables bucketed by pid. A cogroup
+of two pid-bucketed tables plans with zero exchanges, so per superstep only
+the messages cross the wire — the adjacency never moves after the initial
+build, exactly like the reference where vertices own their adjacency for the
+whole run. On a multi-executor cluster the bucketed layout is what makes the
+cogroups co-located instead of all-to-all.
+
+Checkpoint/resume: EVERY superstep the state table is written (bucketed)
 together with a per-partition lineage record and the per-superstep metrics
-(messages, active vertices, skew ratio); the parquet read-back is also the
+(messages, active vertices, skew ratio); the table read-back is also the
 lineage cut that keeps the iterative plan flat. `run(..., resume=True)`
 restarts mid-iteration from the newest complete checkpoint.
 """
@@ -45,6 +54,7 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
@@ -140,6 +150,31 @@ class VertexProgram:
     converged: Callable[[dict, int], bool] = None  # (stats row, step) -> bool
 
 
+METRICS_SCHEMA = (
+    "superstep int, partition int, messages_sent long, active_vertices long, "
+    "skew_ratio double, checkpoint_path string, wall_sec double"
+)
+
+
+def metrics_df(spark: SparkSession, metrics: list[dict]) -> DataFrame:
+    """The per-(superstep, partition) metrics table as a DataFrame (the
+    north-star metrics contract; reference analog: the AggMat time/count
+    cells, /root/reference/src/SItypes/SIAggregator.h:43-46)."""
+    rows = [
+        (
+            int(m["superstep"]),
+            int(m["partition"]),
+            int(m["messages_sent"]),
+            int(m["active_vertices"]),
+            float(m["skew_ratio"]),
+            str(m["checkpoint_path"]),
+            float(m.get("wall_sec", 0.0)),
+        )
+        for m in metrics
+    ]
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
 def _part_to_dict(row: pd.Series) -> dict:
     return {k: (_np(v) if isinstance(v, (list, np.ndarray)) else v) for k, v in row.items()}
 
@@ -152,6 +187,23 @@ class Pregel:
         self.parts = parts
         self.P = num_partitions
 
+    def _save_bucketed(self, df: DataFrame, name: str, path: str) -> DataFrame:
+        """Write df as an external parquet table bucketed by pid and return
+        the table scan. Bucketing is the heart of the kernel's shuffle story:
+        a cogroup of two pid-bucketed tables plans with ZERO exchanges
+        (verified on the physical plan), so the static adjacency never moves
+        after the initial build — only messages cross the wire, exactly like
+        the reference where vertices own their adjacency for the whole run."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(self.P, "pid")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
+
     def run(
         self,
         program: VertexProgram,
@@ -163,27 +215,46 @@ class Pregel:
     ) -> tuple[DataFrame, list[dict]]:
         """Run the program to convergence or max_steps.
 
-        Returns (final parts DataFrame incl. state columns, metrics rows).
-        One superstep = scatter (map) -> combine (shuffle w/ partial agg) ->
-        update (cogrouped shuffle) -> parquet checkpoint (the lineage cut AND
-        the durable resume point) -> driver stats fold. If checkpoint_dir is
-        None a session-scoped temp dir is used.
+        Returns (final struct⋈state DataFrame, metrics rows).
+
+        Layout: the graph is split into a STATIC structure table
+        (pid, ids, labels, indptr, indices) written once, and a DYNAMIC state
+        table (pid, ids, <program state>) checkpointed EVERY superstep — both
+        parquet tables bucketed by pid. One superstep:
+
+          scatter: cogroup(struct, state)  -> messages      [0 exchanges]
+          update:  cogroup(state, inbox)   -> new state     [1 exchange: inbox]
+          checkpoint: bucketed write of new state (the lineage cut AND the
+          durable per-partition resume point) + stats fold on the driver.
+
+        (A localCheckpoint-based lineage cut degrades the Spark 4.1 driver
+        exponentially after ~20 steps — measured; the table round-trip is
+        flat.) If checkpoint_dir is None a session temp dir is used.
         """
-        full_schema = BASE_SCHEMA + ", " + program.state_schema
+        state_schema = "pid int, ids array<long>, " + program.state_schema
         if checkpoint_dir is None:
             checkpoint_dir = tempfile.mkdtemp(prefix=f"sip_ckpt_{program.name}_")
-        self.keep_checkpoints = keep_checkpoints
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:8]
+        tname = f"sip_{program.name}_{token}"
         start_step = 0
         metrics: list[dict] = []
         carry = dict(carry0 or {})
 
-        state = None
-        if resume and checkpoint_dir:
-            state = self._load_checkpoint(checkpoint_dir)
-        if state is not None:
-            parts_df, start_step, carry, metrics = state
+        # static structure table (adjacency CSR blocks) — written once
+        struct_tbl = self._save_bucketed(
+            self.parts, f"{tname}_struct", os.path.join(checkpoint_dir, f"struct_{token}")
+        )
+
+        loaded = self._load_checkpoint(checkpoint_dir) if resume else None
+        init_fn = program.init
+        if loaded is not None:
+            state_df, start_step, carry, metrics = loaded
+            # the loaded path is about to be read while we re-bucket it, so
+            # the resumed state table gets its own location
+            resume_path = os.path.join(checkpoint_dir, f"resume_{token}")
         else:
-            init_fn = program.init
+            resume_path = os.path.join(checkpoint_dir, f"step_{start_step:05d}")
 
             def do_init(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in pdf_iter:
@@ -191,13 +262,15 @@ class Pregel:
                     for _, row in pdf.iterrows():
                         part = _part_to_dict(row)
                         part.update(init_fn(part))
-                        out.append(part)
+                        out.append(
+                            {k: v for k, v in part.items() if k not in ("labels", "indptr", "indices")}
+                        )
                     yield pd.DataFrame(out)
 
-            parts_df = self.parts.mapInPandas(do_init, full_schema)
-
-        parts_df = parts_df.persist()
-        parts_df.count()
+            state_df = struct_tbl.mapInPandas(do_init, state_schema)
+        state_tbl = self._save_bucketed(
+            state_df, f"{tname}_s{start_step:05d}", resume_path
+        )
 
         scatter_fn, update_fn = program.scatter, program.update
         step = start_step
@@ -206,16 +279,29 @@ class Pregel:
             carry_b = dict(carry)
 
             def make_scatter(_step, _carry):
-                def do_scatter(pdf_iter):
-                    for pdf in pdf_iter:
-                        for _, row in pdf.iterrows():
-                            msgs = scatter_fn(_part_to_dict(row), _step, _carry)
-                            if msgs is not None and len(msgs):
-                                yield msgs
+                def do_scatter(struct_pdf, state_pdf):
+                    if len(struct_pdf) == 0 or len(state_pdf) == 0:
+                        return None
+                    part = _part_to_dict(struct_pdf.iloc[0])
+                    part.update(_part_to_dict(state_pdf.iloc[0]))
+                    return scatter_fn(part, _step, _carry)
 
-                return do_scatter
+                def wrapper(l, r):
+                    msgs = do_scatter(l, r)
+                    if msgs is None or not len(msgs):
+                        return pd.DataFrame(
+                            {f.split()[0]: [] for f in _schema_fields}
+                        )
+                    return msgs
 
-            msgs_df = parts_df.mapInPandas(make_scatter(step, carry_b), program.msg_schema)
+                _schema_fields = [s.strip() for s in program.msg_schema.split(",")]
+                return wrapper
+
+            msgs_df = (
+                struct_tbl.groupBy("pid")
+                .cogroup(state_tbl.groupBy("pid"))
+                .applyInPandas(make_scatter(step, carry_b), program.msg_schema)
+            )
             # combine=None: scatter already pre-aggregated per source partition,
             # so a Spark-side groupBy would shuffle the exact same volume and
             # cost one extra exchange — the update UDF folds partials in numpy
@@ -223,52 +309,39 @@ class Pregel:
             inbox_df = program.combine(msgs_df) if program.combine else msgs_df
 
             def make_update(_step, _carry):
-                def do_update(part_pdf, inbox_pdf):
-                    if len(part_pdf) == 0:
-                        # messages to a pid with no parts row are dropped, like the
+                def do_update(state_pdf, inbox_pdf):
+                    if len(state_pdf) == 0:
+                        # messages to a pid with no state row are dropped, like the
                         # reference (/root/reference/src/basic/MessageBuffer.h:107-136)
-                        return part_pdf.head(0)
-                    out = []
-                    for _, row in part_pdf.iterrows():
-                        part = _part_to_dict(row)
-                        part.update(update_fn(part, inbox_pdf, _step, _carry))
-                        out.append(part)
-                    return pd.DataFrame(out)
+                        return state_pdf.head(0)
+                    part = _part_to_dict(state_pdf.iloc[0])
+                    part.update(update_fn(part, inbox_pdf, _step, _carry))
+                    return pd.DataFrame([part])
 
                 return do_update
 
-            do_update = make_update(step, carry_b)
-
-            new_parts = (
-                parts_df.groupBy("pid")
+            new_state = (
+                state_tbl.groupBy("pid")
                 .cogroup(inbox_df.groupBy("pid"))
-                .applyInPandas(do_update, full_schema)
+                .applyInPandas(make_update(step, carry_b), state_schema)
             )
 
-            # Checkpoint EVERY superstep (north-star requirement), and use the
-            # parquet round-trip as the lineage cut: reading the checkpoint back
-            # gives a clean FileScan leaf plan. (localCheckpoint leaves driver
-            # state behind that degrades exponentially after ~20 supersteps in
-            # Spark 4.1 — measured; the parquet round-trip is flat and doubles
-            # as the durable, resumable state the north rule asks for.)
-            t_plan = time.time()
-            ckpt_path = self._write_checkpoint(checkpoint_dir, step, new_parts, carry)
-            old_parts = parts_df
-            # the checkpoint is written partitionBy("pid") -> one file per pid,
-            # so the read-back scans with P-way parallelism (a single coalesced
-            # file would serialize the next scatter) and no extra exchange
-            parts_df = self.spark.read.parquet(ckpt_path).persist()
+            # bucketed checkpoint table EVERY superstep: the durable resume
+            # point, the lineage cut, and the next step's exchange-free input
+            new_tbl = self._save_bucketed(
+                new_state, f"{tname}_s{step:05d}",
+                os.path.join(checkpoint_dir, f"step_{step:05d}"),
+            )
+            state_tbl = new_tbl
 
-            # ONE action per superstep: collect the per-pid scalar stat columns
-            # (P rows) and fold the global aggregates on the driver — the Spark
-            # analog of the reference's agg_sync gather
-            # (/root/reference/src/basic/Worker.h:158-215).
-            per_pid = parts_df.select(
+            # ONE collect per superstep: per-pid scalar stat columns (P rows),
+            # global aggregates folded on the driver — the Spark analog of the
+            # reference's agg_sync gather (/root/reference/src/basic/Worker.h:158-215).
+            per_pid = state_tbl.select(
                 "pid", F.size("ids").alias("n_vertices"), *[c for c, _ in program.stats]
             ).collect()
-            old_parts.unpersist()
             if os.environ.get("SIP_DEBUG"):
-                print(f"[pregel] step {step} wall {time.time() - t_plan:.2f}s", flush=True)
+                print(f"[pregel] step {step} wall {time.time() - t0:.2f}s", flush=True)
             srow = {}
             for c, fn in program.stats:
                 vals = [r[c] for r in per_pid if r[c] is not None]
@@ -290,7 +363,7 @@ class Pregel:
                         "messages_sent": int(d.get("msgs_in", 0) or 0),
                         "active_vertices": int(d.get("active", 0) or 0),
                         "skew_ratio": skew,
-                        "checkpoint_path": ckpt_path,
+                        "checkpoint_path": os.path.join(checkpoint_dir, f"step_{step:05d}"),
                         "wall_sec": time.time() - t0,
                     }
                 )
@@ -299,18 +372,13 @@ class Pregel:
             if program.carry_fn:
                 carry = program.carry_fn(srow)
             self._finish_checkpoint(checkpoint_dir, step, carry, metrics, per_pid, srow)
-            self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints)
+            self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints, tname=tname)
             if program.converged and program.converged(srow, step):
                 break
 
-        return parts_df, metrics
+        return state_tbl, metrics
 
     # -- checkpointing ----------------------------------------------------
-
-    def _write_checkpoint(self, ckdir, step, parts_df, carry) -> str:
-        path = os.path.join(ckdir, f"step_{step:05d}")
-        parts_df.write.mode("overwrite").partitionBy("pid").parquet(path)
-        return path
 
     def _finish_checkpoint(self, ckdir, step, carry, metrics, per_pid, srow) -> None:
         """Write the per-partition lineage record after stats are known; the
@@ -328,12 +396,14 @@ class Pregel:
         with open(os.path.join(ckdir, f"lineage_{step:05d}.json"), "w") as f:
             json.dump(lineage, f, default=float)
 
-    def _prune_checkpoints(self, ckdir, step, keep=2) -> None:
-        """Keep the newest `keep` checkpoints, delete older step dirs+lineage."""
+    def _prune_checkpoints(self, ckdir, step, keep=2, tname: str | None = None) -> None:
+        """Keep the newest `keep` checkpoints; drop older tables + files."""
         steps = sorted(
             int(f[len("step_"):]) for f in os.listdir(ckdir) if f.startswith("step_")
         )
         for s in steps[:-keep] if keep > 0 else []:
+            if tname:
+                self.spark.sql(f"DROP TABLE IF EXISTS {tname}_s{s:05d}")
             shutil.rmtree(os.path.join(ckdir, f"step_{s:05d}"), ignore_errors=True)
             try:
                 os.remove(os.path.join(ckdir, f"lineage_{s:05d}.json"))

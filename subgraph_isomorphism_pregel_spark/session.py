@@ -7,6 +7,7 @@ runtime (the reference has no skew handling at all — SURVEY.md §4)."""
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -33,9 +34,13 @@ def get_spark(
     pypath = os.environ.get("PYTHONPATH", "")
     if pkg_root not in pypath.split(os.pathsep):
         os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+    warehouse = os.environ.get("SIP_WAREHOUSE") or os.path.join(
+        tempfile.gettempdir(), f"sip_warehouse_{os.getpid()}"
+    )
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -61,6 +61,9 @@ def test_toy_queries_match_bruteforce(toy, name):
     want = match_count_oracle(data_v, data_e, qv, qe)
     assert m.count(qv, qe, pseudo=True) == want
     assert m.count(qv, qe, pseudo=False) == want
+    # column pruning + factorized counting must not change counts
+    assert m.count(qv, qe, pseudo=True, prune=True) == want
+    assert m.count(qv, qe, pseudo=False, prune=True) == want
 
 
 @pytest.mark.parametrize("order", ["degree", "anti-degree", "random", "candidate"])
