@@ -241,10 +241,12 @@ class Pregel:
         metrics: list[dict] = []
         carry = dict(carry0 or {})
 
-        # static structure table (adjacency CSR blocks) — written once
+        # static structure table (adjacency CSR blocks) — written once,
+        # cached (InMemoryRelation preserves the bucketed partitioning, so
+        # cogroups stay exchange-free while reads skip the disk re-scan)
         struct_tbl = self._save_bucketed(
             self.parts, f"{tname}_struct", os.path.join(checkpoint_dir, f"struct_{token}")
-        )
+        ).persist()
 
         loaded = self._load_checkpoint(checkpoint_dir) if resume else None
         init_fn = program.init
@@ -270,7 +272,7 @@ class Pregel:
             state_df = struct_tbl.mapInPandas(do_init, state_schema)
         state_tbl = self._save_bucketed(
             state_df, f"{tname}_s{start_step:05d}", resume_path
-        )
+        ).persist()
 
         scatter_fn, update_fn = program.scatter, program.update
         step = start_step
@@ -331,7 +333,8 @@ class Pregel:
             new_tbl = self._save_bucketed(
                 new_state, f"{tname}_s{step:05d}",
                 os.path.join(checkpoint_dir, f"step_{step:05d}"),
-            )
+            ).persist()
+            old_tbl = state_tbl
             state_tbl = new_tbl
 
             # ONE collect per superstep: per-pid scalar stat columns (P rows),
@@ -340,6 +343,7 @@ class Pregel:
             per_pid = state_tbl.select(
                 "pid", F.size("ids").alias("n_vertices"), *[c for c, _ in program.stats]
             ).collect()
+            old_tbl.unpersist()
             if os.environ.get("SIP_DEBUG"):
                 print(f"[pregel] step {step} wall {time.time() - t0:.2f}s", flush=True)
             srow = {}
