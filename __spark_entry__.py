@@ -180,6 +180,19 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_emb(spark, sf_dir), k=3)
 
 
+def q_sessionize_events(spark, sf_dir):
+    from subgraph_isomorphism_pregel_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_match_embeddings_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerate (not just count) path-3 matches — checks the embedding rows."""
+    m = _ring_matcher(spark, sf_dir)
+    return m.embeddings({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)})
+
+
 def q_windowed_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_counts(ev).orderBy("window_start", "event_type")
@@ -217,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "windowed_events": q_windowed_events,
+        "sessionize_events": q_sessionize_events,
+        "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
     }
 
 
@@ -505,4 +520,27 @@ ORDER BY vec_a, vec_b""",
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sessionize_events": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM o)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
+        "match_embeddings_path3_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT v1.id AS u_1, v2.id AS u_2, v3.id AS u_3
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v1.id <> v3.id
+ORDER BY u_1, u_2, u_3""",
     }

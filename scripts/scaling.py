@@ -36,14 +36,17 @@ cpus = int(sys.argv[1])
 gdir = sys.argv[2]
 steps = int(sys.argv[3])
 os.environ["SIP_DRIVER_MEM"] = "48g"
-spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=cpus)
-v = spark.read.parquet(f"{gdir}/vertices").repartition(cpus * 2).persist()
-e = spark.read.parquet(f"{gdir}/edges").repartition(cpus * 2).persist()
+# P and shuffle partitions FIXED across levels: identical plans,
+# identical message volume — only executor slots vary (the honest
+# analog of N vs 4N executors on the same input)
+spark = get_spark(f"scaling-{cpus}", cores=cpus, shuffle_partitions=32)
+v = spark.read.parquet(f"{gdir}/vertices").repartition(64).persist()
+e = spark.read.parquet(f"{gdir}/edges").repartition(64).persist()
 n_edges = e.count(); v.count()
 
 out = {"cpus": cpus, "n_edges": n_edges}
 t0 = time.time()
-scores, metrics = pagerank(spark, v, e, num_partitions=cpus, fixed_steps=steps)
+scores, metrics = pagerank(spark, v, e, num_partitions=32, fixed_steps=steps)
 scores.write.mode("overwrite").parquet(f"{gdir}/out_pr_{cpus}")
 dt = time.time() - t0
 out["pagerank_sec"] = round(dt, 2)

@@ -38,34 +38,49 @@ def cc_program(P: int) -> VertexProgram:
         val = comp[src_idx][mask]
         if dst.size == 0:
             return None
-        # partition-local min-combine before the shuffle
+        # partition-local min-combine before the shuffle, then ONE packed
+        # row per destination partition (reference multicast batching,
+        # /root/reference/src/basic/Vertex.h:102-106)
         dsts, inv = np.unique(dst, return_inverse=True)
         mins = np.full(len(dsts), np.iinfo(np.int64).max)
         np.minimum.at(mins, inv, val)
-        return pd.DataFrame({"pid": (dsts % P).astype(np.int32), "dst": dsts, "comp": mins})
+        dpid = (dsts % P).astype(np.int32)
+        order = np.argsort(dpid, kind="stable")
+        dpid_s, dsts_s, mins_s = dpid[order], dsts[order], mins[order]
+        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
+        rows = [
+            (int(p), dsts_s[bounds[p]:bounds[p + 1]], mins_s[bounds[p]:bounds[p + 1]])
+            for p in range(P)
+            if bounds[p + 1] > bounds[p]
+        ]
+        return pd.DataFrame(rows, columns=["pid", "dst", "comp"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, comp = part["ids"], part["comp"].copy()
         changed = np.zeros(len(ids), dtype=np.int32)
+        n_msgs = 0
         if len(inbox):
-            # fold per-source-partition partial minima (reducer-side combine)
-            pos = np.searchsorted(ids, inbox["dst"].values)
+            # fold per-source-partition packed partial minima
+            dst = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            val = np.concatenate([np.asarray(x) for x in inbox["comp"].values])
+            n_msgs = len(dst)
+            pos = np.searchsorted(ids, dst)
             cand = np.full(len(ids), np.iinfo(np.int64).max)
-            np.minimum.at(cand, pos, inbox["comp"].values)
+            np.minimum.at(cand, pos, val)
             better = cand < comp
             comp[better] = cand[better]
             changed[better] = 1
         return {
             "comp": comp,
             "changed": changed,
-            "msgs_in": int(len(inbox)),
+            "msgs_in": int(n_msgs),
             "active": int(changed.sum()),
         }
 
     return VertexProgram(
         name="connected_components",
         state_schema="comp array<long>, changed array<int>, msgs_in long, active long",
-        msg_schema="pid int, dst long, comp long",
+        msg_schema="pid int, dst array<long>, comp array<long>",
         init=init,
         scatter=scatter,
         update=update,

@@ -31,24 +31,32 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         src_idx = np.repeat(np.arange(len(lab)), outdeg)
         pairs = np.stack([indices, lab[src_idx]], axis=1)
         uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
-        return pd.DataFrame(
-            {
-                "pid": (uniq[:, 0] % P).astype(np.int32),
-                "dst": uniq[:, 0],
-                "lab": uniq[:, 1],
-                "cnt": cnt,
-            }
-        )
+        dpid = (uniq[:, 0] % P).astype(np.int32)
+        order = np.argsort(dpid, kind="stable")
+        d, l, c = uniq[order, 0], uniq[order, 1], cnt[order]
+        dpid_s = dpid[order]
+        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
+        rows = [
+            (int(p), d[bounds[p]:bounds[p + 1]], l[bounds[p]:bounds[p + 1]], c[bounds[p]:bounds[p + 1]])
+            for p in range(P)
+            if bounds[p + 1] > bounds[p]
+        ]
+        return pd.DataFrame(rows, columns=["pid", "dst", "lab", "cnt"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, lab = part["ids"], part["lab"].copy()
         changed = 0
+        n_msgs = 0
         if len(inbox):
-            # fold per-source-partition partial counts (reducer-side combine)
-            pairs = np.stack([inbox["dst"].values, inbox["lab"].values], axis=1)
+            # fold per-source-partition packed partial counts
+            d = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            l = np.concatenate([np.asarray(x) for x in inbox["lab"].values])
+            c = np.concatenate([np.asarray(x) for x in inbox["cnt"].values])
+            n_msgs = len(d)
+            pairs = np.stack([d, l], axis=1)
             uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
             csum = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(csum, inv, inbox["cnt"].values)
+            np.add.at(csum, inv, c)
             dst, labs, cnt = uniq[:, 0], uniq[:, 1], csum
             # winner per dst: max count, tie -> min label
             order = np.lexsort((labs, -cnt, dst))
@@ -59,12 +67,12 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
             pos = np.searchsorted(ids, win_dst)
             changed = int((lab[pos] != win_lab).sum())
             lab[pos] = win_lab
-        return {"lab": lab, "msgs_in": int(len(inbox)), "active": changed}
+        return {"lab": lab, "msgs_in": int(n_msgs), "active": changed}
 
     return VertexProgram(
         name="label_propagation",
         state_schema="lab array<long>, msgs_in long, active long",
-        msg_schema="pid int, dst long, lab long, cnt long",
+        msg_schema="pid int, dst array<long>, lab array<long>, cnt array<long>",
         init=init,
         scatter=scatter,
         update=update,

@@ -55,18 +55,33 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         per_edge = np.repeat(np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0), outdeg)
         dsts, inv = np.unique(indices, return_inverse=True)
         contrib = np.bincount(inv, weights=per_edge)
-        return pd.DataFrame(
-            {"pid": (dsts % P).astype(np.int32), "dst": dsts, "contrib": contrib}
-        )
+        # ONE row per destination partition carrying packed arrays — the
+        # Spark analog of the reference's one-payload-per-worker multicast
+        # batching (/root/reference/src/basic/Vertex.h:102-106, vecs.h:75-79):
+        # P rows instead of |dsts| rows through the shuffle.
+        dpid = (dsts % P).astype(np.int32)
+        order = np.argsort(dpid, kind="stable")
+        dpid_s, dsts_s, contrib_s = dpid[order], dsts[order], contrib[order]
+        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
+        rows = [
+            (int(p), dsts_s[bounds[p]:bounds[p + 1]], contrib_s[bounds[p]:bounds[p + 1]])
+            for p in range(P)
+            if bounds[p + 1] > bounds[p]
+        ]
+        return pd.DataFrame(rows, columns=["pid", "dst", "contrib"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, rank = part["ids"], part["rank"]
         outdeg = part["outdeg"]
         contrib = np.zeros(len(ids))
+        n_msgs = 0
         if len(inbox):
-            # fold per-source-partition partials (reducer side of the combine)
-            pos = np.searchsorted(ids, inbox["dst"].values)
-            np.add.at(contrib, pos, inbox["contrib"].values)
+            # fold per-source-partition packed partials (reducer-side combine)
+            dst = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            val = np.concatenate([np.asarray(x) for x in inbox["contrib"].values])
+            n_msgs = len(dst)
+            pos = np.searchsorted(ids, dst)
+            np.add.at(contrib, pos, val)
         dangling = float(carry.get("dangling", 0.0))
         new_rank = (1.0 - d) / N + d * (contrib + dangling / N)
         delta = np.abs(new_rank - rank)
@@ -74,7 +89,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
             "rank": new_rank,
             "max_delta": float(delta.max(initial=0.0)),
             "dangling_partial": float(new_rank[outdeg == 0].sum()),
-            "msgs_in": int(len(inbox)),
+            "msgs_in": int(n_msgs),
             "active": int((delta >= tol).sum()),
         }
 
@@ -89,7 +104,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
     return VertexProgram(
         name="pagerank",
         state_schema="rank array<double>, outdeg array<long>, max_delta double, dangling_partial double, msgs_in long, active long",
-        msg_schema="pid int, dst long, contrib double",
+        msg_schema="pid int, dst array<long>, contrib array<double>",
         init=init,
         scatter=scatter,
         update=update,

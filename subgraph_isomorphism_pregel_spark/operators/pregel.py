@@ -291,8 +291,10 @@ class Pregel:
                 def wrapper(l, r):
                     msgs = do_scatter(l, r)
                     if msgs is None or not len(msgs):
+                        # object dtype: empty float64 columns break the Arrow
+                        # cast to list<> message types
                         return pd.DataFrame(
-                            {f.split()[0]: [] for f in _schema_fields}
+                            {f.split()[0]: pd.Series([], dtype=object) for f in _schema_fields}
                         )
                     return msgs
 

@@ -1,0 +1,39 @@
+"""Event sessionization — the window-function face of the engine.
+
+Assigns session ids per user with an inactivity gap: a new session starts
+when the time since the user's previous event exceeds `gap`. Pure window
+functions (lag + conditional cumulative sum), whole-stage codegen, one
+shuffle on user_id. Exact ANSI-SQL twin in __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_no, n_events, first_ts, last_ts, total_value).
+
+    session_no is 1-based per user in time order (deterministic: ties broken
+    by event_id)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    prev_ts = F.lag("ts").over(w)
+    new_sess = (
+        F.when(prev_ts.isNull(), 1)
+        .when(F.col("ts").cast("long") - prev_ts.cast("long") > gap, 1)
+        .otherwise(0)
+    )
+    sessioned = events.withColumn("session_no", F.sum(new_sess).over(w))
+    return (
+        sessioned.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
