@@ -21,9 +21,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lit(gap_minutes * 60)
     prev_ts = F.lag("ts").over(w)
+    # unix_timestamp handles TIMESTAMP_NTZ (session TZ is pinned to UTC, so
+    # it equals DuckDB's epoch())
     new_sess = (
         F.when(prev_ts.isNull(), 1)
-        .when(F.col("ts").cast("long") - prev_ts.cast("long") > gap, 1)
+        .when(F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev_ts) > gap, 1)
         .otherwise(0)
     )
     sessioned = events.withColumn("session_no", F.sum(new_sess).over(w))
