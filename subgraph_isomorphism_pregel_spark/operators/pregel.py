@@ -382,6 +382,9 @@ class Pregel:
             if program.converged and program.converged(srow, step):
                 break
 
+        # release the cached structure blocks (the returned state table scan
+        # does not depend on them); files stay on disk for the matching token
+        struct_tbl.unpersist()
         return state_tbl, metrics
 
     # -- checkpointing ----------------------------------------------------
