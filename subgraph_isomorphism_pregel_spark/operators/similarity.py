@@ -129,7 +129,7 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     per-partition dense math is the CSR-gather analog for embeddings."""
     with_b = emb.join(lsh_buckets(emb, n_planes), "vec_id")
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf):
         if len(pdf) < 2:
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "rank": [], "cos": []}

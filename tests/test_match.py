@@ -110,3 +110,27 @@ def test_plan_shape():
     assert plan.n_query_vertices == 4
     # the 4-cycle closes with exactly one backward edge
     assert sum(len(n.backward_pos) for n in plan.nodes) == 1
+
+
+def test_relabeling_invariance(spark):
+    """Match counts are invariant under a vertex-id relabeling of the data
+    graph (SURVEY.md §5.3)."""
+    import random
+
+    from subgraph_isomorphism_pregel_spark.sources.graph import toy_graph
+
+    v, e = toy_graph(spark)
+    rows_v = [(r["id"], r["label"]) for r in v.collect()]
+    rows_e = [(r["src"], r["dst"]) for r in e.collect()]
+    rng = random.Random(11)
+    perm = {old: new for old, new in
+            zip([x[0] for x in rows_v],
+                rng.sample([100 + 7 * i for i in range(len(rows_v))], len(rows_v)))}
+    v2 = spark.createDataFrame([(perm[i], l) for i, l in rows_v], "id long, label int")
+    e2 = spark.createDataFrame([(perm[a], perm[b]) for a, b in rows_e], "src long, dst long")
+    qv, qe = QUERIES["cycle4_golden"]
+    m2 = SubgraphMatcher(spark, v2, e2)
+    try:
+        assert m2.count(qv, qe) == 4
+    finally:
+        m2.unpersist()
