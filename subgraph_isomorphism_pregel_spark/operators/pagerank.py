@@ -48,27 +48,30 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         }
 
     def scatter(part, step, carry):
-        rank, indptr, indices = part["rank"], part["indptr"], part["indices"]
+        rank, indptr = part["rank"], part["indptr"]
+        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
         outdeg = np.diff(indptr)
-        if indices.size == 0:
+        if ind_pos.size == 0:
             return None
         per_edge = np.repeat(np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0), outdeg)
-        dsts, inv = np.unique(indices, return_inverse=True)
-        contrib = np.bincount(inv, weights=per_edge)
-        # ONE row per destination partition carrying packed arrays — the
-        # Spark analog of the reference's one-payload-per-worker multicast
-        # batching (/root/reference/src/basic/Vertex.h:102-106, vecs.h:75-79):
-        # P rows instead of |dsts| rows through the shuffle.
-        dpid = (dsts % P).astype(np.int32)
-        order = np.argsort(dpid, kind="stable")
-        dpid_s, dsts_s, contrib_s = dpid[order], dsts[order], contrib[order]
-        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
-        rows = [
-            (int(p), dsts_s[bounds[p]:bounds[p + 1]], contrib_s[bounds[p]:bounds[p + 1]])
-            for p in range(P)
-            if bounds[p + 1] > bounds[p]
-        ]
-        return pd.DataFrame(rows, columns=["pid", "dst", "contrib"])
+        # ONE row per destination partition carrying packed (position, value)
+        # arrays — the Spark analog of the reference's one-payload-per-worker
+        # multicast batching (/root/reference/src/basic/Vertex.h:102-106,
+        # vecs.h:75-79). Destinations are addressed by their dense position in
+        # the destination block (build-time renumbering), so the per-block
+        # pre-aggregation is a plain bincount: no sorting, no id search.
+        order = np.argsort(ind_pid, kind="stable")
+        pid_s, pos_s, val_s = ind_pid[order], ind_pos[order], per_edge[order]
+        bounds = np.searchsorted(pid_s, np.arange(P + 1))
+        rows = []
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi <= lo:
+                continue
+            dense = np.bincount(pos_s[lo:hi], weights=val_s[lo:hi])
+            nz = np.nonzero(dense)[0]
+            rows.append((int(p), nz, dense[nz]))
+        return pd.DataFrame(rows, columns=["pid", "dpos", "contrib"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
         ids, rank = part["ids"], part["rank"]
@@ -76,11 +79,10 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         contrib = np.zeros(len(ids))
         n_msgs = 0
         if len(inbox):
-            # fold per-source-partition packed partials (reducer-side combine)
-            dst = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            # fold per-source-partition packed partials by position
+            pos = np.concatenate([np.asarray(x) for x in inbox["dpos"].values]).astype(np.int64)
             val = np.concatenate([np.asarray(x) for x in inbox["contrib"].values])
-            n_msgs = len(dst)
-            pos = np.searchsorted(ids, dst)
+            n_msgs = len(pos)
             np.add.at(contrib, pos, val)
         dangling = float(carry.get("dangling", 0.0))
         new_rank = (1.0 - d) / N + d * (contrib + dangling / N)
@@ -104,7 +106,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
     return VertexProgram(
         name="pagerank",
         state_schema="rank array<double>, outdeg array<long>, max_delta double, dangling_partial double, msgs_in long, active long",
-        msg_schema="pid int, dst array<long>, contrib array<double>",
+        msg_schema="pid int, dpos array<long>, contrib array<double>",
         init=init,
         scatter=scatter,
         update=update,

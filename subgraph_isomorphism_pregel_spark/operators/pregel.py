@@ -63,7 +63,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-BASE_SCHEMA = "pid int, ids array<long>, labels array<int>, indptr array<long>, indices array<long>"
+BASE_SCHEMA = (
+    "pid int, ids array<long>, labels array<int>, indptr array<long>, "
+    "indices array<long>, ind_pid array<int>, ind_pos array<long>"
+)
+STRUCT_ONLY = ("labels", "indptr", "indices", "ind_pid", "ind_pos")
 
 
 def _np(col) -> np.ndarray:
@@ -84,13 +88,28 @@ def build_parts(
     (enables binary-search membership tests, the Spark analog of the
     reference's nbs_set, /root/reference/src/SItypes/SIValue.h:38-41).
 
-    One shuffle each side, then the blocks are built vectorized in numpy.
-    At cluster scale the parts table would be persisted bucketed by pid so
-    later cogroups reuse the layout.
+    Each edge additionally carries the destination's (partition, position)
+    pair — a one-off distributed renumbering (row_number within the sorted
+    pid block) so supersteps can address destination state by dense position:
+    the scatter pre-aggregation becomes a bincount and the update fold a
+    direct positional add, with no per-step id sorting or binary search.
+
+    One shuffle each side plus one join, all one-off at build time.
     """
     P = num_partitions
+    from pyspark.sql.window import Window
+
     v = vertices.withColumn("pid", F.pmod(F.col("id"), F.lit(P)).cast("int"))
-    e = edges.withColumn("pid", F.pmod(F.col("src"), F.lit(P)).cast("int"))
+    posmap = v.select(
+        F.col("id").alias("dst"),
+        F.col("pid").alias("dpid"),
+        (
+            F.row_number().over(Window.partitionBy("pid").orderBy("id")) - 1
+        ).alias("dpos"),
+    )
+    e = edges.withColumn("pid", F.pmod(F.col("src"), F.lit(P)).cast("int")).join(
+        posmap, "dst"
+    )
 
     def make_csr(key, v_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
         pid = int(key[0])
@@ -100,8 +119,11 @@ def build_parts(
         if len(e_pdf):
             src = e_pdf["src"].values.astype(np.int64)
             dst = e_pdf["dst"].values.astype(np.int64)
+            dpid = e_pdf["dpid"].values.astype(np.int32)
+            dpos = e_pdf["dpos"].values.astype(np.int64)
             eorder = np.lexsort((dst, src))
             src, dst = src[eorder], dst[eorder]
+            dpid, dpos = dpid[eorder], dpos[eorder]
             counts = np.zeros(len(ids) + 1, dtype=np.int64)
             pos = np.searchsorted(ids, src)
             np.add.at(counts, pos + 1, 1)
@@ -110,6 +132,8 @@ def build_parts(
         else:
             indptr = np.zeros(len(ids) + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
+            dpid = np.empty(0, dtype=np.int32)
+            dpos = np.empty(0, dtype=np.int64)
         return pd.DataFrame(
             {
                 "pid": [pid],
@@ -117,6 +141,8 @@ def build_parts(
                 "labels": [labels],
                 "indptr": [indptr],
                 "indices": [indices],
+                "ind_pid": [dpid],
+                "ind_pos": [dpos],
             }
         )
 
@@ -265,7 +291,7 @@ class Pregel:
                         part = _part_to_dict(row)
                         part.update(init_fn(part))
                         out.append(
-                            {k: v for k, v in part.items() if k not in ("labels", "indptr", "indices")}
+                            {k: v for k, v in part.items() if k not in STRUCT_ONLY}
                         )
                     yield pd.DataFrame(out)
 
