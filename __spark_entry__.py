@@ -49,7 +49,6 @@ from subgraph_isomorphism_pregel_spark.sources.graph import ring_graph, supply_g
 from subgraph_isomorphism_pregel_spark.streaming.windowed import windowed_counts
 
 PR_STEPS = 5  # fixed PageRank iterations for the SQL-oracle variant
-CC_UNROLL = 16  # min-propagation rounds unrolled in the CC oracle
 LP_ROUNDS = 3
 
 
@@ -101,34 +100,39 @@ def _ring_matcher(spark, sf_dir):
     return SubgraphMatcher(spark, v, e)
 
 
-def q_match_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _count_query(spark, sf_dir, qv, qe, **kw) -> DataFrame:
+    """Run a counting match and release the matcher's cached frames (the
+    count is already collected, so nothing lazy depends on them)."""
     m = _ring_matcher(spark, sf_dir)
-    n = m.count({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)}, pseudo=False)
+    try:
+        n = m.count(qv, qe, **kw)
+    finally:
+        m.unpersist()
     return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_match_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _count_query(
+        spark, sf_dir, {1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)}, pseudo=False
+    )
 
 
 def q_match_triangle_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _ring_matcher(spark, sf_dir)
     qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)}
-    n = m.count({1: 0, 2: 1, 3: 2}, qe, pseudo=False)
-    return spark.createDataFrame([(n,)], "cnt long")
+    return _count_query(spark, sf_dir, {1: 0, 2: 1, 3: 2}, qe, pseudo=False)
 
 
 def q_match_cycle4_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = _ring_matcher(spark, sf_dir)
     qv = {1: 0, 2: 1, 3: 2, 4: 3}
     qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
-    n = m.count(qv, qe, pseudo=False)
-    return spark.createDataFrame([(n,)], "cnt long")
+    return _count_query(spark, sf_dir, qv, qe, pseudo=False)
 
 
 def q_match_star_pseudo_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star 1(l0)-{2(l1),3(l2)}: leaf label-unique -> exercises pseudo counting."""
-    m = _ring_matcher(spark, sf_dir)
     qv = {1: 0, 2: 1, 3: 2}
     qe = {(1, 2), (2, 1), (1, 3), (3, 1)}
-    n = m.count(qv, qe, pseudo=True)
-    return spark.createDataFrame([(n,)], "cnt long")
+    return _count_query(spark, sf_dir, qv, qe, pseudo=True)
 
 
 def q_token_count(spark, sf_dir):
@@ -309,24 +313,18 @@ def _pagerank_sql() -> str:
 
 
 def _cc_sql() -> str:
-    ctes = [
-        SUPPLY_EDGES.strip().rstrip(","),
-        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)",
-    ]
-    for t in range(1, CC_UNROLL + 1):
-        ctes.append(
-            f"""c{t} AS MATERIALIZED (
-  SELECT a.id, least(a.comp, coalesce(m.mn, a.comp)) AS comp
-  FROM c{t - 1} a LEFT JOIN (
-    SELECT e.dst AS id, min(c.comp) AS mn
-    FROM c{t - 1} c JOIN edges e ON c.id = e.src GROUP BY e.dst) m
-  ON a.id = m.id)"""
-        )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT id, comp AS component FROM c{CC_UNROLL} ORDER BY id"
-    )
+    """Fixed-point min-propagation (recursive CTE), a faithful twin of the
+    engine's run-to-convergence hash-min — no unroll-depth assumption: the
+    recursion reaches the true per-component minimum regardless of the
+    propagation distance from the min-id vertex."""
+    return f"""
+WITH RECURSIVE {SUPPLY_EDGES.strip().rstrip(',')},
+reach AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT e.dst AS id, r.comp
+  FROM reach r JOIN edges e ON r.id = e.src)
+SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id"""
 
 
 def _lp_sql() -> str:
@@ -518,7 +516,8 @@ HAVING round(sum(a.val * b.val) / (an.norm * bn.norm), 6) >= 0.4
 ORDER BY vec_a, vec_b""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 6) AS total_value
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "sessionize_events": """
 WITH o AS (
@@ -533,7 +532,7 @@ s AS (
   FROM o)
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS first_ts, max(ts) AS last_ts,
-       round(sum(value), 6) AS total_value
+       sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS total_value
 FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
         "match_embeddings_path3_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}

@@ -3,7 +3,8 @@
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
         --algo {pagerank,cc,lp,triangles,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
-        [--query query.txt] [--order degree|anti-degree|random] [--pseudo on|off] \
+        [--query query.txt] [--order degree|anti-degree|random|candidate] \
+        [--pseudo on|off] [--prune on|off] \
         [--partitions 32] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
 
 Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/
@@ -25,8 +26,12 @@ def parse_args(argv):
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
     p.add_argument("--toy", action="store_true", help="use the reference's builtin toy graph")
     p.add_argument("--query", help="query graph text file (reference format), for --algo match")
-    p.add_argument("--order", default="degree", choices=["degree", "anti-degree", "random"])
+    p.add_argument(
+        "--order", default="degree", choices=["degree", "anti-degree", "random", "candidate"]
+    )
     p.add_argument("--pseudo", default="on", choices=["on", "off"])
+    p.add_argument("--prune", default="off", choices=["on", "off"],
+                   help="prefix column pruning + factorized counting (match)")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--partitions", type=int, default=32)
@@ -72,6 +77,12 @@ def main(argv=None):
     from subgraph_isomorphism_pregel_spark.session import get_spark
 
     spark = get_spark(f"sip-{args.algo}", cores=args.cores)
+    if args.algo in ("triangles", "match") and (args.checkpoint_dir or args.resume):
+        print(
+            f"warning: --checkpoint-dir/--resume have no effect for --algo {args.algo} "
+            "(single-pass, not an iterative superstep run)",
+            file=sys.stderr,
+        )
     vertices, edges = load_graph(spark, args)
     metrics = []
 
@@ -109,7 +120,9 @@ def main(argv=None):
         with open(args.query) as f:
             qv, qe = parse_query_text(f.read())
         matcher = SubgraphMatcher(spark, vertices, edges)
-        n = matcher.count(qv, qe, order=args.order, pseudo=args.pseudo == "on")
+        n = matcher.count(
+            qv, qe, order=args.order, pseudo=args.pseudo == "on", prune=args.prune == "on"
+        )
         print(f"Mapping count: {n}")  # same headline as the reference (README.md:83)
         result = spark.createDataFrame([(n,)], "mapping_count long")
 

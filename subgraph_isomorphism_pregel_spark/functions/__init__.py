@@ -34,3 +34,19 @@ def tokens(col: str | Column = "text") -> Column:
 def count_in(arr: Column, words: tuple[str, ...]) -> Column:
     """# of array elements in the word set (codegen filter + size)."""
     return F.size(F.filter(arr, lambda x: x.isin(*words)))
+
+
+def fixed_point_sum(col: str | Column, scale: int = 6) -> Column:
+    """Order-independent SUM of a double column at `scale` decimal places:
+    floor(value * 10^scale) summed as int64, divided back to double.
+
+    A plain double SUM is order-dependent (IEEE addition is non-associative),
+    so Spark and an external oracle can disagree in the last ULP and flip a
+    round() at a decimal boundary — observed on sessionize in round 1. The
+    product value*10^scale is one IEEE multiply (identical everywhere), floor
+    is exact, and the integer sum is associative, so every engine and every
+    partitioning produces the same bits. SQL twin:
+    sum(CAST(floor(value * 1e<scale>) AS BIGINT)) / 1e<scale>."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = float(10**scale)
+    return F.sum(F.floor(c * F.lit(m)).cast("long")) / F.lit(m)

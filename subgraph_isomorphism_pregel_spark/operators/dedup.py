@@ -54,8 +54,13 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with word-k-gram Jaccard >= threshold.
 
-    shingle equi-join (never a cross join) + per-doc shingle counts."""
-    sh = _shingles(docs, k).persist()
+    shingle equi-join (never a cross join) + per-doc shingle counts.
+
+    The shingle frame is referenced twice in ONE plan; it is deliberately NOT
+    persisted — recomputing the codegen explode is cheaper than pinning
+    executor memory for the rest of the session (persist leaks accumulate
+    across a multi-query run; at scale, checkpoint to storage instead)."""
+    sh = _shingles(docs, k)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -119,8 +124,9 @@ def minhash_lsh_pairs(
         p = l.join(r, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
-    # verify candidates with exact Jaccard
-    sh = _shingles(docs).persist()
+    # verify candidates with exact Jaccard (not persisted — see
+    # ngram_jaccard_pairs)
+    sh = _shingles(docs)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

@@ -242,6 +242,7 @@ class SubgraphMatcher:
         return f.select(*cols)
 
     def unpersist(self) -> None:
+        self.vertices.unpersist()
         self.adj.unpersist()
         self.adjlist.unpersist()
         self.nbr_label_counts.unpersist()

@@ -107,8 +107,10 @@ def build_parts(
             F.row_number().over(Window.partitionBy("pid").orderBy("id")) - 1
         ).alias("dpos"),
     )
+    # left join so a dst absent from the vertex table surfaces as a null
+    # dpid inside make_csr (raise) instead of silently vanishing in the join
     e = edges.withColumn("pid", F.pmod(F.col("src"), F.lit(P)).cast("int")).join(
-        posmap, "dst"
+        posmap, "dst", "left"
     )
 
     def make_csr(key, v_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -117,6 +119,12 @@ def build_parts(
         ids = v_pdf["id"].values[order].astype(np.int64)
         labels = v_pdf["label"].values[order].astype(np.int32)
         if len(e_pdf):
+            if e_pdf["dpid"].isna().any():
+                bad = e_pdf.loc[e_pdf["dpid"].isna(), "dst"].unique()[:5]
+                raise ValueError(
+                    f"build_parts: edges in partition {pid} have destination "
+                    f"ids absent from the vertex table (e.g. {bad.tolist()})"
+                )
             src = e_pdf["src"].values.astype(np.int64)
             dst = e_pdf["dst"].values.astype(np.int64)
             dpid = e_pdf["dpid"].values.astype(np.int32)
@@ -126,6 +134,17 @@ def build_parts(
             dpid, dpos = dpid[eorder], dpos[eorder]
             counts = np.zeros(len(ids) + 1, dtype=np.int64)
             pos = np.searchsorted(ids, src)
+            # an edge whose src is absent from the vertex table must fail
+            # loudly, not be silently credited to a neighboring slice
+            covered = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == src)
+            if not covered.all():
+                missing = np.unique(src[~covered])[:5]
+                raise ValueError(
+                    f"build_parts: {int((~covered).sum())} edges in partition "
+                    f"{pid} have source ids absent from the vertex table "
+                    f"(e.g. {missing.tolist()}); every edge endpoint must "
+                    "appear in vertices(id, label)"
+                )
             np.add.at(counts, pos + 1, 1)
             indptr = np.cumsum(counts)
             indices = dst
@@ -177,7 +196,7 @@ class VertexProgram:
 
 
 METRICS_SCHEMA = (
-    "superstep int, partition int, messages_sent long, active_vertices long, "
+    "superstep int, partition int, messages_received long, active_vertices long, "
     "skew_ratio double, checkpoint_path string, wall_sec double"
 )
 
@@ -190,7 +209,7 @@ def metrics_df(spark: SparkSession, metrics: list[dict]) -> DataFrame:
         (
             int(m["superstep"]),
             int(m["partition"]),
-            int(m["messages_sent"]),
+            int(m["messages_received"]),
             int(m["active_vertices"]),
             float(m["skew_ratio"]),
             str(m["checkpoint_path"]),
@@ -392,7 +411,7 @@ class Pregel:
                     {
                         "superstep": step,
                         "partition": int(d["pid"]),
-                        "messages_sent": int(d.get("msgs_in", 0) or 0),
+                        "messages_received": int(d.get("msgs_in", 0) or 0),
                         "active_vertices": int(d.get("active", 0) or 0),
                         "skew_ratio": skew,
                         "checkpoint_path": os.path.join(checkpoint_dir, f"step_{step:05d}"),
@@ -417,7 +436,12 @@ class Pregel:
 
     def _finish_checkpoint(self, ckdir, step, carry, metrics, per_pid, srow) -> None:
         """Write the per-partition lineage record after stats are known; the
-        lineage file's presence marks the checkpoint complete for resume."""
+        lineage file's presence marks the checkpoint complete for resume.
+
+        Metrics rows go to an append-only metrics.jsonl (one line per
+        (superstep, partition)) so the per-step write cost is O(P), not
+        O(steps * P) — a 1000-superstep run must not rewrite its whole metric
+        history every step."""
         lineage = {
             "superstep": step,
             "path": os.path.join(ckdir, f"step_{step:05d}"),
@@ -426,8 +450,11 @@ class Pregel:
             "partitions": [
                 {"pid": int(r["pid"]), "n_vertices": int(r["n_vertices"])} for r in per_pid
             ],
-            "metrics_so_far": metrics,
         }
+        with open(os.path.join(ckdir, "metrics.jsonl"), "a") as f:
+            for m in metrics:
+                if m["superstep"] == step:
+                    f.write(json.dumps(m, default=float) + "\n")
         with open(os.path.join(ckdir, f"lineage_{step:05d}.json"), "w") as f:
             json.dump(lineage, f, default=float)
 
@@ -457,5 +484,29 @@ class Pregel:
             if os.path.exists(os.path.join(lin["path"], "_SUCCESS")):
                 df = self.spark.read.parquet(lin["path"])
                 carry = lin.get("carry", {})
-                return df, lin["superstep"], carry, list(lin.get("metrics_so_far", []))
+                step = lin["superstep"]
+                metrics = self._load_metrics(ckdir, step)
+                return df, step, carry, metrics
         return None
+
+    def _load_metrics(self, ckdir, up_to_step: int) -> list[dict]:
+        """Read metrics.jsonl up to the resumed step; rows beyond it (from a
+        crashed later attempt) are dropped and the file truncated so the
+        resumed run's re-executed steps don't duplicate lines. Falls back to
+        the legacy embedded metrics_so_far field if the jsonl is absent."""
+        path = os.path.join(ckdir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        metrics = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                m = json.loads(line)
+                if m.get("superstep", 0) <= up_to_step:
+                    metrics.append(m)
+        with open(path, "w") as f:
+            for m in metrics:
+                f.write(json.dumps(m, default=float) + "\n")
+        return metrics

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import fixed_point_sum
+
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_no, n_events, first_ts, last_ts, total_value).
@@ -35,7 +37,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            fixed_point_sum("value").alias("total_value"),
         )
         .orderBy("user_id", "session_no")
     )

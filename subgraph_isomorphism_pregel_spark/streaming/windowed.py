@@ -13,6 +13,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import fixed_point_sum
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
@@ -24,7 +26,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     e = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n"), fixed_point_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
 

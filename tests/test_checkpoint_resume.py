@@ -60,4 +60,4 @@ def test_resume_mid_iteration_equals_uninterrupted(spark):
     seen = {(m["superstep"], m["partition"]) for m in metrics}
     assert len(seen) == len(metrics)
     for m in metrics:
-        assert {"messages_sent", "active_vertices", "skew_ratio", "checkpoint_path"} <= set(m)
+        assert {"messages_received", "active_vertices", "skew_ratio", "checkpoint_path"} <= set(m)

@@ -46,7 +46,7 @@ def test_hub_graph_partition_invariance_and_skew_metric(spark):
             # salting bound: any vertex's inbox is at most P partial rows, so
             # no partition's message count can exceed P * its vertex count
             for m in metrics:
-                assert m["messages_sent"] <= P * len(vs)
+                assert m["messages_received"] <= P * len(vs)
     for P in (8, 32):
         assert all(abs(results[P][k] - results[1][k]) < 1e-9 for k in results[1])
 
