@@ -36,6 +36,7 @@ from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
 from subgraph_isomorphism_pregel_spark.operators.similarity import (
     cosine_topk,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     lsh_topk,
 )
 from subgraph_isomorphism_pregel_spark.operators.textops import (
@@ -135,6 +136,46 @@ def q_match_star_pseudo_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _count_query(spark, sf_dir, qv, qe, pseudo=True)
 
 
+def q_match_path3_pruned_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-3 through the engine's own headline optimizations: prefix column
+    pruning + factorized counting (Q5/M5) AND the candidate-cardinality
+    matching order (Q1) — previously pytest-only paths, now driver-gated."""
+    return _count_query(
+        spark,
+        sf_dir,
+        {1: 0, 2: 1, 3: 2},
+        {(1, 2), (2, 1), (2, 3), (3, 2)},
+        pseudo=True,
+        prune=True,
+        order="candidate",
+    )
+
+
+def q_match_acbc_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship conflict shape a-c-b-c: the trailing label-1
+    leaf is counted DEFERRED against the enumerated label-1 vertex
+    (adjacency-subtraction factorization, SIBranch.h:161-248)."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 1}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)}
+    return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
+
+
+def q_match_twin_leaves_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two same-label leaves on different branches: deferred cross-branch
+    counting |A||B| - |A∩B| instead of enumeration."""
+    qv = {1: 0, 2: 2, 3: 0, 4: 1, 5: 1}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (3, 5), (5, 3)}
+    return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
+
+
+def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
+    the edge table instead of per-vertex collected adjacency arrays)."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 3}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
+    return _count_query(spark, sf_dir, qv, qe, pseudo=False, backward="semijoin")
+
+
 def q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
@@ -179,9 +220,27 @@ def q_embedding_dups(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
+def q_embedding_dups_lsh(spark, sf_dir):
+    """The scale path for embedding near-dup: banded hyperplane LSH buckets
+    + exact verify inside candidate buckets only (never all-pairs)."""
+    return embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     # approximate — rows-only check (no SQL oracle by design)
     return lsh_topk(_emb(spark, sf_dir), k=3)
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing, driver-gated: text payloads ride
+    as binary, metadata extracted by the Arrow-batched mapInPandas decoder
+    (deterministic stub decode — real decode needs PIL/ffmpeg)."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        attach_binary,
+        extract_media_meta,
+    )
+
+    return extract_media_meta(attach_binary(_docs(spark, sf_dir))).orderBy("media_id")
 
 
 def q_sessionize_events(spark, sf_dir):
@@ -221,6 +280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_triangle_ring": q_match_triangle_ring,
         "match_cycle4_ring": q_match_cycle4_ring,
         "match_star_pseudo_ring": q_match_star_pseudo_ring,
+        "match_path3_pruned_ring": q_match_path3_pruned_ring,
+        "match_acbc_ring": q_match_acbc_ring,
+        "match_twin_leaves_ring": q_match_twin_leaves_ring,
+        "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
         "langid": q_langid,
@@ -232,7 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "media_meta": q_media_meta,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
         "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
@@ -250,7 +315,7 @@ verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)
 
 RING_GRAPH = """
 nn AS (SELECT count(*) AS n FROM part),
-ids AS (SELECT p_partkey - 1 AS i FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part),
 raw AS (
   SELECT i AS src, (i + 1) % (SELECT n FROM nn) AS dst FROM ids
   UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM ids
@@ -350,6 +415,54 @@ def _lp_sql() -> str:
     )
 
 
+def _emb_lsh_sql(threshold: float = 0.4, bands: int = 4, rows_per_band: int = 4) -> str:
+    """DuckDB twin of embedding_dup_pairs_lsh: quantized integer hyperplane
+    dots (order-independent, bit-exact across engines), banded bucket
+    self-join, exact cosine verify on candidates only."""
+    n_planes = bands * rows_per_band
+    hexhi = "'8','9','a','b','c','d','e','f'"
+    dot_exprs = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5('{pl}:' || CAST(pos AS VARCHAR)), 1, 1) IN ({hexhi})"
+        f" THEN qv ELSE -qv END) AS dot{pl}"
+        for pl in range(n_planes)
+    )
+    band_exprs = ",\n         ".join(
+        " + ".join(
+            f"(CASE WHEN dot{b * rows_per_band + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        + f" AS band{b}"
+        for b in range(bands)
+    )
+    cand_union = "\n  UNION\n  ".join(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH {EMB_PAIRS.strip().rstrip(',')},
+qq AS (SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p),
+dots AS MATERIALIZED (SELECT vec_id,
+         {dot_exprs}
+  FROM qq GROUP BY vec_id),
+banded AS MATERIALIZED (SELECT vec_id,
+         {band_exprs}
+  FROM dots),
+cand AS MATERIALIZED (
+  {cand_union}),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(sum(a.val * b.val) / (an.norm * bn.norm), 6) AS cos
+  FROM cand c
+  JOIN p a ON a.vec_id = c.vec_a
+  JOIN p b ON b.vec_id = c.vec_b AND a.pos = b.pos
+  JOIN norms an ON an.vec_id = c.vec_a
+  JOIN norms bn ON bn.vec_id = c.vec_b
+  GROUP BY c.vec_a, c.vec_b, an.norm, bn.norm)
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {threshold}
+ORDER BY vec_a, vec_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -403,6 +516,43 @@ FROM rv v1
 JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
 JOIN edges e2 ON v1.id = e2.src JOIN rv v3 ON e2.dst = v3.id
 WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2""",
+        "match_path3_pruned_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v1.id <> v3.id""",
+        "match_acbc_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v3.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v4.label = 1
+  AND v2.id <> v4.id""",
+        "match_twin_leaves_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v1.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges e4 ON v3.id = e4.src JOIN rv v5 ON e4.dst = v5.id
+WHERE v1.label = 0 AND v2.label = 2 AND v3.label = 0
+  AND v4.label = 1 AND v5.label = 1
+  AND v1.id <> v3.id AND v4.id <> v5.id""",
+        "match_cycle4_semijoin_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v3.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges e4 ON v4.id = e4.src AND e4.dst = v1.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v4.label = 3
+  AND v1.id <> v3.id AND v2.id <> v4.id""",
         "token_count": f"""
 WITH {DOC_WORDS.strip().rstrip(',')}
 SELECT doc_id, len(words) AS n_tokens FROM w ORDER BY doc_id""",
@@ -514,6 +664,27 @@ JOIN norms an ON an.vec_id = a.vec_id JOIN norms bn ON bn.vec_id = b.vec_id
 GROUP BY a.vec_id, b.vec_id, an.norm, bn.norm
 HAVING round(sum(a.val * b.val) / (an.norm * bn.norm), 6) >= 0.4
 ORDER BY vec_a, vec_b""",
+        "embedding_dups_lsh": _emb_lsh_sql(threshold=0.4),
+        # stub decode: width/height are bytes 1-2 of sha256(payload); utf-8
+        # encoded text can never start with the PNG/JPEG magic bytes, so
+        # format is constant 'raw' on this table
+        "media_meta": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents),
+hx AS (SELECT media_id, n_bytes, sha,
+              strpos('0123456789abcdef', substr(sha, 1, 1)) - 1 AS h1,
+              strpos('0123456789abcdef', substr(sha, 2, 1)) - 1 AS h2,
+              strpos('0123456789abcdef', substr(sha, 3, 1)) - 1 AS h3,
+              strpos('0123456789abcdef', substr(sha, 4, 1)) - 1 AS h4
+       FROM m)
+SELECT media_id, n_bytes, sha AS sha256,
+       CAST(1 + 16 * h1 + h2 AS INT) AS width,
+       CAST(1 + 16 * h3 + h4 AS INT) AS height,
+       'raw' AS format
+FROM hx ORDER BY media_id""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n,

@@ -24,11 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components  # noqa: E402
-from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank  # noqa: E402
-from subgraph_isomorphism_pregel_spark.operators.similarity import cosine_topk  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    embedding_dup_pairs_lsh,
+)
 from subgraph_isomorphism_pregel_spark.operators.triangles import triangle_count  # noqa: E402
 from subgraph_isomorphism_pregel_spark.session import get_spark  # noqa: E402
 from subgraph_isomorphism_pregel_spark.sources.graph import ring_graph, supply_graph  # noqa: E402
@@ -110,13 +113,30 @@ def main() -> None:
         m.unpersist()
     throughput["match_counts"] = cnts
 
+    with timed("match_deferred_acbc"):
+        m = SubgraphMatcher(spark, rv, re_)
+        deferred_cnt = m.count(
+            {1: 0, 2: 1, 3: 2, 4: 1},
+            {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)},
+            pseudo=True,
+            prune=True,
+        )
+        m.unpersist()
+    throughput["match_deferred_acbc"] = deferred_cnt
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with timed("minhash_lsh_dedup"):
         minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.2).count()
 
+    with timed("simhash_packed"):
+        simhash(docs).count()
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with timed("cosine_topk"):
         cosine_topk(emb, k=5, n_queries=20).count()
+
+    with timed("embedding_dups_lsh"):
+        embedding_dup_pairs_lsh(emb, threshold=0.4).count()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -26,46 +26,50 @@ def cc_program(P: int) -> VertexProgram:
             "active": nv,
         }
 
+    SENTINEL = np.iinfo(np.int64).max
+
     def scatter(part, step, carry):
-        comp, indptr, indices = part["comp"], part["indptr"], part["indices"]
+        comp, indptr = part["comp"], part["indptr"]
+        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
         changed = part["changed"].astype(bool)
-        if not changed.any() or indices.size == 0:
+        if not changed.any() or ind_pos.size == 0:
             return None
         outdeg = np.diff(indptr)
         src_idx = np.repeat(np.arange(len(comp)), outdeg)
         mask = changed[src_idx]
-        dst = indices[mask]
-        val = comp[src_idx][mask]
-        if dst.size == 0:
+        if not mask.any():
             return None
-        # partition-local min-combine before the shuffle, then ONE packed
-        # row per destination partition (reference multicast batching,
-        # /root/reference/src/basic/Vertex.h:102-106)
-        dsts, inv = np.unique(dst, return_inverse=True)
-        mins = np.full(len(dsts), np.iinfo(np.int64).max)
-        np.minimum.at(mins, inv, val)
-        dpid = (dsts % P).astype(np.int32)
+        dpid = ind_pid[mask]
+        dpos = ind_pos[mask]
+        val = comp[src_idx][mask]
+        # partition-local min-combine by DENSE destination position before
+        # the shuffle, then ONE packed row per destination partition
+        # (reference multicast batching, /root/reference/src/basic/Vertex.h:102-106)
         order = np.argsort(dpid, kind="stable")
-        dpid_s, dsts_s, mins_s = dpid[order], dsts[order], mins[order]
+        dpid_s, dpos_s, val_s = dpid[order], dpos[order], val[order]
         bounds = np.searchsorted(dpid_s, np.arange(P + 1))
-        rows = [
-            (int(p), dsts_s[bounds[p]:bounds[p + 1]], mins_s[bounds[p]:bounds[p + 1]])
-            for p in range(P)
-            if bounds[p + 1] > bounds[p]
-        ]
-        return pd.DataFrame(rows, columns=["pid", "dst", "comp"])
+        rows = []
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi <= lo:
+                continue
+            block_pos = dpos_s[lo:hi]
+            mins = np.full(int(block_pos.max()) + 1, SENTINEL)
+            np.minimum.at(mins, block_pos, val_s[lo:hi])
+            nz = np.nonzero(mins != SENTINEL)[0]
+            rows.append((int(p), nz.astype(np.int32), mins[nz]))
+        return pd.DataFrame(rows, columns=["pid", "dpos", "comp"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
-        ids, comp = part["ids"], part["comp"].copy()
-        changed = np.zeros(len(ids), dtype=np.int32)
+        comp = part["comp"].copy()
+        changed = np.zeros(len(comp), dtype=np.int32)
         n_msgs = 0
         if len(inbox):
-            # fold per-source-partition packed partial minima
-            dst = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            # fold per-source-partition packed partial minima by position
+            pos = np.concatenate([np.asarray(x) for x in inbox["dpos"].values]).astype(np.int64)
             val = np.concatenate([np.asarray(x) for x in inbox["comp"].values])
-            n_msgs = len(dst)
-            pos = np.searchsorted(ids, dst)
-            cand = np.full(len(ids), np.iinfo(np.int64).max)
+            n_msgs = len(pos)
+            cand = np.full(len(comp), SENTINEL)
             np.minimum.at(cand, pos, val)
             better = cand < comp
             comp[better] = cand[better]
@@ -80,7 +84,7 @@ def cc_program(P: int) -> VertexProgram:
     return VertexProgram(
         name="connected_components",
         state_schema="comp array<long>, changed array<int>, msgs_in long, active long",
-        msg_schema="pid int, dst array<long>, comp array<long>",
+        msg_schema="pid int, dpos array<int>, comp array<long>",
         init=init,
         scatter=scatter,
         update=update,

@@ -153,30 +153,70 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32, impl: str = "packed") -> DataFrame:
     """(doc_id, simhash): 32-bit SimHash. Bit j is the majority vote over
     tokens of the high bit of hex digit j of md5(token) — i.e. +1 if
     md5(token)[j] in 89abcdef else -1, bit set iff the sum is positive.
-    Pure string/array expressions; exact SQL twin."""
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
-    tok = tok.select("doc_id", F.md5("tk").alias("h"))
-    j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
-    votes = tok.select("doc_id", j, F.col("h")).select(
-        "doc_id",
-        "j",
-        F.when(F.substring("h", F.col("j"), F.lit(1)).isin(*"89abcdef"), 1)
-        .otherwise(-1)
-        .alias("v"),
-    )
-    bitsum = votes.groupBy("doc_id", "j").agg(F.sum("v").alias("sv"))
-    return (
-        bitsum.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("j") - 1)).otherwise(0.0)
-            )
-            .cast("long")
-            .alias("simhash")
+    Docs with zero tokens produce no row (both impls, and the SQL twin).
+
+    impl='packed' (default, the scale path): one zero-shuffle mapInPandas
+    pass — each Arrow batch of documents is tokenized, hashed, and
+    bit-packed locally in numpy. impl='sql' is the pure-expression variant
+    kept as a cross-check; it explodes `bits` rows PER TOKEN through two
+    shuffles (32x the shuffle volume — fine as an oracle twin, wrong as the
+    default at corpus scale)."""
+    if impl == "sql":
+        tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        tok = tok.select("doc_id", F.md5("tk").alias("h"))
+        j = F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("j")
+        votes = tok.select("doc_id", j, F.col("h")).select(
+            "doc_id",
+            "j",
+            F.when(F.substring("h", F.col("j"), F.lit(1)).isin(*"89abcdef"), 1)
+            .otherwise(-1)
+            .alias("v"),
         )
+        bitsum = votes.groupBy("doc_id", "j").agg(F.sum("v").alias("sv"))
+        return (
+            bitsum.groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("j") - 1)).otherwise(0.0)
+                )
+                .cast("long")
+                .alias("simhash")
+            )
+            .orderBy("doc_id")
+        )
+
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    hexhi = np.frombuffer(b"89abcdef", dtype="S1")
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vals = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                # token rule == functions.tokens(): trim spaces, split on a
+                # single space, drop empties (matches F.trim + F.split ' ')
+                toks = [t for t in (text or "").strip(" ").split(" ") if t]
+                if not toks:
+                    continue
+                hx = "".join(hashlib.md5(t.encode("utf-8")).hexdigest()[:bits] for t in toks)
+                mat = np.frombuffer(hx.encode(), dtype="S1").reshape(len(toks), bits)
+                votes = 2 * np.isin(mat, hexhi).sum(axis=0) - len(toks)
+                ids.append(doc_id)
+                vals.append(int(weights[votes > 0].sum()))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(vals, dtype="int64")})
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(pack, "doc_id long, simhash long")
         .orderBy("doc_id")
     )

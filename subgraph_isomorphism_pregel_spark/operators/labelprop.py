@@ -24,32 +24,37 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         return {"lab": part["ids"].astype(np.int64), "msgs_in": 0, "active": nv}
 
     def scatter(part, step, carry):
-        lab, indptr, indices = part["lab"], part["indptr"], part["indices"]
-        if indices.size == 0:
+        lab, indptr = part["lab"], part["indptr"]
+        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
+        if ind_pos.size == 0:
             return None
         outdeg = np.diff(indptr)
         src_idx = np.repeat(np.arange(len(lab)), outdeg)
-        pairs = np.stack([indices, lab[src_idx]], axis=1)
-        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
-        dpid = (uniq[:, 0] % P).astype(np.int32)
-        order = np.argsort(dpid, kind="stable")
-        d, l, c = uniq[order, 0], uniq[order, 1], cnt[order]
-        dpid_s = dpid[order]
-        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
+        # pre-count (destination pid, dense position, label) triples so each
+        # (dst, label) pair ships at most once per source partition
+        triples = np.stack([ind_pid.astype(np.int64), ind_pos, lab[src_idx]], axis=1)
+        uniq, cnt = np.unique(triples, axis=0, return_counts=True)
+        dpid, d, l, c = uniq[:, 0].astype(np.int32), uniq[:, 1], uniq[:, 2], cnt
+        bounds = np.searchsorted(dpid, np.arange(P + 1))
         rows = [
-            (int(p), d[bounds[p]:bounds[p + 1]], l[bounds[p]:bounds[p + 1]], c[bounds[p]:bounds[p + 1]])
+            (
+                int(p),
+                d[bounds[p]:bounds[p + 1]].astype(np.int32),
+                l[bounds[p]:bounds[p + 1]],
+                c[bounds[p]:bounds[p + 1]].astype(np.int32),
+            )
             for p in range(P)
             if bounds[p + 1] > bounds[p]
         ]
-        return pd.DataFrame(rows, columns=["pid", "dst", "lab", "cnt"])
+        return pd.DataFrame(rows, columns=["pid", "dpos", "lab", "cnt"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
-        ids, lab = part["ids"], part["lab"].copy()
+        lab = part["lab"].copy()
         changed = 0
         n_msgs = 0
         if len(inbox):
             # fold per-source-partition packed partial counts
-            d = np.concatenate([np.asarray(x) for x in inbox["dst"].values])
+            d = np.concatenate([np.asarray(x) for x in inbox["dpos"].values]).astype(np.int64)
             l = np.concatenate([np.asarray(x) for x in inbox["lab"].values])
             c = np.concatenate([np.asarray(x) for x in inbox["cnt"].values])
             n_msgs = len(d)
@@ -57,22 +62,21 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
             uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
             csum = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(csum, inv, c)
-            dst, labs, cnt = uniq[:, 0], uniq[:, 1], csum
-            # winner per dst: max count, tie -> min label
-            order = np.lexsort((labs, -cnt, dst))
-            dst_o, labs_o = dst[order], labs[order]
-            first = np.ones(len(dst_o), dtype=bool)
-            first[1:] = dst_o[1:] != dst_o[:-1]
-            win_dst, win_lab = dst_o[first], labs_o[first]
-            pos = np.searchsorted(ids, win_dst)
-            changed = int((lab[pos] != win_lab).sum())
-            lab[pos] = win_lab
+            pos, labs, cnt = uniq[:, 0], uniq[:, 1], csum
+            # winner per destination position: max count, tie -> min label
+            order = np.lexsort((labs, -cnt, pos))
+            pos_o, labs_o = pos[order], labs[order]
+            first = np.ones(len(pos_o), dtype=bool)
+            first[1:] = pos_o[1:] != pos_o[:-1]
+            win_pos, win_lab = pos_o[first], labs_o[first]
+            changed = int((lab[win_pos] != win_lab).sum())
+            lab[win_pos] = win_lab
         return {"lab": lab, "msgs_in": int(n_msgs), "active": changed}
 
     return VertexProgram(
         name="label_propagation",
         state_schema="lab array<long>, msgs_in long, active long",
-        msg_schema="pid int, dst array<long>, lab array<long>, cnt array<long>",
+        msg_schema="pid int, dpos array<int>, lab array<long>, cnt array<int>",
         init=init,
         scatter=scatter,
         update=update,

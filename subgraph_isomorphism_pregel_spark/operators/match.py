@@ -85,10 +85,19 @@ class SubgraphMatcher:
             .persist()
         )
 
-    def frontier(self, plan: QueryPlan, prune: bool = False) -> DataFrame:
+    def frontier(
+        self, plan: QueryPlan, prune: bool = False, backward: str = "adjlist"
+    ) -> DataFrame:
         """Run MATCH; returns (m: array<long>, cnt: long) — one row per
         embedding of the non-pseudo query vertices, cnt = multiplicity from
         counted pseudo children.
+
+        backward='adjlist' checks non-tree edges with array_contains on the
+        per-vertex collected neighbor array (fast when adjacency rows fit in
+        memory); backward='semijoin' instead left-semi-joins the frontier
+        against the EDGE TABLE per backward constraint — the hub-safe plan: a
+        10^7-degree vertex stays 10^7 edge rows spread over partitions, never
+        one multi-hundred-MB array cell.
 
         prune=True enables embedding-column pruning + factorized counting:
         after each extension, mapping positions that no later step references
@@ -98,14 +107,22 @@ class SubgraphMatcher:
         vertex prefix sharing (`SIQuery.h:544-591`, `SIMessage.h:176-203`,
         `pregel_app_subgraph.h:85-99`). Counting-only (rows no longer carry
         full embeddings)."""
-        # needed_after[i]: original positions some node j>i still references
+        # needed_after[i]: original positions some node j>i still references;
+        # positions feeding the deferred conflict fix-up (parents of deferred
+        # leaf groups + their enumerated same-label witnesses) stay live to
+        # the very end
         n = len(plan.nodes)
         needed_after = [set() for _ in range(n)]
         acc: set[int] = set()
+        for g in plan.deferred:
+            acc |= {p for p, _ in g.parents} | set(g.enum_pos)
+        deferred_need = set(acc)
         for j in range(n - 1, 0, -1):
             nd = plan.nodes[j]
             acc |= {nd.parent_pos, *nd.backward_pos, *nd.samelabel_pos}
             needed_after[j - 1] = set(acc)
+        if n:
+            needed_after[n - 1] = deferred_need
 
         root = plan.nodes[0]
         f = (
@@ -132,15 +149,33 @@ class SubgraphMatcher:
             for p in node.samelabel_pos:
                 f = f.where(F.element_at(F.col("m"), slot(p)) != F.col("a.dst"))
             if node.backward_pos:
-                al = self.adjlist.alias(f"al{node.pos}")
-                f = f.join(al, F.col("a.dst") == F.col(f"al{node.pos}.al_id"))
-                for p in node.backward_pos:
-                    f = f.where(
-                        F.array_contains(
-                            F.col(f"al{node.pos}.nbrs"),
-                            F.element_at(F.col("m"), slot(p)),
+                if backward == "semijoin":
+                    # hub-safe: one left-semi join against the edge table per
+                    # backward constraint; no per-vertex giant array row
+                    for p in node.backward_pos:
+                        be = self.adj.select(
+                            F.col("src").alias(f"b{node.pos}_{p}_s"),
+                            F.col("dst").alias(f"b{node.pos}_{p}_d"),
                         )
-                    )
+                        f = f.join(
+                            be,
+                            (F.col("a.dst") == F.col(f"b{node.pos}_{p}_s"))
+                            & (
+                                F.element_at(F.col("m"), slot(p))
+                                == F.col(f"b{node.pos}_{p}_d")
+                            ),
+                            "left_semi",
+                        )
+                else:
+                    al = self.adjlist.alias(f"al{node.pos}")
+                    f = f.join(al, F.col("a.dst") == F.col(f"al{node.pos}.al_id"))
+                    for p in node.backward_pos:
+                        f = f.where(
+                            F.array_contains(
+                                F.col(f"al{node.pos}.nbrs"),
+                                F.element_at(F.col("m"), slot(p)),
+                            )
+                        )
             f = f.select(
                 F.concat(F.col("m"), F.array(F.col("a.dst"))).alias("m"),
                 F.col("cnt"),
@@ -149,6 +184,7 @@ class SubgraphMatcher:
             f = self._apply_pseudo(f, node, slot_of=slot)
             if prune:
                 f, live = self._prune(f, live, needed_after[node.pos])
+        f = self._apply_deferred(f, plan, slot)
         return f
 
     @staticmethod
@@ -168,6 +204,90 @@ class SubgraphMatcher:
             .agg(F.sum("cnt").alias("cnt"))
         )
         return f, keep
+
+    def _apply_deferred(self, f: DataFrame, plan: QueryPlan, slot) -> DataFrame:
+        """Count deferred same-label leaf groups at plan end with conflict
+        fix-up — the Spark form of the reference's conflict-aware branch
+        assembly (`SIBranch.h:81-131,161-248`, `pregel_app_subgraph.h:85-99`):
+        expansion never enumerated these leaves; here the multiplicative
+        count is corrected algebraically instead of by cross-product pruning.
+
+        Per group (label l):
+        - each parent's candidate pool is n_nbrs(parent, l) minus every
+          mapped enumerated l-vertex adjacent to that parent;
+        - one parent, k leaves: falling factorial perm(pool, k);
+        - two parents (k=1 each): pool_a * pool_b - |common pool| where the
+          common-neighbor count is computed ONLY for the distinct mapped
+          parent pairs (aggregate-then-join, never per frontier row)."""
+        for gi, g in enumerate(plan.deferred):
+            lbl = g.label
+            pools = []
+            hits = []  # per parent: list of array_contains indicator Columns
+            for pi, (ppos, _k) in enumerate(g.parents):
+                nl = self.nbr_label_counts.where(
+                    F.col("dst_label") == F.lit(lbl)
+                ).alias(f"dg{gi}_{pi}")
+                f = f.join(
+                    nl,
+                    F.element_at(F.col("m"), slot(ppos))
+                    == F.col(f"dg{gi}_{pi}.nl_id"),
+                    "left",
+                )
+                pool = F.coalesce(F.col(f"dg{gi}_{pi}.n_nbrs"), F.lit(0)).cast("long")
+                ind = []
+                if g.enum_pos:
+                    al = self.adjlist.alias(f"dga{gi}_{pi}")
+                    f = f.join(
+                        al,
+                        F.element_at(F.col("m"), slot(ppos))
+                        == F.col(f"dga{gi}_{pi}.al_id"),
+                        "left",
+                    )
+                    for ep in g.enum_pos:
+                        hit = F.array_contains(
+                            F.col(f"dga{gi}_{pi}.nbrs"),
+                            F.element_at(F.col("m"), slot(ep)),
+                        )
+                        ind.append(hit)
+                        pool = pool - F.when(hit, 1).otherwise(0)
+                pools.append(pool)
+                hits.append(ind)
+
+            if len(g.parents) == 1:
+                k = g.parents[0][1]
+                f = f.where(pools[0] >= k).select(
+                    F.col("m"), (F.col("cnt") * _perm_expr(pools[0], k)).alias("cnt")
+                )
+            else:
+                (p1, _), (p2, _) = g.parents
+                x = F.element_at(F.col("m"), slot(p1))
+                y = F.element_at(F.col("m"), slot(p2))
+                # common-neighbor counts for the distinct mapped parent pairs
+                pairs = f.select(x.alias("x"), y.alias("y")).distinct()
+                a1 = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                    F.col("src").alias("x"), F.col("dst").alias("z")
+                )
+                a2 = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                    F.col("src").alias("y"), F.col("dst").alias("z")
+                )
+                cn = (
+                    pairs.join(a1, "x")
+                    .join(a2, ["y", "z"])
+                    .groupBy("x", "y")
+                    .agg(F.count("*").alias(f"t_raw_{gi}"))
+                )
+                f = f.join(cn, [x == cn["x"], y == cn["y"]], "left")
+                t = F.coalesce(F.col(f"t_raw_{gi}"), F.lit(0)).cast("long")
+                # an enumerated l-vertex adjacent to BOTH parents was
+                # subtracted from both pools AND sits in the common pool
+                for ep_i in range(len(g.enum_pos)):
+                    both = hits[0][ep_i] & hits[1][ep_i]
+                    t = t - F.when(both, 1).otherwise(0)
+                total = pools[0] * pools[1] - t
+                f = f.where(total > 0).select(
+                    F.col("m"), (F.col("cnt") * total).alias("cnt")
+                )
+        return f
 
     def _apply_pseudo(self, f: DataFrame, node, slot_of=None) -> DataFrame:
         """Fold counted pseudo children of `node` into cnt."""
@@ -214,12 +334,13 @@ class SubgraphMatcher:
         order: str = "degree",
         pseudo: bool = True,
         prune: bool = False,
+        backward: str = "adjlist",
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83)."""
         cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
         plan = build_plan(query_v, query_e, order=order, pseudo=pseudo, cand_counts=cand)
-        f = self.frontier(plan, prune=prune)
+        f = self.frontier(plan, prune=prune, backward=backward)
         row = f.agg(F.sum("cnt").alias("n")).collect()[0]
         return int(row["n"] or 0)
 

@@ -36,13 +36,16 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         nv = len(part["ids"])
         rank = np.full(nv, 1.0 / N)
         outdeg = np.diff(part["indptr"]).astype(np.int64)
+        # only the (usually tiny) set of dangling positions crosses into the
+        # state table — update() runs without the structure table, and the
+        # per-step checkpoint should carry the mutable rank array, not a
+        # static degree copy
+        dang_pos = np.nonzero(outdeg == 0)[0].astype(np.int64)
         return {
             "rank": rank,
-            # static per-vertex out-degree lives in the state table because
-            # update() runs without the structure table (struct/state split)
-            "outdeg": outdeg,
+            "dang_pos": dang_pos,
             "max_delta": 1.0,
-            "dangling_partial": float(rank[outdeg == 0].sum()),
+            "dangling_partial": float(rank[dang_pos].sum()),
             "msgs_in": 0,
             "active": nv,
         }
@@ -70,13 +73,15 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
                 continue
             dense = np.bincount(pos_s[lo:hi], weights=val_s[lo:hi])
             nz = np.nonzero(dense)[0]
-            rows.append((int(p), nz, dense[nz]))
+            # positions are dense block offsets — int32 halves their bytes
+            # through the message shuffle
+            rows.append((int(p), nz.astype(np.int32), dense[nz]))
         return pd.DataFrame(rows, columns=["pid", "dpos", "contrib"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
-        ids, rank = part["ids"], part["rank"]
-        outdeg = part["outdeg"]
-        contrib = np.zeros(len(ids))
+        rank = part["rank"]
+        dang_pos = part["dang_pos"]
+        contrib = np.zeros(len(rank))
         n_msgs = 0
         if len(inbox):
             # fold per-source-partition packed partials by position
@@ -89,8 +94,9 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         delta = np.abs(new_rank - rank)
         return {
             "rank": new_rank,
+            "dang_pos": dang_pos,
             "max_delta": float(delta.max(initial=0.0)),
-            "dangling_partial": float(new_rank[outdeg == 0].sum()),
+            "dangling_partial": float(new_rank[dang_pos].sum()),
             "msgs_in": int(n_msgs),
             "active": int((delta >= tol).sum()),
         }
@@ -105,8 +111,8 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
 
     return VertexProgram(
         name="pagerank",
-        state_schema="rank array<double>, outdeg array<long>, max_delta double, dangling_partial double, msgs_in long, active long",
-        msg_schema="pid int, dpos array<long>, contrib array<double>",
+        state_schema="rank array<double>, dang_pos array<long>, max_delta double, dangling_partial double, msgs_in long, active long",
+        msg_schema="pid int, dpos array<int>, contrib array<double>",
         init=init,
         scatter=scatter,
         update=update,

@@ -173,6 +173,132 @@ def build_parts(
     return parts
 
 
+def add_vertices(
+    spark: SparkSession,
+    parts: DataFrame,
+    new_vertices: DataFrame,
+    new_edges: DataFrame | None,
+    num_partitions: int,
+) -> DataFrame:
+    """Runtime graph mutation (reference F9, /root/reference/src/basic/
+    Vertex.h:108-111 — add_vertex during computation; the reference uses it
+    to inject dummy vertices mid-run).
+
+    Spark-first form: an INCREMENTAL rebuild between superstep runs.
+    Append-only addressing — new vertices take positions AFTER the existing
+    ones in their block, so every existing (pid, pos) address, and therefore
+    every ind_pid/ind_pos cell in UNTOUCHED blocks, stays valid; only blocks
+    that receive new vertices or new out-edges rebuild their CSR, everything
+    else passes through byte-identical. (After an append, ids within a block
+    are no longer globally sorted — the kernel addresses state positionally,
+    never by binary search on ids.)
+
+    new_vertices: (id, label) — ids must be new; new_edges: (src, dst) where
+    both endpoints exist in the grown vertex set (raises otherwise, same
+    contract as build_parts). Per-step STATE built on the old graph is not
+    migrated — rerun the program's init, or resume with a program whose init
+    handles grown blocks.
+    """
+    P = num_partitions
+    from pyspark.sql.window import Window
+
+    old_pos = parts.select(
+        "pid", F.posexplode("ids").alias("pos", "vid")
+    ).select(F.col("vid").alias("id"), "pid", F.col("pos").cast("long").alias("pos"))
+    nv_base = parts.select("pid", F.size("ids").cast("long").alias("nv"))
+    nv = new_vertices.withColumn("pid", F.pmod(F.col("id"), F.lit(P)).cast("int"))
+    new_pos = (
+        nv.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("pid").orderBy("id")) - 1
+        )
+        .join(nv_base, "pid", "left")
+        .select("id", "pid", (F.col("rk") + F.coalesce(F.col("nv"), F.lit(0))).alias("pos"))
+    )
+    posmap = old_pos.unionByName(new_pos)
+
+    v_add = nv.select(
+        "pid", F.lit("v").alias("kind"), "id", F.col("label").cast("int").alias("label"),
+        F.lit(None).cast("long").alias("spos"), F.lit(None).cast("long").alias("dst"),
+        F.lit(None).cast("int").alias("dpid"), F.lit(None).cast("long").alias("dpos"),
+    )
+    adds = v_add
+    if new_edges is not None:
+        smap = posmap.select(
+            F.col("id").alias("src"), F.col("pid").alias("e_pid"), F.col("pos").alias("spos")
+        )
+        dmap = posmap.select(
+            F.col("id").alias("dst"), F.col("pid").alias("dpid"), F.col("pos").alias("dpos")
+        )
+        e_add = (
+            new_edges.join(smap, "src", "left")
+            .join(dmap, "dst", "left")
+            .select(
+                F.col("e_pid").alias("pid"), F.lit("e").alias("kind"),
+                F.col("src").alias("id"), F.lit(None).cast("int").alias("label"),
+                "spos", "dst", "dpid", "dpos",
+            )
+        )
+        adds = adds.unionByName(e_add)
+
+    def rebuild(key, parts_pdf: pd.DataFrame, add_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pd.isna(key[0]):
+            # edges whose src resolved to no partition: absent source ids
+            bad = add_pdf["id"].dropna().unique()[:5]
+            raise ValueError(
+                "add_vertices: new edges reference source ids absent from "
+                f"the grown vertex set (e.g. {list(bad)})"
+            )
+        pid = int(key[0])
+        if len(add_pdf) == 0:
+            return parts_pdf  # untouched block passes through
+        if len(parts_pdf):
+            row = _part_to_dict(parts_pdf.iloc[0])
+            ids, labels = row["ids"], row["labels"]
+            indptr, indices = row["indptr"], row["indices"]
+            ind_pid, ind_pos = row["ind_pid"], row["ind_pos"]
+        else:
+            ids = np.empty(0, dtype=np.int64); labels = np.empty(0, dtype=np.int32)
+            indptr = np.zeros(1, dtype=np.int64); indices = np.empty(0, dtype=np.int64)
+            ind_pid = np.empty(0, dtype=np.int32); ind_pos = np.empty(0, dtype=np.int64)
+        vs = add_pdf[add_pdf["kind"] == "v"].sort_values("id")
+        es = add_pdf[add_pdf["kind"] == "e"]
+        if es["spos"].isna().any() or es["dpos"].isna().any():
+            raise ValueError(
+                f"add_vertices: new edges in partition {pid} reference ids "
+                "absent from the grown vertex set"
+            )
+        if len(vs) and np.isin(vs["id"].values, ids).any():
+            raise ValueError(f"add_vertices: duplicate vertex ids in partition {pid}")
+        new_ids = np.concatenate([ids, vs["id"].values.astype(np.int64)])
+        new_labels = np.concatenate([labels, vs["label"].values.astype(np.int32)])
+        # old edges as (src position, dst, dpid, dpos) tuples + new ones
+        old_spos = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(indptr))
+        all_spos = np.concatenate([old_spos, es["spos"].values.astype(np.int64)])
+        all_dst = np.concatenate([indices, es["dst"].values.astype(np.int64)])
+        all_dpid = np.concatenate([ind_pid, es["dpid"].values.astype(np.int32)])
+        all_dpos = np.concatenate([ind_pos, es["dpos"].values.astype(np.int64)])
+        order = np.lexsort((all_dst, all_spos))
+        counts = np.zeros(len(new_ids) + 1, dtype=np.int64)
+        np.add.at(counts, all_spos + 1, 1)
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "ids": [new_ids],
+                "labels": [new_labels],
+                "indptr": [np.cumsum(counts)],
+                "indices": [all_dst[order]],
+                "ind_pid": [all_dpid[order]],
+                "ind_pos": [all_dpos[order]],
+            }
+        )
+
+    return (
+        parts.groupBy("pid")
+        .cogroup(adds.groupBy("pid"))
+        .applyInPandas(rebuild, BASE_SCHEMA)
+    )
+
+
 @dataclass
 class VertexProgram:
     """One BSP algorithm = init + scatter + combine + update.
@@ -263,9 +389,13 @@ class Pregel:
         Returns (final struct⋈state DataFrame, metrics rows).
 
         Layout: the graph is split into a STATIC structure table
-        (pid, ids, labels, indptr, indices) written once, and a DYNAMIC state
-        table (pid, ids, <program state>) checkpointed EVERY superstep — both
-        parquet tables bucketed by pid. One superstep:
+        (pid, ids, labels, indptr, indices, ...) written once, and a DYNAMIC
+        state table (pid, <program state>) checkpointed EVERY superstep — both
+        parquet tables bucketed by pid. The state carries ONLY what changes:
+        vertex ids are static, so they live in the structure table alone and
+        programs address vertices by dense position within the block (the
+        build-time renumbering) — the per-step checkpoint write shrinks to
+        the mutable arrays. One superstep:
 
           scatter: cogroup(struct, state)  -> messages      [0 exchanges]
           update:  cogroup(state, inbox)   -> new state     [1 exchange: inbox]
@@ -276,7 +406,7 @@ class Pregel:
         exponentially after ~20 steps — measured; the table round-trip is
         flat.) If checkpoint_dir is None a session temp dir is used.
         """
-        state_schema = "pid int, ids array<long>, " + program.state_schema
+        state_schema = "pid int, " + program.state_schema
         if checkpoint_dir is None:
             checkpoint_dir = tempfile.mkdtemp(prefix=f"sip_ckpt_{program.name}_")
         os.makedirs(checkpoint_dir, exist_ok=True)
@@ -292,6 +422,12 @@ class Pregel:
         struct_tbl = self._save_bucketed(
             self.parts, f"{tname}_struct", os.path.join(checkpoint_dir, f"struct_{token}")
         ).persist()
+
+        # vertex counts per partition are static — collected ONCE, not per step
+        nv_by_pid = {
+            int(r["pid"]): int(r["nv"])
+            for r in struct_tbl.select("pid", F.size("ids").alias("nv")).collect()
+        }
 
         loaded = self._load_checkpoint(checkpoint_dir) if resume else None
         init_fn = program.init
@@ -310,7 +446,11 @@ class Pregel:
                         part = _part_to_dict(row)
                         part.update(init_fn(part))
                         out.append(
-                            {k: v for k, v in part.items() if k not in STRUCT_ONLY}
+                            {
+                                k: v
+                                for k, v in part.items()
+                                if k not in STRUCT_ONLY and k != "ids"
+                            }
                         )
                     yield pd.DataFrame(out)
 
@@ -381,6 +521,7 @@ class Pregel:
                 new_state, f"{tname}_s{step:05d}",
                 os.path.join(checkpoint_dir, f"step_{step:05d}"),
             ).persist()
+            t_write = time.time()
             old_tbl = state_tbl
             state_tbl = new_tbl
 
@@ -388,11 +529,15 @@ class Pregel:
             # global aggregates folded on the driver — the Spark analog of the
             # reference's agg_sync gather (/root/reference/src/basic/Worker.h:158-215).
             per_pid = state_tbl.select(
-                "pid", F.size("ids").alias("n_vertices"), *[c for c, _ in program.stats]
+                "pid", *[c for c, _ in program.stats]
             ).collect()
             old_tbl.unpersist()
             if os.environ.get("SIP_DEBUG"):
-                print(f"[pregel] step {step} wall {time.time() - t0:.2f}s", flush=True)
+                print(
+                    f"[pregel] step {step} wall {time.time() - t0:.2f}s "
+                    f"(write {t_write - t0:.2f}s, stats {time.time() - t_write:.2f}s)",
+                    flush=True,
+                )
             srow = {}
             for c, fn in program.stats:
                 vals = [r[c] for r in per_pid if r[c] is not None]
@@ -422,19 +567,21 @@ class Pregel:
             # so a resumed run continues with identical arithmetic.
             if program.carry_fn:
                 carry = program.carry_fn(srow)
-            self._finish_checkpoint(checkpoint_dir, step, carry, metrics, per_pid, srow)
+            self._finish_checkpoint(checkpoint_dir, step, carry, metrics, nv_by_pid, srow)
             self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints, tname=tname)
             if program.converged and program.converged(srow, step):
                 break
 
-        # release the cached structure blocks (the returned state table scan
-        # does not depend on them); files stay on disk for the matching token
+        # release the cached structure blocks; files stay on disk so the
+        # returned scan (a zero-exchange bucketed join of the static ids with
+        # the final state) keeps working
         struct_tbl.unpersist()
-        return state_tbl, metrics
+        final = struct_tbl.select("pid", "ids").join(state_tbl, "pid")
+        return final, metrics
 
     # -- checkpointing ----------------------------------------------------
 
-    def _finish_checkpoint(self, ckdir, step, carry, metrics, per_pid, srow) -> None:
+    def _finish_checkpoint(self, ckdir, step, carry, metrics, nv_by_pid, srow) -> None:
         """Write the per-partition lineage record after stats are known; the
         lineage file's presence marks the checkpoint complete for resume.
 
@@ -448,7 +595,7 @@ class Pregel:
             "carry": carry,
             "stats": {k: v for k, v in srow.items()},
             "partitions": [
-                {"pid": int(r["pid"]), "n_vertices": int(r["n_vertices"])} for r in per_pid
+                {"pid": p, "n_vertices": n} for p, n in sorted(nv_by_pid.items())
             ],
         }
         with open(os.path.join(ckdir, "metrics.jsonl"), "a") as f:

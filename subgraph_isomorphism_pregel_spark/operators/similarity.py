@@ -77,8 +77,92 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int | None = 20) -> DataF
     )
 
 
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-duplicate pairs by embedding — the SCALE
+    path. Banded random-hyperplane LSH generates candidate pairs; exact
+    cosine verifies ONLY candidates. No all-pairs join anywhere: work is
+    O(n · planes + candidate pairs), so it survives 10^9 vectors where the
+    brute-force `embedding_dup_pairs` (kept as the small-n oracle baseline)
+    is O(n^2) and dead.
+
+    Deterministic + engine-exact so a DuckDB oracle reproduces it
+    bit-for-bit: values quantize to int64 (floor(val * 2^20) — one IEEE
+    multiply identical everywhere), hyperplane signs are Rademacher ±1
+    derived from md5(plane:pos), dot products are exact integer sums (no
+    float order-dependence), and the sign bits fold into `bands` bucket
+    keys. Recall for a pair at cosine c is 1-(1-p^r)^b with
+    p = 1 - acos(c)/pi (~0.98 at c=0.95 with 4x4)."""
+    n_planes = bands * rows_per_band
+    p = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    q = p.withColumn(
+        "qv", F.floor(F.col("val") * F.lit(float(1 << 20))).cast("long")
+    )
+
+    def sgn_is_pos(pl: int):
+        h = F.md5(F.concat(F.lit(f"{pl}:"), F.col("pos").cast("string")))
+        return F.substring(h, 1, 1).isin(*"89abcdef")
+
+    dots = q.groupBy("vec_id").agg(
+        *[
+            F.sum(F.when(sgn_is_pos(pl), F.col("qv")).otherwise(-F.col("qv"))).alias(
+                f"dot{pl}"
+            )
+            for pl in range(n_planes)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        key = F.lit(0)
+        for j in range(rows_per_band):
+            key = key + F.when(F.col(f"dot{b * rows_per_band + j}") > 0, 1 << j).otherwise(0)
+        band_cols.append(key.alias(f"band{b}"))
+    banded = dots.select("vec_id", *band_cols)
+
+    cand = None
+    for b in range(bands):
+        l = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bk"))
+        pp = l.join(r, "bk").where(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+        cand = pp if cand is None else cand.unionByName(pp)
+    cand = cand.distinct()
+
+    # exact cosine verification restricted to candidate pairs (same verified
+    # formula as the brute-force baseline)
+    pn = _norm_pairs(emb)
+    a = pn.select(
+        F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("av"), F.col("norm").alias("an")
+    )
+    bb = pn.select(
+        F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("bv"), F.col("norm").alias("bn")
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(bb, ["vec_b", "pos"])
+        .groupBy("vec_a", "vec_b", "an", "bn")
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("dot") / (F.col("an") * F.col("bn")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """(vec_a, vec_b, cos): unordered pairs with cosine >= threshold."""
+    """(vec_a, vec_b, cos): unordered pairs with cosine >= threshold.
+
+    Brute-force all-pairs — the small-n oracle BASELINE; use
+    embedding_dup_pairs_lsh for anything that has to scale."""
     p = _norm_pairs(emb)
     a = p.select(F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("av"), F.col("norm").alias("an"))
     b = p.select(F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("bv"), F.col("norm").alias("bn"))

@@ -11,10 +11,17 @@ role of the reference's sketch tree (/root/reference/src/SItypes/SIQuery.h):
   vertices (adjacency checks) and same-label earlier positions (injectivity)
   — reference M3's feasibility inputs (`pregel_app_subgraph.h:70-83`);
 - pseudo children: degree-1 leaves counted instead of enumerated — reference
-  Q2/M7 (`SIQuery.h:411-423`, `pregel_app_subgraph.h:153-209`). We only apply
-  the counting shortcut when the pseudo child's label is unique in the query
-  (no cross-branch injectivity conflicts possible), otherwise the child is
-  matched by ordinary expansion — same results, reference-equal counts.
+  Q2/M7 (`SIQuery.h:411-423`, `pregel_app_subgraph.h:153-209`). A leaf whose
+  label is unique in the query is counted EARLY (at its parent's expansion
+  step; no conflicts are possible). A leaf whose label is NOT unique is
+  counted DEFERRED — the Spark form of the reference's conflict-aware branch
+  assembly (`SIBranch.h:81-131,161-248`): expansion never enumerates it, and
+  at the end of the plan the count is fixed up algebraically against the
+  mapped same-label vertices (adjacency subtraction) and against same-label
+  leaves on OTHER branches (|A||B| − |A∩B| inclusion–exclusion). Supported
+  deferred shapes: all same-label leaves under one parent (any multiplicity,
+  falling-factorial count), or exactly two same-label leaves under two
+  parents; anything denser falls back to ordinary enumeration.
 
 The plan is a tiny immutable object; the matcher broadcasts it implicitly in
 its join expressions (reference broadcasts the whole query graph,
@@ -40,9 +47,26 @@ class PlanNode:
 
 
 @dataclass(frozen=True)
+class DeferredGroup:
+    """Same-label leaves counted at plan end with conflict fix-up.
+
+    parents: (parent position in the matching order, leaf multiplicity) —
+    one entry (single-parent falling factorial) or two entries with k=1 each
+    (cross-branch pair, |A||B| − |A∩B|).
+    enum_pos: positions of ENUMERATED query vertices with this label; each
+    mapped image adjacent to a parent shrinks that parent's candidate pool.
+    """
+
+    label: int
+    parents: tuple[tuple[int, int], ...]
+    enum_pos: tuple[int, ...]
+
+
+@dataclass(frozen=True)
 class QueryPlan:
     nodes: tuple[PlanNode, ...]  # matching order; nodes[0] is the root
     n_query_vertices: int  # including pseudo children
+    deferred: tuple[DeferredGroup, ...] = ()
 
     @property
     def depth(self) -> int:
@@ -84,12 +108,37 @@ def build_plan(
     for u, l in query_v.items():
         label_counts[l] = label_counts.get(l, 0) + 1
 
-    # pseudo children: degree-1 vertices with a label unique in the query,
-    # never the root
+    # EARLY pseudo children: degree-1 vertices with a label unique in the
+    # query (no conflicts possible), never the root — counted at their
+    # parent's expansion step
     is_pseudo = {
         u: (pseudo and deg[u] == 1 and label_counts[query_v[u]] == 1 and u != root)
         for u in query_v
     }
+
+    # DEFERRED leaves: degree-1 vertices whose label is shared with other
+    # query vertices — counted at plan end with conflict fix-up when the
+    # shape allows (one parent with any multiplicity, or a two-parent pair)
+    is_deferred = {u: False for u in query_v}
+    deferred_specs: list[tuple[int, dict[int, int]]] = []  # (label, parent u -> k)
+    if pseudo:
+        leaves_by_label: dict[int, list[int]] = {}
+        for u in query_v:
+            if deg[u] == 1 and u != root and not is_pseudo[u]:
+                leaves_by_label.setdefault(query_v[u], []).append(u)
+        for lbl, leaves in sorted(leaves_by_label.items()):
+            by_parent: dict[int, int] = {}
+            for u in leaves:
+                by_parent[next(iter(adj[u]))] = by_parent.get(next(iter(adj[u])), 0) + 1
+            one_parent = len(by_parent) == 1
+            two_singles = len(by_parent) == 2 and all(k == 1 for k in by_parent.values())
+            if not (one_parent or two_singles):
+                continue  # denser shape: enumerate these leaves normally
+            # (a parent with deg 1 is necessarily the root of a 2-vertex
+            # query — roots are always enumerated, so deferral stays valid)
+            for u in leaves:
+                is_deferred[u] = True
+            deferred_specs.append((lbl, by_parent))
 
     order_list: list[int] = []
     pos_of: dict[int, int] = {}
@@ -115,6 +164,9 @@ def build_plan(
                 pseudo_of[u].append(c)
                 parent_of[c] = u
                 continue
+            if is_deferred[c]:
+                parent_of[c] = u
+                continue
             parent_of[c] = u
             dfs(c)
 
@@ -123,7 +175,8 @@ def build_plan(
     # reference assumes connected queries; so do we.
     n_real = len(order_list)
     n_pseudo = sum(len(v) for v in pseudo_of.values())
-    if n_real + n_pseudo != len(query_v):
+    n_deferred = sum(is_deferred.values())
+    if n_real + n_pseudo + n_deferred != len(query_v):
         raise ValueError("query graph must be connected")
 
     nodes = []
@@ -134,7 +187,11 @@ def build_plan(
             sorted(
                 pos_of[w]
                 for w in adj[u]
-                if w in pos_of and pos_of[w] < i and pos_of[w] != pp and not is_pseudo[w]
+                if w in pos_of
+                and pos_of[w] < i
+                and pos_of[w] != pp
+                and not is_pseudo[w]
+                and not is_deferred[w]
             )
         )
         same = tuple(p for p in range(i) if query_v[order_list[p]] == lbl)
@@ -153,4 +210,17 @@ def build_plan(
                 qdeg=deg[u],
             )
         )
-    return QueryPlan(nodes=tuple(nodes), n_query_vertices=len(query_v))
+
+    deferred = tuple(
+        DeferredGroup(
+            label=lbl,
+            parents=tuple(sorted((pos_of[p], k) for p, k in by_parent.items())),
+            enum_pos=tuple(
+                pos_of[w] for w in order_list if query_v[w] == lbl
+            ),
+        )
+        for lbl, by_parent in deferred_specs
+    )
+    return QueryPlan(
+        nodes=tuple(nodes), n_query_vertices=len(query_v), deferred=deferred
+    )

@@ -145,7 +145,10 @@ def supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Deterministic labeled unipartite graph over part's key space.
 
-    ids 0..n-1 (p_partkey - 1). Edge families (all mod n, undirected):
+    ids 0..n-1 (p_partkey - min(p_partkey): robust to 0- or 1-based key
+    spaces — anchoring at the minimum is what makes every edge target an
+    existing vertex; build_parts validates exactly that). Edge families
+    (all mod n, undirected):
       ring:    i — (i+1)
       chord A: i — (i+2)        (guarantees triangles i, i+1, i+2)
       chord B: i — (5i+3)
@@ -154,7 +157,8 @@ def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     n = part.count()
-    ids = part.select((F.col("p_partkey") - 1).alias("i"))
+    min_key = part.agg(F.min("p_partkey")).collect()[0][0]
+    ids = part.select((F.col("p_partkey") - F.lit(min_key)).alias("i"))
     e1 = ids.select(F.col("i").alias("src"), ((F.col("i") + 1) % n).alias("dst"))
     e2 = ids.select(F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
     e3 = ids.select(F.col("i").alias("src"), ((F.col("i") * 5 + 3) % n).alias("dst"))

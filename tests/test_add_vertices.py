@@ -1,0 +1,76 @@
+"""Runtime vertex addition (reference F9): growing the graph incrementally
+must be indistinguishable from building it whole — verified by running
+PageRank and connected components on both and comparing results exactly."""
+
+import numpy as np
+import pytest
+
+from subgraph_isomorphism_pregel_spark.operators.components import cc_program
+from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+    Pregel,
+    build_parts,
+    pagerank_program,
+    scores_df,
+)
+from subgraph_isomorphism_pregel_spark.operators.pregel import add_vertices
+
+
+def _graph(spark, vs, es):
+    v = spark.createDataFrame(sorted(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    return v, e
+
+
+def test_incremental_equals_full_build(spark):
+    P = 4
+    # old ids straddle the new ones (100+ block) so the append lands UNSORTED
+    # within blocks — full build sorts ids, grown appends; positions differ
+    # but results must not
+    vs0 = {i: i % 3 for i in range(12)} | {100 + i: i % 3 for i in range(4)}
+    es0 = {(i, (i + 1) % 12) for i in range(12)} | {((i + 1) % 12, i) for i in range(12)}
+    es0 |= {(100 + i, i) for i in range(4)} | {(i, 100 + i) for i in range(4)}
+    # growth: 4 new vertices incl. one landing in every pid, edges old<->new
+    vs1 = {20: 0, 21: 1, 22: 2, 23: 0}
+    es1 = {(20, 21), (21, 20), (0, 20), (20, 0), (5, 22), (22, 5), (23, 11), (11, 23)}
+
+    v0, e0 = _graph(spark, vs0, es0)
+    parts = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts, nv, ne, P)
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    full = build_parts(spark, vall, eall, P)
+
+    def run_both(prog_fn, steps, carry0=None):
+        outs = []
+        for p in (grown, full):
+            prog = prog_fn()
+            final, _ = Pregel(spark, p, P).run(prog, max_steps=steps, carry0=carry0)
+            outs.append(final)
+        return outs
+
+    n = len(vs0) + len(vs1)
+    a, b = run_both(lambda: pagerank_program(n, P, fixed_steps=6), 6, {"dangling": 0.0})
+    ra = {r["id"]: r["score"] for r in scores_df(a).collect()}
+    rb = {r["id"]: r["score"] for r in scores_df(b).collect()}
+    assert set(ra) == set(rb) == set(vall.toPandas()["id"])
+    for k in ra:
+        assert abs(ra[k] - rb[k]) < 1e-12, k
+
+    a, b = run_both(lambda: cc_program(P), 50)
+    from subgraph_isomorphism_pregel_spark.operators.components import components_df
+
+    ca = {r["id"]: r["component"] for r in components_df(a).collect()}
+    cb = {r["id"]: r["component"] for r in components_df(b).collect()}
+    assert ca == cb
+    # 20-21 formed their own island joined to 0 via (0,20): all one component
+    assert len(set(ca.values())) == 1
+
+
+def test_add_vertices_rejects_bad_edges(spark):
+    P = 2
+    v0, e0 = _graph(spark, {0: 0, 1: 1}, {(0, 1), (1, 0)})
+    parts = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, {2: 0}, {(2, 99), (99, 2)})
+    with pytest.raises(Exception, match="absent"):
+        add_vertices(spark, parts, nv, ne, P).collect()

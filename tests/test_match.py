@@ -35,6 +35,26 @@ QUERIES = {
     ),
     # single vertex
     "single": ({1: D}, set()),
+    # the reference's flagship deferred-conflict shape: path a-c-b-c — the
+    # trailing c is a leaf whose label collides with an ENUMERATED c, so it
+    # is counted deferred with adjacency subtraction (SIBranch.h:161-248)
+    "acbc_path": (
+        {1: A, 2: C, 3: B, 4: C},
+        {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)},
+    ),
+    # two same-label leaves on DIFFERENT branches: counted deferred as
+    # |A||B| - |A∩B| (cross-branch inclusion-exclusion)
+    "twin_c_leaves": (
+        {1: B, 2: D, 3: B, 4: C, 5: C},
+        {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (3, 5), (5, 3)},
+    ),
+    # same-label leaf pair under ONE parent plus an enumerated same-label
+    # vertex adjacent to that parent: falling factorial with witness
+    # subtraction (the enumerated c shrinks the leaves' candidate pool)
+    "cc_under_d_with_c": (
+        {1: D, 2: C, 3: C, 4: C, 5: B},
+        {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (4, 5), (5, 4)},
+    ),
 }
 
 
@@ -66,6 +86,17 @@ def test_toy_queries_match_bruteforce(toy, name):
     assert m.count(qv, qe, pseudo=False, prune=True) == want
 
 
+def test_backward_semijoin_equals_adjlist(toy):
+    """The hub-safe semijoin backward check must count exactly like the
+    adjlist array_contains check (cycle4 is the query with backward edges)."""
+    m, data_v, data_e = toy
+    for name in ("cycle4_golden", "tri_pendant"):
+        qv, qe = QUERIES[name]
+        want = match_count_oracle(data_v, data_e, qv, qe)
+        assert m.count(qv, qe, backward="semijoin") == want
+        assert m.count(qv, qe, backward="semijoin", prune=True) == want
+
+
 @pytest.mark.parametrize("order", ["degree", "anti-degree", "random", "candidate"])
 def test_order_invariance(toy, order):
     m, data_v, data_e = toy
@@ -91,14 +122,25 @@ def test_random_graphs_vs_oracle(spark):
         ({0: 0, 1: 1, 2: 2}, {(0, 1), (1, 0), (1, 2), (2, 1)}),
         # triangle with repeated label
         ({0: 0, 1: 0, 2: 1}, {(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)}),
-        # star with two same-label leaves
+        # star with two same-label leaves (deferred, one parent)
         ({0: 1, 1: 0, 2: 0, 3: 2}, {(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0)}),
+        # path 0-1-0 with a label-2 leaf on each end (deferred, two parents)
+        (
+            {0: 0, 1: 1, 2: 0, 3: 2, 4: 2},
+            {(0, 1), (1, 0), (1, 2), (2, 1), (0, 3), (3, 0), (2, 4), (4, 2)},
+        ),
+        # leaf label colliding with an enumerated vertex (witness subtraction)
+        (
+            {0: 0, 1: 1, 2: 2, 3: 1},
+            {(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)},
+        ),
     ]
     try:
         for qv, qe in queries:
             want = match_count_oracle(vs, es, qv, qe)
             assert m.count(qv, qe, pseudo=True) == want
             assert m.count(qv, qe, pseudo=False) == want
+            assert m.count(qv, qe, pseudo=True, prune=True) == want
     finally:
         m.unpersist()
 
@@ -110,6 +152,49 @@ def test_plan_shape():
     assert plan.n_query_vertices == 4
     # the 4-cycle closes with exactly one backward edge
     assert sum(len(n.backward_pos) for n in plan.nodes) == 1
+
+
+def test_plan_defers_nonunique_leaves():
+    """Deferred shapes must actually plan as deferred groups (not silently
+    fall back to enumeration), or the factorization is untested."""
+    # a-c-b-c: one c leaf deferred against one enumerated c witness
+    qv, qe = QUERIES["acbc_path"]
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.nodes) == 2  # only a-side chain enumerated... see below
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert g.label == C and len(g.parents) == 1 and g.parents[0][1] == 1
+    assert len(g.enum_pos) == 1
+
+    # twin c leaves on two branches: one two-parent group, k=1 each
+    qv, qe = QUERIES["twin_c_leaves"]
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert g.label == C and len(g.parents) == 2
+    assert all(k == 1 for _, k in g.parents)
+    assert g.enum_pos == ()
+
+    # cc pair under one parent with an enumerated c witness
+    qv, qe = QUERIES["cc_under_d_with_c"]
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert g.label == C and g.parents[0][1] == 2 and len(g.enum_pos) == 1
+
+    # star_bba: two same-label leaves under one parent (no witnesses)
+    qv, qe = QUERIES["star_bba"]
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    assert plan.deferred[0].parents[0][1] == 2
+
+    # three same-label leaves across two parents: unsupported shape must
+    # fall back to enumeration and still count correctly
+    qv = {1: D, 2: C, 3: C, 4: B, 5: C}
+    qe = {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (4, 5), (5, 4)}
+    plan = build_plan(qv, qe, order="degree")
+    assert plan.deferred == ()
+    assert len(plan.nodes) == 5
 
 
 def test_relabeling_invariance(spark):

@@ -132,6 +132,19 @@ def test_simhash_oracle(spark, docs):
         assert got[r["doc_id"]] == val
 
 
+def test_simhash_packed_equals_sql_impl(spark, docs):
+    """The zero-shuffle packed default must equal the pure-expression
+    variant bit for bit (including dropping zero-token docs)."""
+    small = docs.limit(30)
+    rows = [(100, "   "), (101, "one two one")]
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    d = small.select("doc_id", "text").unionByName(extra)
+    a = {r["doc_id"]: r["simhash"] for r in simhash(d, impl="packed").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(d, impl="sql").collect()}
+    assert a == b
+    assert 100 not in a and 101 in a
+
+
 def np_cosine_topk(vecs, ids, k, n_queries):
     M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     S = M @ M.T
@@ -186,6 +199,40 @@ def test_embedding_dup_pairs_threshold(spark, emb):
             if c >= 0.9:
                 want.add((a, b))
     assert {(r["vec_a"], r["vec_b"]) for r in got} == want
+
+
+def test_embedding_dup_pairs_lsh_subset_and_recall(spark, emb):
+    """LSH near-dup pairs must be a SUBSET of brute force (exact verify
+    inside buckets guarantees no false positives) and catch synthetic
+    near-duplicates (high-cosine pairs collide in >=1 band whp)."""
+    from pyspark.sql import functions as F
+
+    from subgraph_isomorphism_pregel_spark.operators.similarity import (
+        embedding_dup_pairs_lsh,
+    )
+
+    # plant obvious near-dups: copies of existing vectors with a tiny nudge
+    base = emb.limit(5).collect()
+    planted = [
+        (10_000 + r["vec_id"], [float(x) + 0.001 for x in r["embedding"]])
+        for r in base
+    ]
+    d = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    )
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs(d, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_dup_pairs_lsh(d, threshold=0.9).collect()
+    }
+    assert lsh <= brute
+    planted_pairs = {(r["vec_id"], 10_000 + r["vec_id"]) for r in base}
+    assert planted_pairs <= brute
+    # every planted near-identical pair must be recalled by the LSH path
+    assert planted_pairs <= lsh
 
 
 def test_multimodal_plumbing(spark, docs):
