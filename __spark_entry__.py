@@ -176,6 +176,21 @@ def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _count_query(spark, sf_dir, qv, qe, pseudo=False, backward="semijoin")
 
 
+def q_match_bsp_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-3 through the BSP-kernel matcher (operators/match_bsp.py): the
+    same sketch-tree plan run as a vertex program — extension at the parent's
+    owner, feasibility at the new vertex's owner — instead of DataFrame
+    joins. Counts must equal the join formulation (and this SQL oracle)."""
+    from subgraph_isomorphism_pregel_spark.operators.match_bsp import match_count_bsp
+
+    v, e = ring_graph(spark, sf_dir)
+    n = match_count_bsp(
+        spark, v, e, {1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)},
+        num_partitions=8,
+    )
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
 def q_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir))
 
@@ -284,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_acbc_ring": q_match_acbc_ring,
         "match_twin_leaves_ring": q_match_twin_leaves_ring,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
+        "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
         "text_stats": q_text_stats,
         "langid": q_langid,
@@ -517,6 +533,13 @@ JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
 JOIN edges e2 ON v1.id = e2.src JOIN rv v3 ON e2.dst = v3.id
 WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2""",
         "match_path3_pruned_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v1.id <> v3.id""",
+        "match_bsp_path3_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt
 FROM rv v1

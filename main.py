@@ -30,12 +30,16 @@ def parse_args(argv):
         "--order", default="degree", choices=["degree", "anti-degree", "random", "candidate"]
     )
     p.add_argument("--pseudo", default="on", choices=["on", "off"])
+    p.add_argument("--mode", default="join", choices=["join", "bsp"],
+                   help="matcher engine: Catalyst join frontier (scale path) or BSP kernel vertex program")
     p.add_argument("--prune", default="off", choices=["on", "off"],
                    help="prefix column pruning + factorized counting (match)")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--checkpoint-dir")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="durable checkpoint cadence in supersteps (1 = every step)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", help="write the result DataFrame to this parquet path")
     p.add_argument("--metrics-output", help="write the per-(superstep,partition) metrics table to this parquet path")
@@ -77,10 +81,13 @@ def main(argv=None):
     from subgraph_isomorphism_pregel_spark.session import get_spark
 
     spark = get_spark(f"sip-{args.algo}", cores=args.cores)
-    if args.algo in ("triangles", "match") and (args.checkpoint_dir or args.resume):
+    if (args.checkpoint_dir or args.resume) and (
+        args.algo == "triangles" or (args.algo == "match" and args.mode == "join")
+    ):
         print(
             f"warning: --checkpoint-dir/--resume have no effect for --algo {args.algo} "
-            "(single-pass, not an iterative superstep run)",
+            "(single-pass, not an iterative superstep run; --algo match --mode bsp "
+            "does checkpoint)",
             file=sys.stderr,
         )
     vertices, edges = load_graph(spark, args)
@@ -92,6 +99,7 @@ def main(argv=None):
         result, metrics = pagerank(
             spark, vertices, edges, num_partitions=args.partitions, tol=args.tol,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
         )
     elif args.algo == "cc":
         from subgraph_isomorphism_pregel_spark.operators.components import connected_components
@@ -99,6 +107,7 @@ def main(argv=None):
         result, metrics = connected_components(
             spark, vertices, edges, num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
         )
     elif args.algo == "lp":
         from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
@@ -106,6 +115,7 @@ def main(argv=None):
         result, metrics = label_propagation(
             spark, vertices, edges, rounds=args.rounds, num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
         )
     elif args.algo == "triangles":
         from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
@@ -119,10 +129,19 @@ def main(argv=None):
 
         with open(args.query) as f:
             qv, qe = parse_query_text(f.read())
-        matcher = SubgraphMatcher(spark, vertices, edges)
-        n = matcher.count(
-            qv, qe, order=args.order, pseudo=args.pseudo == "on", prune=args.prune == "on"
-        )
+        if args.mode == "bsp":
+            from subgraph_isomorphism_pregel_spark.operators.match_bsp import match_count_bsp
+
+            n = match_count_bsp(
+                spark, vertices, edges, qv, qe,
+                num_partitions=args.partitions, order=args.order,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+        else:
+            matcher = SubgraphMatcher(spark, vertices, edges)
+            n = matcher.count(
+                qv, qe, order=args.order, pseudo=args.pseudo == "on", prune=args.prune == "on"
+            )
         print(f"Mapping count: {n}")  # same headline as the reference (README.md:83)
         result = spark.createDataFrame([(n,)], "mapping_count long")
 

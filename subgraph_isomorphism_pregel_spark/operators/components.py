@@ -90,6 +90,7 @@ def cc_program(P: int) -> VertexProgram:
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: int(srow["active"] or 0) == 0,
+        struct_cols=("indptr", "ind_pid", "ind_pos"),
     )
 
 
@@ -108,6 +109,7 @@ def connected_components(
     max_steps: int = 200,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     parts = build_parts(spark, vertices, edges, num_partitions)
     kern = Pregel(spark, parts, num_partitions)
@@ -116,5 +118,6 @@ def connected_components(
         max_steps=max_steps,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        checkpoint_every=checkpoint_every,
     )
     return components_df(final), metrics

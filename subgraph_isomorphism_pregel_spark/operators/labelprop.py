@@ -82,6 +82,7 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: step >= rounds,
+        struct_cols=("indptr", "ind_pid", "ind_pos"),
     )
 
 
@@ -100,6 +101,7 @@ def label_propagation(
     num_partitions: int = 32,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     parts = build_parts(spark, vertices, edges, num_partitions)
     kern = Pregel(spark, parts, num_partitions)
@@ -108,5 +110,6 @@ def label_propagation(
         max_steps=rounds,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        checkpoint_every=checkpoint_every,
     )
     return labels_df(final), metrics

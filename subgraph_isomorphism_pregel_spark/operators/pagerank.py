@@ -124,6 +124,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         ],
         carry_fn=carry_fn,
         converged=converged,
+        struct_cols=("indptr", "ind_pid", "ind_pos"),
     )
 
 
@@ -145,6 +146,7 @@ def pagerank(
     fixed_steps: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     """End-to-end PageRank: (vertices, edges) -> ((id, score) DataFrame, metrics)."""
     n = vertices.count()
@@ -157,6 +159,7 @@ def pagerank(
         max_steps=fixed_steps or max_steps,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        checkpoint_every=checkpoint_every,
         carry0={"dangling": n_dangling / n if n else 0.0},
     )
     return scores_df(final), metrics

@@ -40,11 +40,12 @@ build, exactly like the reference where vertices own their adjacency for the
 whole run. On a multi-executor cluster the bucketed layout is what makes the
 cogroups co-located instead of all-to-all.
 
-Checkpoint/resume: EVERY superstep the state table is written (bucketed)
-together with a per-partition lineage record and the per-superstep metrics
-(messages, active vertices, skew ratio); the table read-back is also the
-lineage cut that keeps the iterative plan flat. `run(..., resume=True)`
-restarts mid-iteration from the newest complete checkpoint.
+Checkpoint/resume: on a configurable cadence (`checkpoint_every`, default
+every superstep) the state table is written (bucketed) together with a
+per-partition lineage record and the per-superstep metrics (messages, active
+vertices, skew ratio); the table read-back is also the lineage cut that keeps
+the iterative plan flat. `run(..., resume=True)` restarts mid-iteration from
+the newest complete checkpoint.
 """
 
 from __future__ import annotations
@@ -65,7 +66,7 @@ from pyspark.sql import functions as F
 
 BASE_SCHEMA = (
     "pid int, ids array<long>, labels array<int>, indptr array<long>, "
-    "indices array<long>, ind_pid array<int>, ind_pos array<long>"
+    "indices array<long>, ind_pid array<int>, ind_pos array<int>"
 )
 STRUCT_ONLY = ("labels", "indptr", "indices", "ind_pid", "ind_pos")
 
@@ -128,7 +129,10 @@ def build_parts(
             src = e_pdf["src"].values.astype(np.int64)
             dst = e_pdf["dst"].values.astype(np.int64)
             dpid = e_pdf["dpid"].values.astype(np.int32)
-            dpos = e_pdf["dpos"].values.astype(np.int64)
+            # dense position within the destination block: int32 halves the
+            # widest per-superstep Arrow column (positions per block < 2^31 —
+            # at 10^12 vertices that still holds for any P >= 512)
+            dpos = e_pdf["dpos"].values.astype(np.int32)
             eorder = np.lexsort((dst, src))
             src, dst = src[eorder], dst[eorder]
             dpid, dpos = dpid[eorder], dpos[eorder]
@@ -152,7 +156,7 @@ def build_parts(
             indptr = np.zeros(len(ids) + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
             dpid = np.empty(0, dtype=np.int32)
-            dpos = np.empty(0, dtype=np.int64)
+            dpos = np.empty(0, dtype=np.int32)
         return pd.DataFrame(
             {
                 "pid": [pid],
@@ -259,7 +263,7 @@ def add_vertices(
         else:
             ids = np.empty(0, dtype=np.int64); labels = np.empty(0, dtype=np.int32)
             indptr = np.zeros(1, dtype=np.int64); indices = np.empty(0, dtype=np.int64)
-            ind_pid = np.empty(0, dtype=np.int32); ind_pos = np.empty(0, dtype=np.int64)
+            ind_pid = np.empty(0, dtype=np.int32); ind_pos = np.empty(0, dtype=np.int32)
         vs = add_pdf[add_pdf["kind"] == "v"].sort_values("id")
         es = add_pdf[add_pdf["kind"] == "e"]
         if es["spos"].isna().any() or es["dpos"].isna().any():
@@ -276,7 +280,7 @@ def add_vertices(
         all_spos = np.concatenate([old_spos, es["spos"].values.astype(np.int64)])
         all_dst = np.concatenate([indices, es["dst"].values.astype(np.int64)])
         all_dpid = np.concatenate([ind_pid, es["dpid"].values.astype(np.int32)])
-        all_dpos = np.concatenate([ind_pos, es["dpos"].values.astype(np.int64)])
+        all_dpos = np.concatenate([ind_pos, es["dpos"].values.astype(np.int32)])
         order = np.lexsort((all_dst, all_spos))
         counts = np.zeros(len(new_ids) + 1, dtype=np.int64)
         np.add.at(counts, all_spos + 1, 1)
@@ -319,6 +323,13 @@ class VertexProgram:
     stats: list = field(default_factory=list)  # list[(colname, F agg fn)]
     carry_fn: Callable[[dict], dict] = None  # stats row dict -> carry for next step
     converged: Callable[[dict, int], bool] = None  # (stats row, step) -> bool
+    # structure columns scatter actually reads (None = all). Declaring them
+    # prunes the per-superstep Arrow transfer into the scatter UDF — e.g.
+    # PageRank/CC/LP address destinations by dense (ind_pid, ind_pos) and
+    # never touch `indices` (the destination VERTEX IDS — by far the widest
+    # array), so dropping it cuts the dominant per-step JVM->Python volume.
+    # init() always sees the full structure row.
+    struct_cols: tuple | None = None
 
 
 METRICS_SCHEMA = (
@@ -383,6 +394,7 @@ class Pregel:
         resume: bool = False,
         carry0: dict | None = None,
         keep_checkpoints: int = 2,
+        checkpoint_every: int = 1,
     ) -> tuple[DataFrame, list[dict]]:
         """Run the program to convergence or max_steps.
 
@@ -405,6 +417,15 @@ class Pregel:
         (A localCheckpoint-based lineage cut degrades the Spark 4.1 driver
         exponentially after ~20 steps — measured; the table round-trip is
         flat.) If checkpoint_dir is None a session temp dir is used.
+
+        checkpoint_every=k writes the DURABLE bucketed state table only on
+        supersteps divisible by k (plus the final step); intermediate steps
+        keep state as a persisted pid-hash-partitioned DataFrame instead — the
+        cogroups stay exchange-free (HashPartitioning(pid, P) on both sides)
+        while skipping the parquet round-trip + catalog commit, the dominant
+        per-step fixed cost. The logical plan doubles per non-durable step
+        (state is referenced by both cogroups), so keep k modest (≤8); resume
+        restarts from the newest durable step and replays at most k-1 steps.
         """
         state_schema = "pid int, " + program.state_schema
         if checkpoint_dir is None:
@@ -460,6 +481,13 @@ class Pregel:
         ).persist()
 
         scatter_fn, update_fn = program.scatter, program.update
+        # project the structure side of the scatter cogroup down to the
+        # columns the program declares (a Project over the bucketed scan
+        # keeps pid clustering, so the cogroup stays exchange-free)
+        if program.struct_cols is not None:
+            scatter_struct = struct_tbl.select("pid", *program.struct_cols)
+        else:
+            scatter_struct = struct_tbl
         step = start_step
         for step in range(start_step + 1, max_steps + 1):
             t0 = time.time()
@@ -487,7 +515,7 @@ class Pregel:
                 return wrapper
 
             msgs_df = (
-                struct_tbl.groupBy("pid")
+                scatter_struct.groupBy("pid")
                 .cogroup(state_tbl.groupBy("pid"))
                 .applyInPandas(make_scatter(step, carry_b), program.msg_schema)
             )
@@ -515,12 +543,18 @@ class Pregel:
                 .applyInPandas(make_update(step, carry_b), state_schema)
             )
 
-            # bucketed checkpoint table EVERY superstep: the durable resume
-            # point, the lineage cut, and the next step's exchange-free input
-            new_tbl = self._save_bucketed(
-                new_state, f"{tname}_s{step:05d}",
-                os.path.join(checkpoint_dir, f"step_{step:05d}"),
-            ).persist()
+            # bucketed checkpoint table on the durable cadence: the resume
+            # point, the lineage cut, and the next step's exchange-free input.
+            # Off-cadence steps persist a pid-hash-partitioned DataFrame
+            # instead (same zero-exchange cogroups, no parquet round-trip).
+            durable = (step % checkpoint_every == 0) or step == max_steps
+            if durable:
+                new_tbl = self._save_bucketed(
+                    new_state, f"{tname}_s{step:05d}",
+                    os.path.join(checkpoint_dir, f"step_{step:05d}"),
+                ).persist()
+            else:
+                new_tbl = new_state.repartition(self.P, "pid").persist()
             t_write = time.time()
             old_tbl = state_tbl
             state_tbl = new_tbl
@@ -559,7 +593,11 @@ class Pregel:
                         "messages_received": int(d.get("msgs_in", 0) or 0),
                         "active_vertices": int(d.get("active", 0) or 0),
                         "skew_ratio": skew,
-                        "checkpoint_path": os.path.join(checkpoint_dir, f"step_{step:05d}"),
+                        "checkpoint_path": (
+                            os.path.join(checkpoint_dir, f"step_{step:05d}")
+                            if durable
+                            else ""
+                        ),
                         "wall_sec": time.time() - t0,
                     }
                 )
@@ -567,10 +605,29 @@ class Pregel:
             # so a resumed run continues with identical arithmetic.
             if program.carry_fn:
                 carry = program.carry_fn(srow)
-            self._finish_checkpoint(checkpoint_dir, step, carry, metrics, nv_by_pid, srow)
-            self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints, tname=tname)
+            self._finish_checkpoint(
+                checkpoint_dir, step, carry, metrics, nv_by_pid, srow, durable=durable
+            )
+            if durable:
+                self._prune_checkpoints(
+                    checkpoint_dir, step, keep=keep_checkpoints, tname=tname
+                )
             if program.converged and program.converged(srow, step):
                 break
+
+        # a run that converged between durable points still leaves a durable
+        # final checkpoint, so resume never replays the converged tail
+        if step > start_step and not durable:
+            mem_tbl = state_tbl
+            state_tbl = self._save_bucketed(
+                mem_tbl, f"{tname}_s{step:05d}",
+                os.path.join(checkpoint_dir, f"step_{step:05d}"),
+            )
+            mem_tbl.unpersist()
+            self._finish_checkpoint(
+                checkpoint_dir, step, carry, metrics, nv_by_pid, srow, durable=True
+            )
+            self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints, tname=tname)
 
         # release the cached structure blocks; files stay on disk so the
         # returned scan (a zero-exchange bucketed join of the static ids with
@@ -581,9 +638,13 @@ class Pregel:
 
     # -- checkpointing ----------------------------------------------------
 
-    def _finish_checkpoint(self, ckdir, step, carry, metrics, nv_by_pid, srow) -> None:
+    def _finish_checkpoint(
+        self, ckdir, step, carry, metrics, nv_by_pid, srow, durable=True
+    ) -> None:
         """Write the per-partition lineage record after stats are known; the
         lineage file's presence marks the checkpoint complete for resume.
+        Off-cadence (non-durable) steps append metrics only — no lineage, so
+        resume never points at a step without a parquet table behind it.
 
         Metrics rows go to an append-only metrics.jsonl (one line per
         (superstep, partition)) so the per-step write cost is O(P), not
@@ -598,12 +659,18 @@ class Pregel:
                 {"pid": p, "n_vertices": n} for p, n in sorted(nv_by_pid.items())
             ],
         }
-        with open(os.path.join(ckdir, "metrics.jsonl"), "a") as f:
-            for m in metrics:
-                if m["superstep"] == step:
-                    f.write(json.dumps(m, default=float) + "\n")
-        with open(os.path.join(ckdir, f"lineage_{step:05d}.json"), "w") as f:
-            json.dump(lineage, f, default=float)
+        already = any(
+            m["superstep"] == step and m.get("_logged") for m in metrics
+        )
+        if not already:
+            with open(os.path.join(ckdir, "metrics.jsonl"), "a") as f:
+                for m in metrics:
+                    if m["superstep"] == step:
+                        f.write(json.dumps(m, default=float) + "\n")
+                        m["_logged"] = True
+        if durable:
+            with open(os.path.join(ckdir, f"lineage_{step:05d}.json"), "w") as f:
+                json.dump(lineage, f, default=float)
 
     def _prune_checkpoints(self, ckdir, step, keep=2, tname: str | None = None) -> None:
         """Keep the newest `keep` checkpoints; drop older tables + files."""

@@ -61,3 +61,45 @@ def test_resume_mid_iteration_equals_uninterrupted(spark):
     assert len(seen) == len(metrics)
     for m in metrics:
         assert {"messages_received", "active_vertices", "skew_ratio", "checkpoint_path"} <= set(m)
+
+
+def test_checkpoint_every_cadence_and_resume(spark):
+    """checkpoint_every=k: identical scores, durable lineage only on the
+    cadence (+ final step), and resume replays only the steps after the
+    newest durable checkpoint."""
+    v, e = toy_graph(spark)
+
+    full, _ = pagerank(spark, v, e, num_partitions=8, fixed_steps=10)
+    want = {r["id"]: r["score"] for r in full.collect()}
+
+    ck = tempfile.mkdtemp(prefix="cadence_test_")
+    got_df, metrics = pagerank(
+        spark, v, e, num_partitions=8, fixed_steps=10,
+        checkpoint_dir=ck, checkpoint_every=4,
+    )
+    got = {r["id"]: r["score"] for r in got_df.collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    lineage_steps = sorted(
+        int(f[len("lineage_"):-len(".json")])
+        for f in os.listdir(ck) if f.startswith("lineage_")
+    )
+    # cadence steps 4, 8 plus the final step 10; prune keeps the newest 2
+    assert lineage_steps == [8, 10], lineage_steps
+    # off-cadence metrics rows carry no durable path, cadence rows do
+    by_step = {}
+    for m in metrics:
+        by_step.setdefault(m["superstep"], set()).add(bool(m["checkpoint_path"]))
+    assert by_step[4] == {True} and by_step[8] == {True} and by_step[10] == {True}
+    assert by_step[5] == {False} and by_step[9] == {False}
+
+    # resume from step 10 (final durable) with 2 more steps
+    more, m2 = pagerank(
+        spark, v, e, num_partitions=8, fixed_steps=12,
+        checkpoint_dir=ck, resume=True, checkpoint_every=4,
+    )
+    ref12, _ = pagerank(spark, v, e, num_partitions=8, fixed_steps=12)
+    want12 = {r["id"]: r["score"] for r in ref12.collect()}
+    got12 = {r["id"]: r["score"] for r in more.collect()}
+    for k in want12:
+        assert abs(got12[k] - want12[k]) < 1e-9, k
