@@ -83,6 +83,18 @@ def q_labelprop_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.orderBy("id")
 
 
+def q_sssp_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the min-id vertex, bounded at 64 supersteps —
+    the kernel's min-plus program; the oracle's recursive CTE implements the
+    identical bound (no unroll-depth assumption)."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp
+
+    v, e = supply_graph(spark, sf_dir)
+    src = int(v.agg(F.min("id")).collect()[0][0])
+    d, _ = sssp(spark, v, e, source=src, max_hops=64, num_partitions=16)
+    return d.orderBy("id")
+
+
 def q_degree_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, e = supply_graph(spark, sf_dir)
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
@@ -289,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_supply": q_pagerank_supply,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
+        "sssp_supply": q_sssp_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
         "match_path3_ring": q_match_path3_ring,
@@ -484,6 +497,15 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_supply": _pagerank_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
+        "sssp_supply": f"""
+WITH RECURSIVE {SUPPLY_EDGES.strip().rstrip(',')},
+reach AS (
+  SELECT (SELECT min(id) FROM verts) AS id, 0 AS dist
+  UNION
+  SELECT e.dst AS id, r.dist + 1
+  FROM reach r JOIN edges e ON r.id = e.src
+  WHERE r.dist < 64)
+SELECT id, min(dist) AS dist FROM reach GROUP BY id ORDER BY id""",
         "degree_distribution_supply": f"""
 WITH {SUPPLY_EDGES.strip().rstrip(',')}
 SELECT degree, count(*) AS n_vertices FROM (

@@ -20,7 +20,7 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
-    p.add_argument("--algo", required=True, choices=["pagerank", "cc", "lp", "triangles", "match"])
+    p.add_argument("--algo", required=True, choices=["pagerank", "cc", "lp", "sssp", "triangles", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -35,6 +35,9 @@ def parse_args(argv):
     p.add_argument("--prune", default="off", choices=["on", "off"],
                    help="prefix column pruning + factorized counting (match)")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
+    p.add_argument("--source", type=int, default=None,
+                   help="source vertex for --algo sssp (default: min id)")
+    p.add_argument("--max-hops", type=int, default=64, help="sssp superstep bound")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--checkpoint-dir")
@@ -114,6 +117,20 @@ def main(argv=None):
 
         result, metrics = label_propagation(
             spark, vertices, edges, rounds=args.rounds, num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "sssp":
+        from pyspark.sql import functions as F
+
+        from subgraph_isomorphism_pregel_spark.operators.sssp import sssp
+
+        src = args.source
+        if src is None:
+            src = int(vertices.agg(F.min("id")).collect()[0][0])
+        result, metrics = sssp(
+            spark, vertices, edges, source=src, max_hops=args.max_hops,
+            num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             checkpoint_every=args.checkpoint_every,
         )

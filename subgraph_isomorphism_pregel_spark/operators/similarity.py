@@ -110,13 +110,25 @@ def embedding_dup_pairs_lsh(
         h = F.md5(F.concat(F.lit(f"{pl}:"), F.col("pos").cast("string")))
         return F.substring(h, 1, 1).isin(*"89abcdef")
 
-    dots = q.groupBy("vec_id").agg(
+    # the Rademacher sign depends only on (plane, pos): dim rows, not
+    # n·dim — materialize the tiny sign table once and broadcast-join it,
+    # instead of recomputing n_planes md5 hashes per exploded data row
+    signs = q.select("pos").distinct().select(
+        "pos",
         *[
-            F.sum(F.when(sgn_is_pos(pl), F.col("qv")).otherwise(-F.col("qv"))).alias(
-                f"dot{pl}"
-            )
+            F.when(sgn_is_pos(pl), F.lit(1)).otherwise(F.lit(-1)).alias(f"s{pl}")
             for pl in range(n_planes)
-        ]
+        ],
+    )
+    dots = (
+        q.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.col("qv") * F.col(f"s{pl}")).alias(f"dot{pl}")
+                for pl in range(n_planes)
+            ]
+        )
     )
     band_cols = []
     for b in range(bands):

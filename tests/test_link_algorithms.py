@@ -105,3 +105,29 @@ def test_partitioning_invariance(spark):
     for other in results[1:]:
         assert set(other) == set(results[0])
         assert all(abs(other[k] - results[0][k]) < 1e-9 for k in other)
+
+
+def test_sssp_matches_bfs_oracle(spark, graph):
+    from collections import deque
+
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp
+
+    v, e, vs, es = graph
+    src = min(vs)
+    dist_df, metrics = sssp(spark, v, e, source=src, max_hops=64, num_partitions=8)
+    got = {r["id"]: r["dist"] for r in dist_df.collect()}
+
+    adj = {u: [] for u in vs}
+    for a, b in es:
+        adj[a].append(b)
+    want = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        for w in adj[u]:
+            if w not in want:
+                want[w] = want[u] + 1
+                dq.append(w)
+    assert got == want  # unreached vertices carry no row on either side
+    # converged (frontier emptied) well before the 64-step bound
+    assert max(m["superstep"] for m in metrics) <= max(want.values()) + 1
