@@ -420,12 +420,15 @@ class Pregel:
 
         checkpoint_every=k writes the DURABLE bucketed state table only on
         supersteps divisible by k (plus the final step); intermediate steps
-        keep state as a persisted pid-hash-partitioned DataFrame instead — the
-        cogroups stay exchange-free (HashPartitioning(pid, P) on both sides)
-        while skipping the parquet round-trip + catalog commit, the dominant
-        per-step fixed cost. The logical plan doubles per non-durable step
-        (state is referenced by both cogroups), so keep k modest (≤8); resume
-        restarts from the newest durable step and replays at most k-1 steps.
+        keep state as a persisted pid-hash-partitioned DataFrame instead (the
+        cogroups stay exchange-free — HashPartitioning(pid, P) on both
+        sides). This is a DURABILITY-CADENCE knob, not a local speedup: the
+        logical plan doubles per non-durable step (state feeds both
+        cogroups), and on this host's page-cache-fast local disk k>1 measured
+        SLOWER than the per-step parquet round-trip — reach for it only when
+        the checkpoint filesystem is slow relative to recompute (e.g. object
+        storage), and keep k small (≤4). Resume restarts from the newest
+        durable step and replays at most k-1 steps.
         """
         state_schema = "pid int, " + program.state_schema
         if checkpoint_dir is None:
@@ -629,10 +632,14 @@ class Pregel:
             )
             self._prune_checkpoints(checkpoint_dir, step, keep=keep_checkpoints, tname=tname)
 
-        # release the cached structure blocks; files stay on disk so the
-        # returned scan (a zero-exchange bucketed join of the static ids with
-        # the final state) keeps working
+        # release the cached structure AND final-state blocks; files stay on
+        # disk so the returned scan (a zero-exchange bucketed join of the
+        # static ids with the final state) keeps working. Leaving the final
+        # state persisted would leak one cache entry per run() — and the
+        # CacheManager compares every later persist/lookup against every
+        # cached plan, so leaked entries slow the whole session down.
         struct_tbl.unpersist()
+        state_tbl.unpersist()
         final = struct_tbl.select("pid", "ids").join(state_tbl, "pid")
         return final, metrics
 

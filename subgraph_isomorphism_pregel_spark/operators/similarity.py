@@ -146,24 +146,34 @@ def embedding_dup_pairs_lsh(
         cand = pp if cand is None else cand.unionByName(pp)
     cand = cand.distinct()
 
-    # exact cosine verification restricted to candidate pairs (same verified
-    # formula as the brute-force baseline)
-    pn = _norm_pairs(emb)
-    a = pn.select(
-        F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("av"), F.col("norm").alias("an")
+    # exact cosine verification restricted to candidate pairs — the dot
+    # product stays JVM-side as one codegen zip_with/aggregate per pair (one
+    # row per candidate), instead of exploding |pair| * dim rows through a
+    # shuffle-groupBy (same positional double sum the SQL twin computes)
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
     )
-    bb = pn.select(
-        F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("bv"), F.col("norm").alias("bn")
+    a = ev.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("an")
+    )
+    bb = ev.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("bn")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
         cand.join(a, "vec_a")
-        .join(bb, ["vec_b", "pos"])
-        .groupBy("vec_a", "vec_b", "an", "bn")
-        .agg(F.sum(F.col("av") * F.col("bv")).alias("dot"))
+        .join(bb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(F.col("dot") / (F.col("an") * F.col("bn")), 6).alias("cos"),
+            F.round(dot / (F.col("an") * F.col("bn")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")
