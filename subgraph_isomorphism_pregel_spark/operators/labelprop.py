@@ -24,28 +24,32 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         return {"lab": part["ids"].astype(np.int64), "msgs_in": 0, "active": nv}
 
     def scatter(part, step, carry):
-        lab, indptr = part["lab"], part["indptr"]
-        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
-        if ind_pos.size == 0:
+        lab = part["lab"]
+        s_spos, s_dpos, s_bounds = part["s_spos"], part["s_dpos"], part["s_bounds"]
+        if s_dpos.size == 0:
             return None
-        outdeg = np.diff(indptr)
-        src_idx = np.repeat(np.arange(len(lab)), outdeg)
-        # pre-count (destination pid, dense position, label) triples so each
-        # (dst, label) pair ships at most once per source partition
-        triples = np.stack([ind_pid.astype(np.int64), ind_pos, lab[src_idx]], axis=1)
-        uniq, cnt = np.unique(triples, axis=0, return_counts=True)
-        dpid, d, l, c = uniq[:, 0].astype(np.int32), uniq[:, 1], uniq[:, 2], cnt
-        bounds = np.searchsorted(dpid, np.arange(P + 1))
-        rows = [
-            (
-                int(p),
-                d[bounds[p]:bounds[p + 1]].astype(np.int32),
-                l[bounds[p]:bounds[p + 1]],
-                c[bounds[p]:bounds[p + 1]].astype(np.int32),
+        # pre-count (dense destination position, label) pairs per destination
+        # partition so each (dst, label) pair ships at most once per source
+        # partition; the build-time scatter layout already groups edges by
+        # destination partition — unique runs per slice, no per-step sort of
+        # the static dpid array
+        rows = []
+        for p in range(P):
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
+            if hi <= lo:
+                continue
+            pairs = np.stack(
+                [s_dpos[lo:hi].astype(np.int64), lab[s_spos[lo:hi]]], axis=1
             )
-            for p in range(P)
-            if bounds[p + 1] > bounds[p]
-        ]
+            uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+            rows.append(
+                (
+                    int(p),
+                    uniq[:, 0].astype(np.int32),
+                    uniq[:, 1],
+                    cnt.astype(np.int32),
+                )
+            )
         return pd.DataFrame(rows, columns=["pid", "dpos", "lab", "cnt"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
@@ -82,7 +86,7 @@ def lp_program(P: int, rounds: int) -> VertexProgram:
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: step >= rounds,
-        struct_cols=("indptr", "ind_pid", "ind_pos"),
+        struct_cols=("s_spos", "s_dpos", "s_bounds"),
     )
 
 

@@ -188,6 +188,7 @@ def match_bsp_program(plan: QueryPlan, P: int) -> VertexProgram:
         update=update,
         stats=[("nemb", F.max), ("msgs_in", F.max), ("active", F.max)],
         converged=lambda srow, step: step >= len(sched),
+        struct_cols=("ids", "labels", "indptr", "indices", "ind_pid"),
     )
 
 

@@ -52,26 +52,25 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
 
     def scatter(part, step, carry):
         rank, indptr = part["rank"], part["indptr"]
-        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
-        outdeg = np.diff(indptr)
-        if ind_pos.size == 0:
+        s_spos, s_dpos = part["s_spos"], part["s_dpos"]
+        s_bounds = part["s_bounds"]
+        if s_dpos.size == 0:
             return None
-        per_edge = np.repeat(np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0), outdeg)
+        outdeg = np.diff(indptr)
+        rate = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
         # ONE row per destination partition carrying packed (position, value)
         # arrays — the Spark analog of the reference's one-payload-per-worker
         # multicast batching (/root/reference/src/basic/Vertex.h:102-106,
-        # vecs.h:75-79). Destinations are addressed by their dense position in
-        # the destination block (build-time renumbering), so the per-block
-        # pre-aggregation is a plain bincount: no sorting, no id search.
-        order = np.argsort(ind_pid, kind="stable")
-        pid_s, pos_s, val_s = ind_pid[order], ind_pos[order], per_edge[order]
-        bounds = np.searchsorted(pid_s, np.arange(P + 1))
+        # vecs.h:75-79). Edges live in the build-time SCATTER LAYOUT (sorted
+        # by destination partition, with dense destination positions), so the
+        # per-block pre-aggregation is a slice + bincount: no per-step sort,
+        # no id search — nothing O(E log E) in the superstep.
         rows = []
         for p in range(P):
-            lo, hi = bounds[p], bounds[p + 1]
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
             if hi <= lo:
                 continue
-            dense = np.bincount(pos_s[lo:hi], weights=val_s[lo:hi])
+            dense = np.bincount(s_dpos[lo:hi], weights=rate[s_spos[lo:hi]])
             nz = np.nonzero(dense)[0]
             # positions are dense block offsets — int32 halves their bytes
             # through the message shuffle
@@ -124,7 +123,7 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
         ],
         carry_fn=carry_fn,
         converged=converged,
-        struct_cols=("indptr", "ind_pid", "ind_pos"),
+        struct_cols=("indptr", "s_spos", "s_dpos", "s_bounds"),
     )
 
 

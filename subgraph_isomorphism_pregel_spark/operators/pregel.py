@@ -66,9 +66,13 @@ from pyspark.sql import functions as F
 
 BASE_SCHEMA = (
     "pid int, ids array<long>, labels array<int>, indptr array<long>, "
-    "indices array<long>, ind_pid array<int>, ind_pos array<int>"
+    "indices array<long>, ind_pid array<int>, ind_pos array<int>, "
+    "s_spos array<int>, s_dpos array<int>, s_bounds array<long>"
 )
-STRUCT_ONLY = ("labels", "indptr", "indices", "ind_pid", "ind_pos")
+STRUCT_ONLY = (
+    "labels", "indptr", "indices", "ind_pid", "ind_pos",
+    "s_spos", "s_dpos", "s_bounds",
+)
 
 
 def _np(col) -> np.ndarray:
@@ -152,11 +156,23 @@ def build_parts(
             np.add.at(counts, pos + 1, 1)
             indptr = np.cumsum(counts)
             indices = dst
+            # SCATTER LAYOUT: the same edges pre-sorted by destination
+            # partition, with each edge's source POSITION. Scatter programs
+            # walk per-destination slices directly (s_bounds), so no
+            # per-superstep argsort of the static dpid array ever happens —
+            # it would be an O(E log E) sort of static data EVERY step.
+            order2 = np.argsort(dpid, kind="stable")
+            s_spos = pos[order2].astype(np.int32)
+            s_dpos = dpos[order2]
+            s_bounds = np.searchsorted(dpid[order2], np.arange(P + 1)).astype(np.int64)
         else:
             indptr = np.zeros(len(ids) + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
             dpid = np.empty(0, dtype=np.int32)
             dpos = np.empty(0, dtype=np.int32)
+            s_spos = np.empty(0, dtype=np.int32)
+            s_dpos = np.empty(0, dtype=np.int32)
+            s_bounds = np.zeros(P + 1, dtype=np.int64)
         return pd.DataFrame(
             {
                 "pid": [pid],
@@ -166,6 +182,9 @@ def build_parts(
                 "indices": [indices],
                 "ind_pid": [dpid],
                 "ind_pos": [dpos],
+                "s_spos": [s_spos],
+                "s_dpos": [s_dpos],
+                "s_bounds": [s_bounds],
             }
         )
 
@@ -284,6 +303,7 @@ def add_vertices(
         order = np.lexsort((all_dst, all_spos))
         counts = np.zeros(len(new_ids) + 1, dtype=np.int64)
         np.add.at(counts, all_spos + 1, 1)
+        order2 = np.argsort(all_dpid, kind="stable")
         return pd.DataFrame(
             {
                 "pid": [pid],
@@ -293,6 +313,11 @@ def add_vertices(
                 "indices": [all_dst[order]],
                 "ind_pid": [all_dpid[order]],
                 "ind_pos": [all_dpos[order]],
+                "s_spos": [all_spos[order2].astype(np.int32)],
+                "s_dpos": [all_dpos[order2].astype(np.int32)],
+                "s_bounds": [
+                    np.searchsorted(all_dpid[order2], np.arange(P + 1)).astype(np.int64)
+                ],
             }
         )
 

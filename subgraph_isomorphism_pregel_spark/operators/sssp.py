@@ -43,34 +43,30 @@ def sssp_program(source: int, P: int) -> VertexProgram:
         }
 
     def scatter(part, step, carry):
-        dist, indptr = part["dist"], part["indptr"]
-        ind_pid, ind_pos = part["ind_pid"], part["ind_pos"]
+        dist = part["dist"]
+        s_spos, s_dpos, s_bounds = part["s_spos"], part["s_dpos"], part["s_bounds"]
         changed = part["changed"].astype(bool)
-        if not changed.any() or ind_pos.size == 0:
+        if not changed.any() or s_dpos.size == 0:
             return None
-        outdeg = np.diff(indptr)
-        src_idx = np.repeat(np.arange(len(dist)), outdeg)
-        mask = changed[src_idx]
-        if not mask.any():
-            return None
-        dpid = ind_pid[mask]
-        dpos = ind_pos[mask]
-        val = dist[src_idx][mask] + 1
         # partition-local min-combine by dense destination position, ONE
-        # packed row per destination partition (multicast batching)
-        order = np.argsort(dpid, kind="stable")
-        dpid_s, dpos_s, val_s = dpid[order], dpos[order], val[order]
-        bounds = np.searchsorted(dpid_s, np.arange(P + 1))
+        # packed row per destination partition (multicast batching); edges
+        # sit in the build-time scatter layout — slice + mask, no per-step sort
         rows = []
         for p in range(P):
-            lo, hi = bounds[p], bounds[p + 1]
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
             if hi <= lo:
                 continue
-            block_pos = dpos_s[lo:hi]
+            sp = s_spos[lo:hi]
+            m = changed[sp]
+            if not m.any():
+                continue
+            block_pos = s_dpos[lo:hi][m]
             mins = np.full(int(block_pos.max()) + 1, SENTINEL)
-            np.minimum.at(mins, block_pos, val_s[lo:hi])
+            np.minimum.at(mins, block_pos, dist[sp[m]] + 1)
             nz = np.nonzero(mins != SENTINEL)[0]
             rows.append((int(p), nz.astype(np.int32), mins[nz]))
+        if not rows:
+            return None
         return pd.DataFrame(rows, columns=["pid", "dpos", "dist"])
 
     def update(part, inbox: pd.DataFrame, step, carry):
@@ -102,7 +98,7 @@ def sssp_program(source: int, P: int) -> VertexProgram:
         update=update,
         stats=[("msgs_in", F.sum), ("active", F.sum)],
         converged=lambda srow, step: int(srow["active"] or 0) == 0,
-        struct_cols=("indptr", "ind_pid", "ind_pos"),
+        struct_cols=("s_spos", "s_dpos", "s_bounds"),
     )
 
 
