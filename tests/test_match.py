@@ -219,3 +219,51 @@ def test_relabeling_invariance(spark):
         assert m2.count(qv, qe) == 4
     finally:
         m2.unpersist()
+
+
+def test_randomized_query_shapes_vs_oracle(spark):
+    """Fuzz the planner/matcher over RANDOM connected query graphs (3-5
+    vertices, 3 labels) — the fixed-shape tests above can miss interactions
+    between pseudo counting, deferral shapes, pruning, and backward edges;
+    random trees + random extra edges walk the shape space."""
+    rng = random.Random(20260816)
+    n, p, n_labels = 24, 0.18, 3
+    vs = {i: rng.randrange(n_labels) for i in range(n)}
+    es = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+
+    def random_query():
+        k = rng.randrange(3, 6)
+        qv = {i: rng.randrange(n_labels) + ord("0") for i in range(k)}
+        # random spanning tree keeps it connected
+        qe = set()
+        for i in range(1, k):
+            parent = rng.randrange(i)
+            qe |= {(i, parent), (parent, i)}
+        # sprinkle extra (backward) edges
+        for _ in range(rng.randrange(0, 3)):
+            a, b = rng.sample(range(k), 2)
+            qe |= {(a, b), (b, a)}
+        return qv, qe
+
+    # labels in the data graph are 0..2; map query labels back onto them
+    try:
+        for trial in range(12):
+            qv, qe = random_query()
+            qv = {u: (l - ord("0")) for u, l in qv.items()}
+            want = match_count_oracle(vs, es, qv, qe)
+            got_plain = m.count(qv, qe, pseudo=False)
+            got_pseudo = m.count(qv, qe, pseudo=True)
+            got_pruned = m.count(qv, qe, pseudo=True, prune=True)
+            assert got_plain == want, (trial, qv, qe, got_plain, want)
+            assert got_pseudo == want, (trial, qv, qe, got_pseudo, want)
+            assert got_pruned == want, (trial, qv, qe, got_pruned, want)
+    finally:
+        m.unpersist()
