@@ -733,7 +733,7 @@ FROM hx ORDER BY media_id""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n,
-       sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS total_value
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "sessionize_events": """
 WITH o AS (
@@ -742,13 +742,14 @@ WITH o AS (
   FROM events),
 s AS (
   SELECT user_id, event_id, ts, value,
-         sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+         CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_no
   FROM o)
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS first_ts, max(ts) AS last_ts,
-       sum(CAST(floor(value * 1000000.0) AS BIGINT)) / 1000000.0 AS total_value
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
 FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
         "match_embeddings_path3_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}

