@@ -11,8 +11,9 @@ DataFrame whose column names match the oracle SQL exactly.
 deterministic graph constructions (bipartite supply graph from lineitem,
 arithmetic labeled ring graph over part's key space) written identically in
 SQL CTEs; iterative algorithms are unrolled to their fixed step counts.
-Approximate/non-SQL ops (LSH ANN) are intentionally omitted -> rows-only
-check.
+Every gated query has an exact oracle — including the ANN path, whose
+hyperplanes are md5-Rademacher signs over quantized int64 dots precisely so
+DuckDB can replay them.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagat
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
 from subgraph_isomorphism_pregel_spark.operators.similarity import (
+    ann_topk_lsh,
     cosine_topk,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
@@ -254,8 +256,11 @@ def q_embedding_dups_lsh(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # approximate — rows-only check (no SQL oracle by design)
-    return lsh_topk(_emb(spark, sf_dir), k=3)
+    """ANN top-k restricted to deterministic hyperplane-LSH buckets —
+    oracle-checked exactly (quantized int64 dots + md5 Rademacher signs,
+    JVM zip_with cosine, row_number rank). The Philox/numpy-GEMM variant
+    (lsh_topk) keeps its pytest recall check."""
+    return ann_topk_lsh(_emb(spark, sf_dir), k=3, n_planes=6)
 
 
 def q_media_meta(spark, sf_dir):
@@ -275,6 +280,48 @@ def q_sessionize_events(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize(ev, gap_minutes=30)
+
+
+def q_icetable_docs(spark, sf_dir):
+    """Iceberg-style source, driver-gated: write documents as a lang-
+    partitioned snapshot table (even doc_ids = snapshot 1, odd appended as
+    snapshot 2), then read back through the manifest — time travel to
+    snapshot 1 AND a planning-time-pruned read of lang='en' at the current
+    snapshot. Aggregates must equal the same SQL over the original table:
+    verifies the write/append/manifest round trip, snapshot isolation, and
+    pruning correctness (the pruned read still sees BOTH halves)."""
+    import shutil
+    import tempfile
+
+    from subgraph_isomorphism_pregel_spark.sources.icetable import (
+        append_table,
+        read_table,
+        write_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="icetable_gate_")
+    try:
+        write_table(docs.where(F.col("doc_id") % 2 == 0), path, partition_by="lang")
+        append_table(docs.where(F.col("doc_id") % 2 == 1), path)
+
+        def agg(df, snap):
+            return df.groupBy("lang").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum("doc_id").alias("sum_id"),
+            ).select(F.lit(snap).alias("snap"), "lang", "n_docs", "total_chars", "sum_id")
+
+        out = agg(read_table(spark, path, snapshot_id=1), "snap1").unionByName(
+            agg(read_table(spark, path, partition_filter="en"), "current_en")
+        ).orderBy("snap", "lang")
+        # materialize before the table files are removed (result is tiny)
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "snap string, lang string, n_docs long, total_chars long, sum_id long"
+        ).orderBy("snap", "lang")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_match_embeddings_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_meta": q_media_meta,
+        "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
         "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
@@ -490,6 +538,44 @@ scored AS (
   GROUP BY c.vec_a, c.vec_b, an.norm, bn.norm)
 SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {threshold}
 ORDER BY vec_a, vec_b"""
+
+
+def _ann_lsh_sql(k: int = 3, n_planes: int = 6) -> str:
+    """DuckDB twin of ann_topk_lsh: single-bucket deterministic hyperplane
+    LSH + exact in-bucket cosine + row_number top-k."""
+    hexhi = "'8','9','a','b','c','d','e','f'"
+    dot_exprs = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5('{pl}:' || CAST(pos AS VARCHAR)), 1, 1) IN ({hexhi})"
+        f" THEN qv ELSE -qv END) AS dot{pl}"
+        for pl in range(n_planes)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN dot{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+    return f"""
+WITH {EMB_PAIRS.strip().rstrip(',')},
+qq AS (SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p),
+dots AS MATERIALIZED (SELECT vec_id,
+         {dot_exprs}
+  FROM qq GROUP BY vec_id),
+bkt AS MATERIALIZED (SELECT vec_id, {bucket_expr} AS bucket FROM dots),
+scored AS (
+  SELECT qa.vec_id AS query_id, nb.vec_id AS neighbor_id,
+         round(sum(a.val * b.val) / (an.norm * bn.norm), 6) AS cos
+  FROM bkt qa
+  JOIN bkt nb ON qa.bucket = nb.bucket AND qa.vec_id <> nb.vec_id
+  JOIN p a ON a.vec_id = qa.vec_id
+  JOIN p b ON b.vec_id = nb.vec_id AND a.pos = b.pos
+  JOIN norms an ON an.vec_id = qa.vec_id
+  JOIN norms bn ON bn.vec_id = nb.vec_id
+  GROUP BY qa.vec_id, nb.vec_id, an.norm, bn.norm),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -710,6 +796,7 @@ GROUP BY a.vec_id, b.vec_id, an.norm, bn.norm
 HAVING round(sum(a.val * b.val) / (an.norm * bn.norm), 6) >= 0.4
 ORDER BY vec_a, vec_b""",
         "embedding_dups_lsh": _emb_lsh_sql(threshold=0.4),
+        "ann_lsh_topk": _ann_lsh_sql(k=3, n_planes=6),
         # stub decode: width/height are bytes 1-2 of sha256(payload); utf-8
         # encoded text can never start with the PNG/JPEG magic bytes, so
         # format is constant 'raw' on this table
@@ -730,6 +817,17 @@ SELECT media_id, n_bytes, sha AS sha256,
        CAST(1 + 16 * h3 + h4 AS INT) AS height,
        'raw' AS format
 FROM hx ORDER BY media_id""",
+        "icetable_docs": """
+SELECT 'snap1' AS snap, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+UNION ALL
+SELECT 'current_en' AS snap, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM documents WHERE lang = 'en' GROUP BY lang
+ORDER BY snap, lang""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n,

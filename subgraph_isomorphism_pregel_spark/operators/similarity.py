@@ -77,27 +77,11 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int | None = 20) -> DataF
     )
 
 
-def embedding_dup_pairs_lsh(
-    emb: DataFrame,
-    threshold: float = 0.95,
-    bands: int = 4,
-    rows_per_band: int = 4,
-) -> DataFrame:
-    """(vec_a, vec_b, cos): near-duplicate pairs by embedding — the SCALE
-    path. Banded random-hyperplane LSH generates candidate pairs; exact
-    cosine verifies ONLY candidates. No all-pairs join anywhere: work is
-    O(n · planes + candidate pairs), so it survives 10^9 vectors where the
-    brute-force `embedding_dup_pairs` (kept as the small-n oracle baseline)
-    is O(n^2) and dead.
-
-    Deterministic + engine-exact so a DuckDB oracle reproduces it
-    bit-for-bit: values quantize to int64 (floor(val * 2^20) — one IEEE
-    multiply identical everywhere), hyperplane signs are Rademacher ±1
-    derived from md5(plane:pos), dot products are exact integer sums (no
-    float order-dependence), and the sign bits fold into `bands` bucket
-    keys. Recall for a pair at cosine c is 1-(1-p^r)^b with
-    p = 1 - acos(c)/pi (~0.98 at c=0.95 with 4x4)."""
-    n_planes = bands * rows_per_band
+def _rademacher_dots(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, dot0..dot{n_planes-1}): EXACT int64 signed projections of
+    the 2^20-quantized vector onto md5-derived Rademacher hyperplanes —
+    deterministic and engine-exact, so DuckDB reproduces them bit-for-bit
+    (integer sums are associative; no float order-dependence)."""
     p = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
@@ -120,7 +104,7 @@ def embedding_dup_pairs_lsh(
             for pl in range(n_planes)
         ],
     )
-    dots = (
+    return (
         q.join(F.broadcast(signs), "pos")
         .groupBy("vec_id")
         .agg(
@@ -130,6 +114,30 @@ def embedding_dup_pairs_lsh(
             ]
         )
     )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-duplicate pairs by embedding — the SCALE
+    path. Banded random-hyperplane LSH generates candidate pairs; exact
+    cosine verifies ONLY candidates. No all-pairs join anywhere: work is
+    O(n · planes + candidate pairs), so it survives 10^9 vectors where the
+    brute-force `embedding_dup_pairs` (kept as the small-n oracle baseline)
+    is O(n^2) and dead.
+
+    Deterministic + engine-exact so a DuckDB oracle reproduces it
+    bit-for-bit: values quantize to int64 (floor(val * 2^20) — one IEEE
+    multiply identical everywhere), hyperplane signs are Rademacher ±1
+    derived from md5(plane:pos), dot products are exact integer sums (no
+    float order-dependence), and the sign bits fold into `bands` bucket
+    keys. Recall for a pair at cosine c is 1-(1-p^r)^b with
+    p = 1 - acos(c)/pi (~0.98 at c=0.95 with 4x4)."""
+    n_planes = bands * rows_per_band
+    dots = _rademacher_dots(emb, n_planes)
     band_cols = []
     for b in range(bands):
         key = F.lit(0)
@@ -200,6 +208,64 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         )
         .where(F.col("cos") >= threshold)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def ann_topk_lsh(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): approximate top-k cosine
+    neighbors restricted to each vector's single deterministic
+    hyperplane-LSH bucket — the ORACLE-CHECKED ANN path.
+
+    Same determinization as embedding_dup_pairs_lsh (2^20-quantized int64
+    dots against md5-Rademacher hyperplanes), with the n_planes sign bits
+    folded into ONE bucket key; candidates are scored with an exact
+    JVM-side zip_with/aggregate cosine (rounded to 6dp BEFORE ranking) and
+    ranked per query by row_number over (cos desc, neighbor_id asc). Every
+    step is a deterministic relational expression, so a DuckDB twin
+    reproduces the result exactly — unlike lsh_topk, whose Philox
+    hyperplanes + per-bucket numpy GEMM get a rows-only check. Vectors
+    alone in their bucket yield no rows (same as lsh_topk).
+
+    Scale: work is one broadcast sign join + one groupBy per vector plus
+    O(sum of bucket size^2) candidate scoring — never all-pairs; bucket
+    count (2^n_planes) grows with the corpus via n_planes."""
+    dots = _rademacher_dots(emb, n_planes)
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket + F.when(F.col(f"dot{j}") > 0, 1 << j).otherwise(0)
+    bkt = dots.select("vec_id", bucket.alias("bucket"))
+
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    ).join(bkt, "vec_id")
+    qa = ev.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    nb = ev.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        qa.join(nb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
     )
 
 
