@@ -31,6 +31,7 @@ Counts equal the reference's "Mapping count" (README.md:83: toy graph +
 from __future__ import annotations
 
 import math
+from itertools import combinations, product
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +46,23 @@ def _perm_expr(cnt_col, k: int):
     for j in range(1, k):
         expr = expr * (cnt_col - F.lit(j))
     return expr
+
+
+def _compositions(k: int, bins: int):
+    """All ways to write k as an ordered sum of `bins` non-negative ints."""
+    if bins == 1:
+        yield (k,)
+        return
+    for first in range(k + 1):
+        for rest in _compositions(k - first, bins - 1):
+            yield (first,) + rest
+
+
+def _multinomial(k: int, parts) -> int:
+    r = math.factorial(k)
+    for t in parts:
+        r //= math.factorial(t)
+    return r
 
 
 class SubgraphMatcher:
@@ -212,81 +230,136 @@ class SubgraphMatcher:
         expansion never enumerated these leaves; here the multiplicative
         count is corrected algebraically instead of by cross-product pruning.
 
-        Per group (label l):
-        - each parent's candidate pool is n_nbrs(parent, l) minus every
-          mapped enumerated l-vertex adjacent to that parent;
-        - one parent, k leaves: falling factorial perm(pool, k);
-        - two parents (k=1 each): pool_a * pool_b - |common pool| where the
-          common-neighbor count is computed ONLY for the distinct mapped
-          parent pairs (aggregate-then-join, never per frontier row)."""
+        GENERAL shape (any number of parents, any multiplicities). Per group
+        (label l, parents p_1..p_m with k_i leaves each):
+
+        1. subset intersection counts c_S = |∩_{i∈S} N_l(p_i)| for every
+           non-empty S — singletons from the per-(vertex,label) count table;
+           |S|≥2 via an aggregate-then-join over the DISTINCT mapped parent
+           tuples (never a per-frontier-row expansion);
+        2. exact Venn-atom sizes by Möbius: n_A = Σ_{T⊇A} (-1)^{|T|-|A|} c_T,
+           then each mapped enumerated l-vertex is subtracted from the ONE
+           atom matching its exact parent-adjacency pattern (injectivity);
+        3. the number of injective leaf assignments expands at PLAN TIME
+           into a polynomial in the atom sizes:
+               Σ_dist Π_i multinomial(k_i; t_{i,A}) · Π_A P(n_A, Σ_i t_{i,A})
+           over all distributions of each parent's k_i leaves among the
+           atoms containing that parent (P = falling factorial). m=1 reduces
+           to perm(pool, k); m=2, k=1+1 reduces to |A||B| − |A∩B|.
+
+        Every step is a whole-stage-codegen Column expression per frontier
+        row plus O(2^m) small aggregate joins — no per-row Python, no
+        enumeration of the leaves."""
         for gi, g in enumerate(plan.deferred):
             lbl = g.label
-            pools = []
-            hits = []  # per parent: list of array_contains indicator Columns
-            for pi, (ppos, _k) in enumerate(g.parents):
+            m_parents = len(g.parents)
+            ks = [k for _, k in g.parents]
+            # bind parent images as named columns (name-based joins below)
+            pcols = []
+            for i, (ppos, _k) in enumerate(g.parents):
+                c = f"dgp{gi}_{i}"
+                f = f.withColumn(c, F.element_at(F.col("m"), slot(ppos)))
+                pcols.append(c)
+
+            # 1. subset intersection counts
+            csub: dict[frozenset, object] = {}
+            for i in range(m_parents):
                 nl = self.nbr_label_counts.where(
                     F.col("dst_label") == F.lit(lbl)
-                ).alias(f"dg{gi}_{pi}")
+                ).alias(f"dg{gi}_{i}")
                 f = f.join(
-                    nl,
-                    F.element_at(F.col("m"), slot(ppos))
-                    == F.col(f"dg{gi}_{pi}.nl_id"),
-                    "left",
+                    nl, F.col(pcols[i]) == F.col(f"dg{gi}_{i}.nl_id"), "left"
                 )
-                pool = F.coalesce(F.col(f"dg{gi}_{pi}.n_nbrs"), F.lit(0)).cast("long")
+                csub[frozenset([i])] = F.coalesce(
+                    F.col(f"dg{gi}_{i}.n_nbrs"), F.lit(0)
+                ).cast("long")
+            for size in range(2, m_parents + 1):
+                for S in combinations(range(m_parents), size):
+                    cname = f"dgc{gi}_" + "_".join(map(str, S))
+                    tup = f.select(*[F.col(pcols[i]) for i in S]).distinct()
+                    j = tup
+                    for idx, i in enumerate(S):
+                        ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                            F.col("src").alias(pcols[i]),
+                            F.col("dst").alias(f"__z{gi}"),
+                        )
+                        on = [pcols[i]] if idx == 0 else [pcols[i], f"__z{gi}"]
+                        j = j.join(ai, on)
+                    cn = j.groupBy(*[pcols[i] for i in S]).agg(
+                        F.count("*").alias(cname)
+                    )
+                    f = f.join(cn, [pcols[i] for i in S], "left")
+                    csub[frozenset(S)] = F.coalesce(F.col(cname), F.lit(0)).cast("long")
+
+            # witness adjacency indicators: is image(ep) a neighbor of p_i?
+            hits: list[list] = []
+            for i in range(m_parents):
                 ind = []
                 if g.enum_pos:
-                    al = self.adjlist.alias(f"dga{gi}_{pi}")
+                    al = self.adjlist.alias(f"dga{gi}_{i}")
                     f = f.join(
-                        al,
-                        F.element_at(F.col("m"), slot(ppos))
-                        == F.col(f"dga{gi}_{pi}.al_id"),
-                        "left",
+                        al, F.col(pcols[i]) == F.col(f"dga{gi}_{i}.al_id"), "left"
                     )
                     for ep in g.enum_pos:
-                        hit = F.array_contains(
-                            F.col(f"dga{gi}_{pi}.nbrs"),
-                            F.element_at(F.col("m"), slot(ep)),
+                        ind.append(
+                            F.coalesce(
+                                F.array_contains(
+                                    F.col(f"dga{gi}_{i}.nbrs"),
+                                    F.element_at(F.col("m"), slot(ep)),
+                                ),
+                                F.lit(False),
+                            )
                         )
-                        ind.append(hit)
-                        pool = pool - F.when(hit, 1).otherwise(0)
-                pools.append(pool)
                 hits.append(ind)
 
-            if len(g.parents) == 1:
-                k = g.parents[0][1]
-                f = f.where(pools[0] >= k).select(
-                    F.col("m"), (F.col("cnt") * _perm_expr(pools[0], k)).alias("cnt")
-                )
-            else:
-                (p1, _), (p2, _) = g.parents
-                x = F.element_at(F.col("m"), slot(p1))
-                y = F.element_at(F.col("m"), slot(p2))
-                # common-neighbor counts for the distinct mapped parent pairs
-                pairs = f.select(x.alias("x"), y.alias("y")).distinct()
-                a1 = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
-                    F.col("src").alias("x"), F.col("dst").alias("z")
-                )
-                a2 = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
-                    F.col("src").alias("y"), F.col("dst").alias("z")
-                )
-                cn = (
-                    pairs.join(a1, "x")
-                    .join(a2, ["y", "z"])
-                    .groupBy("x", "y")
-                    .agg(F.count("*").alias(f"t_raw_{gi}"))
-                )
-                f = f.join(cn, [x == cn["x"], y == cn["y"]], "left")
-                t = F.coalesce(F.col(f"t_raw_{gi}"), F.lit(0)).cast("long")
-                # an enumerated l-vertex adjacent to BOTH parents was
-                # subtracted from both pools AND sits in the common pool
-                for ep_i in range(len(g.enum_pos)):
-                    both = hits[0][ep_i] & hits[1][ep_i]
-                    t = t - F.when(both, 1).otherwise(0)
-                total = pools[0] * pools[1] - t
-                f = f.where(total > 0).select(
-                    F.col("m"), (F.col("cnt") * total).alias("cnt")
-                )
+            # 2. exact atom sizes (materialized as columns — each is
+            # referenced by many polynomial terms below)
+            atoms = [
+                frozenset(A)
+                for size in range(1, m_parents + 1)
+                for A in combinations(range(m_parents), size)
+            ]
+            atom_col: dict[frozenset, str] = {}
+            for A in atoms:
+                expr = None
+                for T in atoms:
+                    if A <= T:
+                        sign = (-1) ** (len(T) - len(A))
+                        term = csub[T] if sign > 0 else (-csub[T])
+                        expr = term if expr is None else (expr + term)
+                for ei in range(len(g.enum_pos)):
+                    exact = None
+                    for i in range(m_parents):
+                        c = hits[i][ei] if i in A else ~hits[i][ei]
+                        exact = c if exact is None else (exact & c)
+                    expr = expr - F.when(exact, 1).otherwise(0)
+                name = f"dgn{gi}_" + "_".join(map(str, sorted(A)))
+                f = f.withColumn(name, expr)
+                atom_col[A] = name
+
+            # 3. plan-time polynomial over distributions
+            per_parent_atoms = [[a for a in atoms if i in a] for i in range(m_parents)]
+            total = None
+            for joint in product(
+                *[
+                    list(_compositions(ks[i], len(per_parent_atoms[i])))
+                    for i in range(m_parents)
+                ]
+            ):
+                coeff = 1
+                T: dict[frozenset, int] = {a: 0 for a in atoms}
+                for i in range(m_parents):
+                    coeff *= _multinomial(ks[i], joint[i])
+                    for a, t in zip(per_parent_atoms[i], joint[i]):
+                        T[a] += t
+                term = F.lit(coeff).cast("long")
+                for a in atoms:
+                    if T[a]:
+                        term = term * _perm_expr(F.col(atom_col[a]), T[a])
+                total = term if total is None else (total + term)
+            f = f.where(total > 0).select(
+                F.col("m"), (F.col("cnt") * total).alias("cnt")
+            )
         return f
 
     def _apply_pseudo(self, f: DataFrame, node, slot_of=None) -> DataFrame:

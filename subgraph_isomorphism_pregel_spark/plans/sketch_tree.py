@@ -18,10 +18,14 @@ role of the reference's sketch tree (/root/reference/src/SItypes/SIQuery.h):
   assembly (`SIBranch.h:81-131,161-248`): expansion never enumerates it, and
   at the end of the plan the count is fixed up algebraically against the
   mapped same-label vertices (adjacency subtraction) and against same-label
-  leaves on OTHER branches (|A||B| − |A∩B| inclusion–exclusion). Supported
-  deferred shapes: all same-label leaves under one parent (any multiplicity,
-  falling-factorial count), or exactly two same-label leaves under two
-  parents; anything denser falls back to ordinary enumeration.
+  leaves on OTHER branches. GENERAL shapes are supported: any number of
+  parents with any per-parent leaf multiplicities — the matcher computes the
+  Venn-atom decomposition of the parents' label-l neighbor pools
+  (inclusion–exclusion over subset intersection counts) and expands the
+  exact injective-assignment count as a plan-time polynomial in the atom
+  sizes. Only astronomically dense groups (>4 distinct parents or >8 leaves
+  of one label, beyond anything in the reference's workloads) fall back to
+  ordinary enumeration.
 
 The plan is a tiny immutable object; the matcher broadcasts it implicitly in
 its join expressions (reference broadcasts the whole query graph,
@@ -51,10 +55,11 @@ class DeferredGroup:
     """Same-label leaves counted at plan end with conflict fix-up.
 
     parents: (parent position in the matching order, leaf multiplicity) —
-    one entry (single-parent falling factorial) or two entries with k=1 each
-    (cross-branch pair, |A||B| − |A∩B|).
+    any number of entries; the matcher counts injective assignments exactly
+    via the Venn-atom decomposition of the parents' neighbor pools.
     enum_pos: positions of ENUMERATED query vertices with this label; each
-    mapped image adjacent to a parent shrinks that parent's candidate pool.
+    mapped image adjacent to a parent shrinks that parent's candidate pool
+    (subtracted from its exact Venn atom).
     """
 
     label: int
@@ -130,10 +135,12 @@ def build_plan(
             by_parent: dict[int, int] = {}
             for u in leaves:
                 by_parent[next(iter(adj[u]))] = by_parent.get(next(iter(adj[u])), 0) + 1
-            one_parent = len(by_parent) == 1
-            two_singles = len(by_parent) == 2 and all(k == 1 for k in by_parent.values())
-            if not (one_parent or two_singles):
-                continue  # denser shape: enumerate these leaves normally
+            # the matcher's Venn-atom count handles ANY parent/multiplicity
+            # shape; bound the plan-time polynomial expansion (2^m atoms,
+            # compositions of each k) to keep generated expressions small —
+            # beyond the bound, enumerate these leaves normally
+            if len(by_parent) > 4 or sum(by_parent.values()) > 8:
+                continue
             # (a parent with deg 1 is necessarily the root of a 2-vertex
             # query — roots are always enumerated, so deferral stays valid)
             for u in leaves:

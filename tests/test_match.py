@@ -55,6 +55,34 @@ QUERIES = {
         {1: D, 2: C, 3: C, 4: C, 5: B},
         {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (4, 5), (5, 4)},
     ),
+    # GENERAL deferred shapes (round 3): three same-label leaves under three
+    # DIFFERENT parents on a path — previously fell back to enumeration, now
+    # the Venn-atom polynomial counts them deferred
+    "triple_b_leaves": (
+        {1: A, 2: C, 3: D, 4: B, 5: B, 6: B},
+        {(1, 2), (2, 1), (2, 3), (3, 2),
+         (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)},
+    ),
+    # two parents with UNEQUAL multiplicities (k=2 and k=1): two b-leaves on
+    # one parent, one b-leaf on the other
+    "b2_b1_two_parents": (
+        {1: A, 2: C, 3: B, 4: B, 5: B},
+        {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (2, 5), (5, 2)},
+    ),
+    # dense: 3 parents x 1 leaf each PLUS an enumerated same-label internal
+    # vertex (witness subtraction hits the exact Venn atoms)
+    "triple_d_leaves_with_d": (
+        {1: D, 2: A, 3: B, 4: D, 5: D, 6: D},
+        {(1, 2), (2, 1), (2, 3), (3, 2),
+         (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)},
+    ),
+    # one parent with THREE same-label leaves plus a same-label enumerated
+    # vertex elsewhere (falling factorial k=3 with witness)
+    "bbb_under_d": (
+        {1: D, 2: B, 3: B, 4: B, 5: B, 6: C},
+        {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1),
+         (1, 5), (5, 1), (5, 6), (6, 5)},
+    ),
 }
 
 
@@ -189,12 +217,32 @@ def test_plan_defers_nonunique_leaves():
     assert plan.deferred[0].parents[0][1] == 2
 
     # three same-label leaves across two parents: unsupported shape must
-    # fall back to enumeration and still count correctly
+    # two parents with UNEQUAL multiplicities now defers as a general group
+    # (round 2 fell back to enumeration here)
     qv = {1: D, 2: C, 3: C, 4: B, 5: C}
     qe = {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1), (4, 5), (5, 4)}
     plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert g.label == C and sorted(k for _, k in g.parents) == [1, 2]
+    assert len(plan.nodes) == 2  # only d and b enumerated
+
+    # three same-label leaves under three parents: one 3-parent group
+    qv, qe = QUERIES["triple_b_leaves"]
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert g.label == B and len(g.parents) == 3
+    assert all(k == 1 for _, k in g.parents)
+
+    # beyond the expansion bound (5 distinct parents) falls back cleanly
+    qv = {1: A, 2: C, 3: D, 4: C, 5: D} | {10 + i: B for i in range(5)}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4)}
+    for i, p in enumerate([1, 2, 3, 4, 5]):
+        qe |= {(p, 10 + i), (10 + i, p)}
+    plan = build_plan(qv, qe, order="degree")
     assert plan.deferred == ()
-    assert len(plan.nodes) == 5
+    assert len(plan.nodes) == 10  # everything enumerated
 
 
 def test_relabeling_invariance(spark):
@@ -240,8 +288,11 @@ def test_randomized_query_shapes_vs_oracle(spark):
     m = SubgraphMatcher(spark, v, e)
 
     def random_query():
-        k = rng.randrange(3, 6)
-        qv = {i: rng.randrange(n_labels) + ord("0") for i in range(k)}
+        k = rng.randrange(3, 7)
+        # half the trials use only 2 labels: forces same-label leaf groups
+        # under multiple parents (the general deferred shapes)
+        nl = rng.choice([2, n_labels])
+        qv = {i: rng.randrange(nl) + ord("0") for i in range(k)}
         # random spanning tree keeps it connected
         qe = set()
         for i in range(1, k):
