@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pregel import Pregel, VertexProgram, build_parts
+from .pregel import Pregel, VertexProgram, auto_partitions, build_parts
 
 
 def lp_program(P: int, rounds: int) -> VertexProgram:
@@ -102,11 +102,13 @@ def label_propagation(
     vertices: DataFrame,
     edges: DataFrame,
     rounds: int = 3,
-    num_partitions: int = 32,
+    num_partitions: int | None = 32,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
     parts = build_parts(spark, vertices, edges, num_partitions)
     kern = Pregel(spark, parts, num_partitions)
     final, metrics = kern.run(

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pregel import Pregel, VertexProgram, build_parts
+from .pregel import Pregel, VertexProgram, auto_partitions, build_parts
 
 DAMPING = 0.85
 
@@ -139,7 +139,7 @@ def pagerank(
     spark: SparkSession,
     vertices: DataFrame,
     edges: DataFrame,
-    num_partitions: int = 32,
+    num_partitions: int | None = 32,
     tol: float = 1e-6,
     max_steps: int = 100,
     fixed_steps: int | None = None,
@@ -147,7 +147,11 @@ def pagerank(
     resume: bool = False,
     checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
-    """End-to-end PageRank: (vertices, edges) -> ((id, score) DataFrame, metrics)."""
+    """End-to-end PageRank: (vertices, edges) -> ((id, score) DataFrame,
+    metrics). num_partitions=None sizes CSR blocks by edge volume
+    (auto_partitions) instead of core count."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
     n = vertices.count()
     n_dangling = n - edges.select("src").distinct().count()
     parts = build_parts(spark, vertices, edges, num_partitions)

@@ -80,11 +80,38 @@ def _np(col) -> np.ndarray:
     return np.asarray(col)
 
 
+def auto_partitions(
+    n_edges: int,
+    cores: int | None = None,
+    edges_per_partition: int = 150_000,
+    max_parts: int = 32768,
+) -> int:
+    """Size CSR blocks by DATA VOLUME, not core count.
+
+    Each superstep schedules O(P) tasks and two Python-UDF invocations per
+    block, so an oversized P turns small graphs into pure scheduling
+    overhead (measured at sf0.1, 1.18M edges on the same 32 cores:
+    P=32 -> 0.82 supersteps/s, P=8 -> 1.04); an undersized P starves cores
+    and overflows executor memory at scale. The local default targets
+    ~150k edges (~2-3 MB CSR) per block with a floor of min(cores, 8).
+
+    At cluster scale override edges_per_partition to target EXECUTOR MEMORY
+    instead: 8-32M edges (~0.1-0.5 GB CSR) per block, giving P >> total
+    cores (the classic 2-3-tasks-per-core rule) — e.g. a 10^12-edge graph
+    at 16M edges/block is P ≈ 62500 over ~1000 executors."""
+    import math as _math
+
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    want = max(1, _math.ceil(n_edges / edges_per_partition))
+    return int(min(max(want, min(int(cores), 8)), max_parts))
+
+
 def build_parts(
     spark: SparkSession,
     vertices: DataFrame,
     edges: DataFrame,
-    num_partitions: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Pack the graph into one CSR block per partition.
 
@@ -100,8 +127,12 @@ def build_parts(
     direct positional add, with no per-step id sorting or binary search.
 
     One shuffle each side plus one join, all one-off at build time.
+
+    num_partitions=None sizes blocks by edge volume (auto_partitions); the
+    algorithm entry points resolve this BEFORE calling so the kernel and the
+    program agree on P.
     """
-    P = num_partitions
+    P = num_partitions if num_partitions is not None else auto_partitions(edges.count())
     from pyspark.sql.window import Window
 
     v = vertices.withColumn("pid", F.pmod(F.col("id"), F.lit(P)).cast("int"))

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .pregel import Pregel, VertexProgram, build_parts
+from .pregel import Pregel, VertexProgram, auto_partitions, build_parts
 
 UNREACHED = -1
 
@@ -118,12 +118,14 @@ def sssp(
     edges: DataFrame,
     source: int,
     max_hops: int = 64,
-    num_partitions: int = 32,
+    num_partitions: int | None = 32,
     checkpoint_dir: str | None = None,
     resume: bool = False,
     checkpoint_every: int = 1,
 ) -> tuple[DataFrame, list[dict]]:
     """Hop distances from `source`, bounded at max_hops supersteps."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
     parts = build_parts(spark, vertices, edges, num_partitions)
     kern = Pregel(spark, parts, num_partitions)
     final, metrics = kern.run(

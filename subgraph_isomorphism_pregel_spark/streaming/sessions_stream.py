@@ -1,0 +1,158 @@
+"""Stateful streaming sessionization: applyInPandasWithState over events.
+
+The batch sessionizer (operators/sessions.py) is a window + conditional
+cumsum; THIS module is the custom stateful-operator form for unbounded
+streams — per-user session state lives in the state store, sessions close
+either by DATA EVIDENCE (a later event of the same user beyond the gap) or
+by EVENT-TIME TIMEOUT (the watermark passes last_ts + gap), and each closed
+session is appended to the sink exactly once.
+
+Semantics match the batch sessionize exactly (same session numbering by
+event time per user, same round-half-up micro-quantized total_value), so a
+drained stream's emitted sessions are a prefix-closed subset of the batch
+result: every session except each user's still-open final one whose timeout
+the final watermark has not yet passed. The test splits the events table
+into chronological files and drains with one-file-per-trigger so the
+watermark actually advances between microbatches.
+
+State per user: (next session number, open-session start/last micros,
+event count, value micros). All arithmetic is integer micros — engine-exact
+and identical to the batch path's fixed_point_sum quantization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+OUT_SCHEMA = (
+    "user_id long, session_no long, n_events long, "
+    "first_ts timestamp, last_ts timestamp, total_value double"
+)
+STATE_SCHEMA = (
+    "next_no long, open_start long, open_last long, open_n long, open_val long"
+)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_US = 1_000_000
+
+
+def _quant(v: float) -> int:
+    """floor(v * 1e6 + 0.5): the same round-half-up micro quantization as
+    functions.fixed_point_sum — one IEEE multiply, exact everywhere."""
+    import math
+
+    return int(math.floor(v * 1e6 + 0.5))
+
+
+def _session_fn(gap_us: int):
+    def fn(key: Tuple[Any], pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            next_no, o_start, o_last, o_n, o_val = state.get
+            has_open = o_n > 0
+        else:
+            next_no, o_start, o_last, o_n, o_val = 1, 0, 0, 0, 0
+            has_open = False
+
+        closed = []  # (session_no, start_us, last_us, n, val_micro)
+
+        if state.hasTimedOut:
+            # watermark passed open_last + gap: no event can extend it
+            if has_open:
+                closed.append((next_no, o_start, o_last, o_n, o_val))
+                next_no += 1
+                has_open = False
+                o_start = o_last = o_n = o_val = 0
+        else:
+            rows = [p for p in pdf_iter if len(p)]
+            if rows:
+                ev = pd.concat(rows).sort_values(["ts", "event_id"])
+                ts_us = (ev["ts"].astype("int64") // 1000).to_numpy()
+                vals = ev["value"].to_numpy()
+                for t, v in zip(ts_us, vals):
+                    t = int(t)  # GroupState round-trips through JSON: no numpy ints
+                    q = _quant(float(v))
+                    if has_open and t - o_last <= gap_us:
+                        o_last, o_n, o_val = t, o_n + 1, o_val + q
+                    else:
+                        if has_open:
+                            # definitively closed by this newer event
+                            closed.append((next_no, o_start, o_last, o_n, o_val))
+                            next_no += 1
+                        o_start, o_last, o_n, o_val = t, t, 1, q
+                        has_open = True
+
+        if has_open:
+            state.update((next_no, o_start, o_last, o_n, o_val))
+            # fire when the watermark proves the gap elapsed; must be
+            # strictly beyond the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((o_last + gap_us) // 1000 + 1, wm + 1))
+        else:
+            state.update((next_no, 0, 0, 0, 0))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(closed),
+                    "session_no": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "first_ts": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "last_ts": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "total_value": [c[4] / _US for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming (user_id, session_no, n_events, first_ts, last_ts,
+    total_value) in append mode — one row per CLOSED session."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return e.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60 * _US),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_availablenow_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    out_table: str = "stream_sessions",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain an events parquet directory as a stream (one file per trigger
+    so the watermark advances between microbatches; Spark's no-data final
+    microbatch then fires the remaining event-time timeouts) and return the
+    in-memory sink of closed sessions."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=gap_minutes, watermark=watermark)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(out_table)

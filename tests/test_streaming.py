@@ -1,5 +1,12 @@
 """Structured Streaming: availableNow drain of the events parquet must equal
-the batch aggregation (watermark + tumbling window plumbing)."""
+the batch aggregation (watermark + tumbling window plumbing), and the
+stateful sessionizer (applyInPandasWithState) must emit exactly the batch
+sessionizer's CLOSED sessions."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
 
 from subgraph_isomorphism_pregel_spark.streaming.windowed import (
     run_availablenow,
@@ -22,3 +29,67 @@ def test_stream_equals_batch(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """Drain events as a 2-file stream (one file per trigger, so the
+    watermark advances between microbatches and the final no-data batch
+    fires remaining event-time timeouts). Emitted rows must EXACTLY equal
+    the batch sessionizer's sessions that are closed by data or whose
+    timeout the final watermark passed; each user's still-open tail session
+    must NOT be emitted."""
+    from subgraph_isomorphism_pregel_spark.operators.sessions import sessionize
+    from subgraph_isomorphism_pregel_spark.streaming.sessions_stream import (
+        run_availablenow_sessions,
+    )
+
+    gap_min, wm_sec = 30, 60
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_us = "unix_micros(cast(ts as timestamp))"
+    t_cut, t_max = ev.agg(
+        F.expr(f"percentile({ts_us}, 0.5)"), F.max(F.expr(ts_us))
+    ).collect()[0]
+
+    # two chronological files; mod times force the file source to process
+    # the earlier one first
+    events_dir = str(tmp_path / "events_stream")
+    os.makedirs(events_dir)
+    for i, part in enumerate(
+        (ev.where(F.expr(ts_us) <= t_cut), ev.where(F.expr(ts_us) > t_cut))
+    ):
+        sub = str(tmp_path / f"half{i}")
+        part.coalesce(1).write.parquet(sub)
+        (pf,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+        dst = os.path.join(events_dir, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(sub, pf), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    got_df = run_availablenow_sessions(
+        spark, events_dir, gap_minutes=gap_min, watermark=f"{wm_sec} seconds",
+        out_table="t_stream_sessions",
+    )
+    got = {
+        (r["user_id"], r["session_no"]): (r["n_events"], r["first_ts"], r["last_ts"], r["total_value"])
+        for r in got_df.collect()
+    }
+
+    batch = sessionize(ev, gap_minutes=gap_min).collect()
+    last_no = {}
+    for r in batch:
+        last_no[r["user_id"]] = max(last_no.get(r["user_id"], 0), r["session_no"])
+    import pandas as pd
+
+    wm_final_ms = int(t_max) // 1000 - wm_sec * 1000
+    want = {}
+    for r in batch:
+        closed_by_data = r["session_no"] < last_no[r["user_id"]]
+        # naive datetimes are UTC here (session tz); avoid tz-dependent
+        # datetime.timestamp()
+        last_ms = pd.Timestamp(r["last_ts"]).value // 1_000_000
+        timeout_ms = last_ms + gap_min * 60 * 1000 + 1
+        if closed_by_data or timeout_ms <= wm_final_ms:
+            want[(r["user_id"], r["session_no"])] = (
+                r["n_events"], r["first_ts"], r["last_ts"], r["total_value"]
+            )
+    assert len(got) > 0
+    assert got == want
