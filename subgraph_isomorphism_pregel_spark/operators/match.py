@@ -357,8 +357,11 @@ class SubgraphMatcher:
                     if T[a]:
                         term = term * _perm_expr(F.col(atom_col[a]), T[a])
                 total = term if total is None else (total + term)
-            f = f.where(total > 0).select(
-                F.col("m"), (F.col("cnt") * total).alias("cnt")
+            # bind the polynomial once; filter and project reference the column
+            f = (
+                f.withColumn(f"dgt{gi}", total)
+                .where(F.col(f"dgt{gi}") > 0)
+                .select(F.col("m"), (F.col("cnt") * F.col(f"dgt{gi}")).alias("cnt"))
             )
         return f
 

@@ -83,6 +83,9 @@ QUERIES = {
         {(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (4, 1),
          (1, 5), (5, 1), (5, 6), (6, 5)},
     ),
+    # 2-vertex query, both same label: the leaf defers against the ROOT as
+    # its enumerated same-label witness (degenerate group, m=1, k=1)
+    "bb_edge": ({1: B, 2: B}, {(1, 2), (2, 1)}),
 }
 
 
