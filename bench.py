@@ -167,6 +167,30 @@ def main() -> None:
 
     throughput["match_deferred_acbc"] = bench("match_deferred_acbc", run_acbc)
 
+    # the north-star pipeline itself: synthesize the source-code corpus
+    # table, derive the file-dependency graph (language-aware import
+    # extraction + intra-repo resolve join), run PageRank over it. Corpus
+    # size scales with sf (sf0.1 -> 300 repos x 60 files = 18k vertices).
+    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
+
+    n_repos = max(20, int(3000 * float(sf)))
+    with timed("corpus_derive_graph"):
+        cv, ce = corpus_graph(spark, n_repos=n_repos, files_per_repo=60, seed=11)
+        cv = cv.persist()
+        ce = ce.persist()
+        n_corpus_edges = ce.count()
+        cv.count()
+    throughput["n_edges_corpus"] = n_corpus_edges
+
+    with timed("corpus_pagerank_8steps"):
+        cscores, _ = pagerank(spark, cv, ce, num_partitions=None, fixed_steps=8)
+        cscores.agg(F.sum("score")).collect()
+    throughput["corpus_pagerank_edges_per_sec"] = round(
+        8 * n_corpus_edges / timings["corpus_pagerank_8steps"], 1
+    )
+    cv.unpersist()
+    ce.unpersist()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
         "minhash_lsh_dedup",

@@ -53,3 +53,34 @@ def test_hub_graph_partition_invariance_and_skew_metric(spark):
     comp, _ = connected_components(spark, v, e, num_partitions=8)
     got = {r["id"]: r["component"] for r in comp.collect()}
     assert got == components_oracle(vs, es)
+
+
+def test_matcher_on_hub_graph(spark):
+    """Frontier skew: a path-2 query through a hub creates deg(hub)^2
+    partial embeddings rooted at one vertex. The join matcher must stay
+    correct (AQE skew splitting handles the hot build side) and the
+    factorized/pruned path must agree with brute force."""
+    from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
+
+    from .oracles import match_count_oracle
+
+    vs, es = hub_graph(n=120, seed=9)
+    data_v = {x: x % 3 for x in vs}
+    v = spark.createDataFrame(sorted(data_v.items()), "id long, label int")
+    e = spark.createDataFrame(es, "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        # star through the hub label (0): two leaves + a tail
+        queries = [
+            ({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (1, 3), (3, 1)}),
+            ({1: 0, 2: 1, 3: 1}, {(1, 2), (2, 1), (1, 3), (3, 1)}),
+            ({1: 1, 2: 0, 3: 1, 4: 2},
+             {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)}),
+        ]
+        for qv, qe in queries:
+            want = match_count_oracle(data_v, set(es), qv, qe)
+            assert m.count(qv, qe, pseudo=False) == want
+            assert m.count(qv, qe, pseudo=True, prune=True) == want
+            assert m.count(qv, qe, pseudo=False, backward="semijoin") == want
+    finally:
+        m.unpersist()
