@@ -7,10 +7,14 @@
   otherwise).
 - embedding_dup_pairs: all pairs above a cosine threshold (near-duplicate
   detection by embedding).
-- lsh_topk: the scale path — random-hyperplane LSH bucketing with numpy
-  inside a pandas UDF; only intra-bucket pairs are scored. Approximate, so it
-  gets a rows-only correctness check (non-SQL-expressible deterministic
-  hyperplanes), plus a recall test against brute force in pytest.
+- lsh_topk: random-hyperplane LSH bucketing with Philox-seeded numpy
+  hyperplanes; only intra-bucket pairs are scored. Approximate and
+  non-SQL-expressible, so it keeps a pytest recall check only.
+- ann_topk_lsh: the ORACLE-CHECKED ANN path — md5-Rademacher hyperplanes
+  over 2^20-quantized int64 dots (deterministic, engine-exact), one bucket
+  per vector, exact in-bucket cosine + row_number rank. Shares
+  _rademacher_dots with embedding_dup_pairs_lsh: default impl is a
+  zero-shuffle numpy GEMM, bit-identical to the SQL-expression twin.
 
 At 10^12 scale, brute force is O(n^2) and dead; LSH buckets + per-bucket
 numpy GEMM is the shape that survives (bucket count scales with n, bucket
@@ -77,11 +81,56 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int | None = 20) -> DataF
     )
 
 
-def _rademacher_dots(emb: DataFrame, n_planes: int) -> DataFrame:
+def _rademacher_signs(dim: int, n_planes: int) -> np.ndarray:
+    """±1 sign matrix (dim x n_planes): sign(plane, pos) = +1 iff the first
+    hex digit of md5("<plane>:<pos>") is in 89abcdef — byte-identical to the
+    SQL expression `substr(md5(pl || ':' || pos), 1, 1) IN ('8'..'f')`."""
+    import hashlib
+
+    S = np.empty((dim, n_planes), dtype=np.int64)
+    for pl in range(n_planes):
+        for pos in range(dim):
+            h = hashlib.md5(f"{pl}:{pos}".encode()).hexdigest()
+            S[pos, pl] = 1 if h[0] in "89abcdef" else -1
+    return S
+
+
+def _rademacher_dots(emb: DataFrame, n_planes: int, impl: str = "packed") -> DataFrame:
     """(vec_id, dot0..dot{n_planes-1}): EXACT int64 signed projections of
     the 2^20-quantized vector onto md5-derived Rademacher hyperplanes —
     deterministic and engine-exact, so DuckDB reproduces them bit-for-bit
-    (integer sums are associative; no float order-dependence)."""
+    (integer sums are associative; no float order-dependence).
+
+    impl='packed' (default, the scale path): one zero-shuffle mapInPandas
+    pass — each Arrow batch quantizes to int64 and multiplies by the
+    (dim x planes) ±1 sign matrix with one integer GEMM. impl='sql' is the
+    pure-expression variant kept as a cross-check (pytest asserts exact
+    equality); it explodes n·dim rows through a groupBy shuffle — at 10^9
+    vectors x 512 dims that is 5·10^11 shuffle rows, dead at scale."""
+    if impl == "packed":
+        cols = ["vec_id"] + [f"dot{pl}" for pl in range(n_planes)]
+
+        def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            S = None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = np.vstack(pdf["embedding"].values).astype(np.float64)
+                if S is None:
+                    S = _rademacher_signs(M.shape[1], n_planes)
+                # floor(val * 2^20) is ONE IEEE multiply + exact floor —
+                # identical to the SQL CAST(floor(val*1048576.0) AS BIGINT)
+                Q = np.floor(M * float(1 << 20)).astype(np.int64)
+                D = Q @ S  # exact int64 GEMM
+                out = {"vec_id": pdf["vec_id"].values}
+                for pl in range(n_planes):
+                    out[f"dot{pl}"] = D[:, pl]
+                yield pd.DataFrame(out)
+
+        return emb.select("vec_id", "embedding").mapInPandas(
+            project, ", ".join(f"{c} long" for c in cols)
+        )
+
     p = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
@@ -121,6 +170,7 @@ def embedding_dup_pairs_lsh(
     threshold: float = 0.95,
     bands: int = 4,
     rows_per_band: int = 4,
+    impl: str = "packed",
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-duplicate pairs by embedding — the SCALE
     path. Banded random-hyperplane LSH generates candidate pairs; exact
@@ -137,7 +187,7 @@ def embedding_dup_pairs_lsh(
     keys. Recall for a pair at cosine c is 1-(1-p^r)^b with
     p = 1 - acos(c)/pi (~0.98 at c=0.95 with 4x4)."""
     n_planes = bands * rows_per_band
-    dots = _rademacher_dots(emb, n_planes)
+    dots = _rademacher_dots(emb, n_planes, impl=impl)
     band_cols = []
     for b in range(bands):
         key = F.lit(0)
@@ -211,7 +261,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
-def ann_topk_lsh(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
+def ann_topk_lsh(
+    emb: DataFrame, k: int = 5, n_planes: int = 6, impl: str = "packed"
+) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): approximate top-k cosine
     neighbors restricted to each vector's single deterministic
     hyperplane-LSH bucket — the ORACLE-CHECKED ANN path.
@@ -229,7 +281,7 @@ def ann_topk_lsh(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
     Scale: work is one broadcast sign join + one groupBy per vector plus
     O(sum of bucket size^2) candidate scoring — never all-pairs; bucket
     count (2^n_planes) grows with the corpus via n_planes."""
-    dots = _rademacher_dots(emb, n_planes)
+    dots = _rademacher_dots(emb, n_planes, impl=impl)
     bucket = F.lit(0)
     for j in range(n_planes):
         bucket = bucket + F.when(F.col(f"dot{j}") > 0, 1 << j).otherwise(0)

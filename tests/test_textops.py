@@ -253,3 +253,28 @@ def test_multimodal_plumbing(spark, docs):
         assert len(r["frame"]) <= 64
     with pytest.raises(Exception):
         extract_media_meta(media, real_decode=True).collect()
+
+
+def test_rademacher_dots_packed_equals_sql(spark, emb):
+    """The zero-shuffle numpy GEMM projection must be BIT-IDENTICAL to the
+    explode+groupBy SQL-expression variant (same quantization, same md5
+    signs) — the packed impl is the scale path, the sql impl the
+    cross-check twin (and the DuckDB oracle's shape)."""
+    from subgraph_isomorphism_pregel_spark.operators.similarity import (
+        _rademacher_dots,
+    )
+
+    a = {r["vec_id"]: tuple(r[f"dot{i}"] for i in range(8))
+         for r in _rademacher_dots(emb, 8, impl="packed").collect()}
+    b = {r["vec_id"]: tuple(r[f"dot{i}"] for i in range(8))
+         for r in _rademacher_dots(emb, 8, impl="sql").collect()}
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_ann_topk_lsh_packed_equals_sql_impl(spark, emb):
+    from subgraph_isomorphism_pregel_spark.operators.similarity import ann_topk_lsh
+
+    a = sorted(map(tuple, ann_topk_lsh(emb, k=3, impl="packed").collect()))
+    b = sorted(map(tuple, ann_topk_lsh(emb, k=3, impl="sql").collect()))
+    assert a == b and len(a) > 0
