@@ -182,6 +182,17 @@ def q_match_twin_leaves_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
 
 
+def q_match_triple_deferred_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three same-label leaves under three DIFFERENT parents on a path —
+    the general Venn-atom deferred path (round 3): subset intersection
+    counts + Mobius atom sizes + plan-time assignment polynomial; the
+    leaves are never enumerated."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 3}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2),
+          (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)}
+    return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -358,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_path3_pruned_ring": q_match_path3_pruned_ring,
         "match_acbc_ring": q_match_acbc_ring,
         "match_twin_leaves_ring": q_match_twin_leaves_ring,
+        "match_triple_deferred_ring": q_match_triple_deferred_ring,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -674,6 +686,18 @@ JOIN edges e4 ON v3.id = e4.src JOIN rv v5 ON e4.dst = v5.id
 WHERE v1.label = 0 AND v2.label = 2 AND v3.label = 0
   AND v4.label = 1 AND v5.label = 1
   AND v1.id <> v3.id AND v4.id <> v5.id""",
+        "match_triple_deferred_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v1.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges e4 ON v2.id = e4.src JOIN rv v5 ON e4.dst = v5.id
+JOIN edges e5 ON v3.id = e5.src JOIN rv v6 ON e5.dst = v6.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2
+  AND v4.label = 3 AND v5.label = 3 AND v6.label = 3
+  AND v4.id <> v5.id AND v4.id <> v6.id AND v5.id <> v6.id""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

@@ -167,6 +167,24 @@ def main() -> None:
 
     throughput["match_deferred_acbc"] = bench("match_deferred_acbc", run_acbc)
 
+    def run_triple():
+        # three same-label leaves under three different parents — the
+        # general Venn-atom deferred path (round 3); enumerating these
+        # would cube the frontier
+        m = SubgraphMatcher(spark, rv, re_)
+        try:
+            return m.count(
+                {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 3},
+                {(1, 2), (2, 1), (2, 3), (3, 2),
+                 (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)},
+                pseudo=True,
+                prune=True,
+            )
+        finally:
+            m.unpersist()
+
+    throughput["match_deferred_triple"] = bench("match_deferred_triple", run_triple)
+
     # the north-star pipeline itself: synthesize the source-code corpus
     # table, derive the file-dependency graph (language-aware import
     # extraction + intra-repo resolve join), run PageRank over it. Corpus

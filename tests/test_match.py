@@ -321,3 +321,47 @@ def test_randomized_query_shapes_vs_oracle(spark):
             assert got_pruned == want, (trial, qv, qe, got_pruned, want)
     finally:
         m.unpersist()
+
+
+def test_fuzz_leaf_heavy_deferred_shapes(spark):
+    """Targeted fuzz for the general deferred-conflict machinery: random
+    trees whose internal spine is short and whose leaves are many, drawn
+    from TWO labels — maximizing same-label leaf groups spread over
+    multiple parents with multiplicities (the Venn-atom polynomial path).
+    Every count compared to brute force with pseudo on/off and prune."""
+    rng = random.Random(77)
+    n, p = 26, 0.16
+    vs = {i: rng.randrange(3) for i in range(n)}
+    es = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+
+    def leafy_query():
+        spine = rng.randrange(2, 4)          # 2-3 internal vertices
+        n_leaves = rng.randrange(2, 5)       # 2-4 leaves
+        k = spine + n_leaves
+        qv = {i: rng.randrange(2) for i in range(k)}
+        qe = set()
+        for i in range(1, spine):            # path spine
+            qe |= {(i, i - 1), (i - 1, i)}
+        for leaf in range(spine, k):         # each leaf on a random spine vertex
+            parent = rng.randrange(spine)
+            qe |= {(leaf, parent), (parent, leaf)}
+        return qv, qe
+
+    try:
+        for trial in range(10):
+            qv, qe = leafy_query()
+            want = match_count_oracle(vs, es, qv, qe)
+            for kw in (dict(pseudo=False), dict(pseudo=True),
+                       dict(pseudo=True, prune=True)):
+                got = m.count(qv, qe, **kw)
+                assert got == want, (trial, qv, sorted(qe), kw, got, want)
+    finally:
+        m.unpersist()
