@@ -36,19 +36,25 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, s): distinct word k-gram shingles per document."""
+def _shingle_array(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh): DISTINCT word k-gram shingles per document as one array
+    column — row-local, zero shuffles."""
     t = tokens("text")
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(toks)-{k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(toks, i, {k})))"
+        f"array_distinct(transform(sequence(1, greatest(size(toks)-{k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(toks, i, {k}))))"
     )
     return (
         docs.select("doc_id", t.alias("toks"))
         .where(F.size("toks") > 0)
-        .select("doc_id", F.explode(sh).alias("s"))
-        .distinct()
+        .select("doc_id", sh.alias("sh"))
     )
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, s): distinct word k-gram shingles per document, one row per
+    shingle (the join-shaped form used by Jaccard verification)."""
+    return _shingle_array(docs, k).select("doc_id", F.explode("sh").alias("s"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -88,10 +94,33 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> 
     return out
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 12) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 12, impl: str = "array"
+) -> DataFrame:
     """(doc_id, h0..h{K-1}): K-permutation MinHash where permutation k is the
     lexicographic min of md5(k || ':' || shingle) — salt-keyed md5 instead of
-    random linear permutations so the signature is reproducible anywhere."""
+    random linear permutations so the signature is reproducible anywhere.
+
+    impl='array' (default, the scale path): the signature is row-local, so
+    it is computed as array_min over a transform of the per-doc shingle
+    array — pure whole-stage-codegen expressions, ZERO shuffles (the
+    explode+groupBy form moves n·shingles rows through two exchanges for a
+    per-row quantity). impl='explode' keeps that form as a cross-check
+    (pytest asserts exact equality; binary UTF8 min ordering is identical
+    in both)."""
+    if impl == "array":
+        sh = _shingle_array(docs)
+
+        def salted(kk: int):
+            # one-arg lambda: a two-arg lambda would make F.transform pass
+            # the ARRAY INDEX as the second argument, clobbering the salt
+            return lambda s: F.md5(F.concat(F.lit(f"{kk}:"), s))
+
+        cols = [
+            F.array_min(F.transform(F.col("sh"), salted(k))).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+        return sh.select("doc_id", *cols).orderBy("doc_id")
     sh = _shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")

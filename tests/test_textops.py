@@ -278,3 +278,11 @@ def test_ann_topk_lsh_packed_equals_sql_impl(spark, emb):
     a = sorted(map(tuple, ann_topk_lsh(emb, k=3, impl="packed").collect()))
     b = sorted(map(tuple, ann_topk_lsh(emb, k=3, impl="sql").collect()))
     assert a == b and len(a) > 0
+
+
+def test_minhash_array_equals_explode_impl(spark, docs):
+    from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_signatures
+
+    a = sorted(map(tuple, minhash_signatures(docs, 8, impl="array").collect()))
+    b = sorted(map(tuple, minhash_signatures(docs, 8, impl="explode").collect()))
+    assert a == b and len(a) > 0
