@@ -39,6 +39,7 @@ from subgraph_isomorphism_pregel_spark.operators.similarity import (
     cosine_topk,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
+    ivf_topk,
     lsh_topk,
 )
 from subgraph_isomorphism_pregel_spark.operators.textops import (
@@ -274,6 +275,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(_emb(spark, sf_dir), k=3, n_planes=6)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: fixed coarse quantizer (n_lists lowest vec_ids),
+    exact int64 assignment distances, n_probe-list candidate scoring —
+    the inverted-file counterpart to the hyperplane-LSH path, equally
+    oracle-exact."""
+    return ivf_topk(_emb(spark, sf_dir), k=3, n_lists=8, n_probe=2)
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal binary-column plumbing, driver-gated: text payloads ride
     as binary, metadata extracted by the Arrow-batched mapInPandas decoder
@@ -385,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_meta": q_media_meta,
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
@@ -581,6 +591,46 @@ scored AS (
   JOIN norms an ON an.vec_id = qa.vec_id
   JOIN norms bn ON bn.vec_id = nb.vec_id
   GROUP BY qa.vec_id, nb.vec_id, an.norm, bn.norm),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def _ann_ivf_sql(k: int = 3, n_lists: int = 8, n_probe: int = 2) -> str:
+    """DuckDB twin of ivf_topk: fixed first-n_lists centroids, exact int64
+    quantized assignment distances, probe-list candidates, exact cosine +
+    row_number top-k."""
+    return f"""
+WITH {EMB_PAIRS.strip().rstrip(',')},
+qq AS MATERIALIZED (
+  SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p),
+cent AS MATERIALIZED (
+  SELECT vec_id AS list_id, pos, qv AS qc FROM qq WHERE vec_id < {n_lists}),
+dist AS MATERIALIZED (
+  SELECT q.vec_id, c.list_id, sum((q.qv - c.qc) * (q.qv - c.qc)) AS d
+  FROM qq q JOIN cent c ON q.pos = c.pos GROUP BY q.vec_id, c.list_id),
+rk AS MATERIALIZED (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS r
+  FROM dist),
+assign AS MATERIALIZED (SELECT vec_id AS neighbor_id, list_id FROM rk WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, list_id FROM rk WHERE r <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM probes JOIN assign USING (list_id)
+  WHERE query_id <> neighbor_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(sum(a.val * b.val) / (an.norm * bn.norm), 6) AS cos
+  FROM cand c
+  JOIN p a ON a.vec_id = c.query_id
+  JOIN p b ON b.vec_id = c.neighbor_id AND a.pos = b.pos
+  JOIN norms an ON an.vec_id = c.query_id
+  JOIN norms bn ON bn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, an.norm, bn.norm),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
          row_number() OVER (PARTITION BY query_id
@@ -821,6 +871,7 @@ HAVING round(sum(a.val * b.val) / (an.norm * bn.norm), 6) >= 0.4
 ORDER BY vec_a, vec_b""",
         "embedding_dups_lsh": _emb_lsh_sql(threshold=0.4),
         "ann_lsh_topk": _ann_lsh_sql(k=3, n_planes=6),
+        "ann_ivf_topk": _ann_ivf_sql(k=3, n_lists=8, n_probe=2),
         # stub decode: width/height are bytes 1-2 of sha256(payload); utf-8
         # encoded text can never start with the PNG/JPEG magic bytes, so
         # format is constant 'raw' on this table

@@ -321,6 +321,94 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    emb: DataFrame, k: int = 5, n_lists: int = 8, n_probe: int = 2
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): IVF-flat approximate top-k —
+    the inverted-file ANN shape (the other classic scale path besides LSH).
+
+    Coarse quantizer: the vectors with the n_lists smallest vec_ids serve
+    as fixed centroids (deterministic; a production index trains them
+    offline — k-means iterations would introduce engine-dependent float
+    means, which this operator deliberately avoids). Every vector is
+    ASSIGNED to its nearest centroid by EXACT integer distance on the
+    2^20-quantized values (sum of squared int64 deltas — associative, so
+    DuckDB reproduces the assignment bit-for-bit); every query PROBES its
+    n_probe nearest lists and scores only vectors assigned there with the
+    exact 6dp-rounded cosine, ranked by row_number.
+
+    Scale shape: centroid table is tiny (broadcast); assignment is one
+    narrow pass over the data; candidate scoring is an equi-join on
+    list_id touching ~n_probe/n_lists of the corpus per query — never
+    all-pairs. Work scales with n·n_lists + candidate pairs."""
+    qarr = F.expr(
+        "transform(cast(embedding as array<double>),"
+        " v -> CAST(floor(v * 1048576.0) AS BIGINT))"
+    )
+    base = emb.select("vec_id", qarr.alias("qv"))
+    cent = base.where(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("list_id"), F.col("qv").alias("qc")
+    )
+    # exact int64 squared distance, whole-stage codegen (deltas < 2^21,
+    # squared < 2^42, dim-summed < 2^52 — no overflow)
+    dist = F.aggregate(
+        F.zip_with("qv", "qc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = base.join(F.broadcast(cent)).select(
+        "vec_id", "list_id", dist.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("list_id"))
+    rk = d.withColumn("r", F.row_number().over(w))
+    assign = rk.where(F.col("r") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    probes = rk.where(F.col("r") <= n_probe).select(
+        F.col("vec_id").alias("query_id"), "list_id"
+    )
+    # each vector is assigned to exactly one list, so (query, neighbor)
+    # pairs are already unique across probed lists
+    cand = probes.join(assign, "list_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    qa = ev.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    nb = ev.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nvec"),
+        F.col("nrm").alias("nn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "nvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(qa, "query_id")
+        .join(nb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qn") * F.col("nn")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: values from a seeded
     Philox generator keyed only by (dim, n_planes)."""

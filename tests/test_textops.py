@@ -286,3 +286,42 @@ def test_minhash_array_equals_explode_impl(spark, docs):
     a = sorted(map(tuple, minhash_signatures(docs, 8, impl="array").collect()))
     b = sorted(map(tuple, minhash_signatures(docs, 8, impl="explode").collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_topk_exactness_and_recall(spark, emb):
+    """IVF-flat: every returned neighbor's cosine must equal the exact
+    cosine (candidates are scored exactly), ranks are consistent, and
+    rank-1 recall vs brute force is reasonable for n_probe=2 of 8 lists."""
+    from subgraph_isomorphism_pregel_spark.operators.similarity import ivf_topk
+
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    idx = {v: i for i, v in enumerate(ids)}
+
+    got = ivf_topk(emb, k=3, n_lists=8, n_probe=2).collect()
+    assert len(got) > 0
+    by_q = {}
+    for r in got:
+        c_exact = round(float(S[idx[r["query_id"]], idx[r["neighbor_id"]]]), 6)
+        assert abs(r["cos"] - c_exact) < 1e-9, (r, c_exact)
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+    # recall@1: the true nearest neighbor is found for a decent fraction
+    hits = tot = 0
+    true1 = {}
+    for i, v in enumerate(ids):
+        row = S[i].copy()
+        row[i] = -np.inf
+        true1[v] = ids[int(np.argmax(row))]
+    for q, rs in by_q.items():
+        tot += 1
+        top = [r for r in got if r["query_id"] == q and r["rank"] == 1][0]
+        hits += top["neighbor_id"] == true1[q]
+    assert tot == len(ids)  # every vector got candidates
+    assert hits / tot > 0.2  # 2/8 lists probed on near-random vectors
