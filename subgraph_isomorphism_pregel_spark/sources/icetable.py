@@ -147,6 +147,66 @@ def read_table(
     return spark.read.parquet(*[f["path"] for f in files])
 
 
+def compact_table(spark: SparkSession, path: str) -> int:
+    """Rewrite the CURRENT snapshot into one file set per partition value
+    and commit it as a new snapshot — the Iceberg `rewrite_data_files`
+    maintenance action. Appends fragment a partition across many small
+    file sets (one per append); at 10^12-file scale unbounded smallness
+    kills scan planning, so compaction is a first-class operation. Table
+    CONTENT is unchanged (tests assert read equality); older snapshots
+    still see the pre-compaction files until expired."""
+    cur = _load_snapshot(path, None)
+    df = read_table(spark, path)
+    sid = cur["snapshot_id"] + 1
+    files = _write_data_files(df, path, cur["partition_by"], sid=sid)
+    return _commit(path, files, cur["partition_by"], cur["snapshot_id"])
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Drop all but the newest `keep_last` snapshots and DELETE data file
+    sets no kept snapshot references — the Iceberg `expire_snapshots`
+    action (append-only tables grow unreferenced files after compaction;
+    storage is only reclaimed here, never by compaction itself). Returns
+    {"kept": [...ids], "removed_snapshots": n, "removed_file_dirs": n}."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(
+            "expire_snapshots: keep_last must be >= 1 (the current snapshot "
+            "can never be expired)"
+        )
+    cur = current_snapshot_id(path)
+    all_sids = sorted(
+        int(f[5:10])
+        for f in os.listdir(_meta_dir(path))
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+    keep = set(all_sids[-keep_last:])
+    if cur not in keep:
+        raise ValueError("expire_snapshots: would expire the current snapshot")
+    referenced = set()
+    for sid in keep:
+        referenced |= {f["path"] for f in _load_snapshot(path, sid)["files"]}
+    removed_files = 0
+    data_root = os.path.join(path, "data")
+    for sub in sorted(os.listdir(data_root)):
+        for part in sorted(os.listdir(os.path.join(data_root, sub))):
+            fdir = os.path.join(data_root, sub, part)
+            if fdir not in referenced:
+                shutil.rmtree(fdir, ignore_errors=True)
+                removed_files += 1
+    removed_snaps = 0
+    for sid in all_sids:
+        if sid not in keep:
+            os.remove(_snap_path(path, sid))
+            removed_snaps += 1
+    return {
+        "kept": sorted(keep),
+        "removed_snapshots": removed_snaps,
+        "removed_file_dirs": removed_files,
+    }
+
+
 def table_stats(path: str, snapshot_id: int | None = None) -> dict:
     """Manifest-only stats (no data read): rows per partition value."""
     snap = _load_snapshot(path, snapshot_id)

@@ -55,3 +55,51 @@ def test_partition_pruning_at_planning_time(spark):
 
     full = read_table(spark, path)
     assert len(set(full.inputFiles())) > len(set(pruned.inputFiles()))
+
+
+def test_compact_and_expire(spark):
+    """Maintenance actions: compaction rewrites the current snapshot into
+    one file set per partition WITHOUT changing content; expire_snapshots
+    then reclaims every data dir only pre-compaction snapshots referenced.
+    Time travel to a kept snapshot keeps working; the expired one is gone."""
+    import os
+
+    import pytest
+
+    from subgraph_isomorphism_pregel_spark.sources.icetable import (
+        compact_table,
+        expire_snapshots,
+    )
+
+    path = tempfile.mkdtemp(prefix="ice_maint_")
+    c1 = synth_corpus(spark, n_repos=3, files_per_repo=20, seed=3)
+    c2 = synth_corpus(spark, n_repos=3, files_per_repo=20, seed=4).withColumn(
+        "repo", F.concat(F.lit("x/"), F.col("repo"))
+    )
+    write_table(c1, path, partition_by="lang")
+    append_table(c2, path)
+
+    before = read_table(spark, path)
+    want = sorted((r["repo"], r["path"], r["content_sha"]) for r in before.collect())
+    n_dirs_before = len(before.inputFiles())
+
+    sid = compact_table(spark, path)
+    assert sid == 3 and current_snapshot_id(path) == 3
+    after = read_table(spark, path)
+    got = sorted((r["repo"], r["path"], r["content_sha"]) for r in after.collect())
+    assert got == want                      # content unchanged
+    assert len(after.inputFiles()) < n_dirs_before  # fewer files
+    # pre-compaction snapshot still time-travelable
+    assert read_table(spark, path, snapshot_id=2).count() == before.count()
+
+    stats = expire_snapshots(path, keep_last=1)
+    assert stats["kept"] == [3]
+    assert stats["removed_snapshots"] == 2
+    assert stats["removed_file_dirs"] > 0
+    # current read still intact after reclaim, old snapshot gone
+    assert read_table(spark, path).count() == len(want)
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, snapshot_id=2)
+    # guard: cannot expire the current snapshot
+    with pytest.raises(ValueError, match="current"):
+        expire_snapshots(path, keep_last=0)
