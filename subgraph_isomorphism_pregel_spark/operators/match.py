@@ -233,13 +233,15 @@ class SubgraphMatcher:
         GENERAL shape (any number of parents, any multiplicities). Per group
         (label l, parents p_1..p_m with k_i leaves each):
 
-        1. subset intersection counts c_S = |∩_{i∈S} N_l(p_i)| for every
-           non-empty S — singletons from the per-(vertex,label) count table;
-           |S|≥2 via an aggregate-then-join over the DISTINCT mapped parent
-           tuples (never a per-frontier-row expansion);
-        2. exact Venn-atom sizes by Möbius: n_A = Σ_{T⊇A} (-1)^{|T|-|A|} c_T,
-           then each mapped enumerated l-vertex is subtracted from the ONE
-           atom matching its exact parent-adjacency pattern (injectivity);
+        1. exact Venn-atom sizes of the parents' label-l neighbor pools in
+           ONE aggregate pass over the DISTINCT mapped parent tuples: union
+           the m adjacency legs tagged with bit 2^i, fold per (tuple,
+           neighbor) into the neighbor's parent-adjacency bitmask, count
+           per (tuple, mask) — never a per-frontier-row expansion, never a
+           2^m-join pipeline (m=1 short-circuits to the per-(vertex,label)
+           count table: a single broadcast join);
+        2. each mapped enumerated l-vertex is subtracted from the ONE atom
+           matching its exact parent-adjacency pattern (injectivity);
         3. the number of injective leaf assignments expands at PLAN TIME
            into a polynomial in the atom sizes:
                Σ_dist Π_i multinomial(k_i; t_{i,A}) · Π_A P(n_A, Σ_i t_{i,A})
@@ -248,8 +250,8 @@ class SubgraphMatcher:
            to perm(pool, k); m=2, k=1+1 reduces to |A||B| − |A∩B|.
 
         Every step is a whole-stage-codegen Column expression per frontier
-        row plus O(2^m) small aggregate joins — no per-row Python, no
-        enumeration of the leaves."""
+        row plus two aggregate shuffles — no per-row Python, no enumeration
+        of the leaves."""
         for gi, g in enumerate(plan.deferred):
             lbl = g.label
             m_parents = len(g.parents)
@@ -261,35 +263,50 @@ class SubgraphMatcher:
                 f = f.withColumn(c, F.element_at(F.col("m"), slot(ppos)))
                 pcols.append(c)
 
-            # 1. subset intersection counts
-            csub: dict[frozenset, object] = {}
-            for i in range(m_parents):
+            # 1. exact atom sizes, keyed by parent-adjacency bitmask
+            atom_raw: dict[frozenset, object] = {}
+            if m_parents == 1:
                 nl = self.nbr_label_counts.where(
                     F.col("dst_label") == F.lit(lbl)
-                ).alias(f"dg{gi}_{i}")
+                ).alias(f"dg{gi}_0")
                 f = f.join(
-                    nl, F.col(pcols[i]) == F.col(f"dg{gi}_{i}.nl_id"), "left"
+                    nl, F.col(pcols[0]) == F.col(f"dg{gi}_0.nl_id"), "left"
                 )
-                csub[frozenset([i])] = F.coalesce(
-                    F.col(f"dg{gi}_{i}.n_nbrs"), F.lit(0)
+                atom_raw[frozenset([0])] = F.coalesce(
+                    F.col(f"dg{gi}_0.n_nbrs"), F.lit(0)
                 ).cast("long")
-            for size in range(2, m_parents + 1):
-                for S in combinations(range(m_parents), size):
-                    cname = f"dgc{gi}_" + "_".join(map(str, S))
-                    tup = f.select(*[F.col(pcols[i]) for i in S]).distinct()
-                    j = tup
-                    for idx, i in enumerate(S):
-                        ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
-                            F.col("src").alias(pcols[i]),
-                            F.col("dst").alias(f"__z{gi}"),
-                        )
-                        on = [pcols[i]] if idx == 0 else [pcols[i], f"__z{gi}"]
-                        j = j.join(ai, on)
-                    cn = j.groupBy(*[pcols[i] for i in S]).agg(
-                        F.count("*").alias(cname)
+            else:
+                tup = f.select(*pcols).distinct()
+                legs = None
+                for i in range(m_parents):
+                    ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                        F.col("src").alias(pcols[i]),
+                        F.col("dst").alias(f"__nb{gi}"),
                     )
-                    f = f.join(cn, [pcols[i] for i in S], "left")
-                    csub[frozenset(S)] = F.coalesce(F.col(cname), F.lit(0)).cast("long")
+                    leg = tup.join(ai, pcols[i]).select(
+                        *pcols, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
+                    )
+                    legs = leg if legs is None else legs.unionByName(leg)
+                masks = legs.groupBy(*pcols, f"__nb{gi}").agg(
+                    F.sum(f"__bit{gi}").alias(f"__mask{gi}")
+                )
+                atom_aggs = []
+                for size in range(1, m_parents + 1):
+                    for A in combinations(range(m_parents), size):
+                        mask = sum(1 << i for i in A)
+                        atom_aggs.append(
+                            F.sum(
+                                (F.col(f"__mask{gi}") == mask).cast("long")
+                            ).alias(f"dgn{gi}_raw_{mask}")
+                        )
+                counts = masks.groupBy(*pcols).agg(*atom_aggs)
+                f = f.join(counts, pcols, "left")
+                for size in range(1, m_parents + 1):
+                    for A in combinations(range(m_parents), size):
+                        mask = sum(1 << i for i in A)
+                        atom_raw[frozenset(A)] = F.coalesce(
+                            F.col(f"dgn{gi}_raw_{mask}"), F.lit(0)
+                        ).cast("long")
 
             # witness adjacency indicators: is image(ep) a neighbor of p_i?
             hits: list[list] = []
@@ -312,8 +329,8 @@ class SubgraphMatcher:
                         )
                 hits.append(ind)
 
-            # 2. exact atom sizes (materialized as columns — each is
-            # referenced by many polynomial terms below)
+            # 2. witness-corrected atom sizes (materialized as columns —
+            # each is referenced by many polynomial terms below)
             atoms = [
                 frozenset(A)
                 for size in range(1, m_parents + 1)
@@ -321,12 +338,7 @@ class SubgraphMatcher:
             ]
             atom_col: dict[frozenset, str] = {}
             for A in atoms:
-                expr = None
-                for T in atoms:
-                    if A <= T:
-                        sign = (-1) ** (len(T) - len(A))
-                        term = csub[T] if sign > 0 else (-csub[T])
-                        expr = term if expr is None else (expr + term)
+                expr = atom_raw[A]
                 for ei in range(len(g.enum_pos)):
                     exact = None
                     for i in range(m_parents):
