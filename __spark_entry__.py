@@ -302,6 +302,17 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(ev, gap_minutes=30)
 
 
+def q_sessionize_native(spark, sf_dir):
+    """Sessionization via Spark's built-in session_window (streaming-ready
+    form; same split-on->gap convention as the lag-cumsum form)."""
+    from subgraph_isomorphism_pregel_spark.operators.sessions import (
+        sessionize_native,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_native(ev, gap_minutes=30)
+
+
 def q_icetable_docs(spark, sf_dir):
     """Iceberg-style source, driver-gated: write documents as a lang-
     partitioned snapshot table (even doc_ids = snapshot 1, odd appended as
@@ -399,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
+        "sessionize_native": q_sessionize_native,
         "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
     }
 
@@ -916,6 +928,23 @@ WITH o AS (
 s AS (
   SELECT user_id, event_id, ts, value,
          CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_no
+  FROM o)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
+        "sessionize_native": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR epoch(ts) - epoch(prev_ts) > 1800
                        THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
               AS BIGINT) AS session_no

@@ -15,6 +15,39 @@ from pyspark.sql.window import Window
 from ..functions import fixed_point_sum
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Same output shape via Spark's BUILT-IN session_window — the most
+    idiomatic form (and the one that runs unchanged under Structured
+    Streaming with a watermark; state-store merging of session windows
+    comes free).
+
+    Boundary convention is IDENTICAL to `sessionize`: an event at exactly
+    last_ts + gap still merges (Spark's session window is closed at the
+    gap boundary; splits happen on `> gap`) — pinned by a test with an
+    exact-gap event, so the two forms share one oracle. session_no is
+    derived per user by first_ts order (session windows of one user never
+    overlap, so the order is total)."""
+    agg = (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            fixed_point_sum("value").alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("first_ts")
+    return (
+        agg.withColumn("session_no", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id", "session_no", "n_events", "first_ts", "last_ts", "total_value"
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """(user_id, session_no, n_events, first_ts, last_ts, total_value).
 
