@@ -103,3 +103,26 @@ def test_checkpoint_every_cadence_and_resume(spark):
     got12 = {r["id"]: r["score"] for r in more.collect()}
     for k in want12:
         assert abs(got12[k] - want12[k]) < 1e-9, k
+
+
+def test_sssp_resume_equals_uninterrupted(spark):
+    """Resume is program-agnostic: a DIFFERENT vertex program (SSSP —
+    int-array state, no carry, frontier-driven convergence) interrupted at
+    2 hops and resumed must equal the uninterrupted run, with the restored
+    metrics history covering every superstep."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp
+
+    v, e = toy_graph(spark)
+    full, fmet = sssp(spark, v, e, source=1, max_hops=10, num_partitions=4)
+    want = {r["id"]: r["dist"] for r in full.collect()}
+    n_steps = max(m["superstep"] for m in fmet)
+
+    ck = tempfile.mkdtemp(prefix="sssp_resume_")
+    sssp(spark, v, e, source=1, max_hops=2, num_partitions=4, checkpoint_dir=ck)
+    got_df, metrics = sssp(
+        spark, v, e, source=1, max_hops=10, num_partitions=4,
+        checkpoint_dir=ck, resume=True,
+    )
+    got = {r["id"]: r["dist"] for r in got_df.collect()}
+    assert got == want
+    assert sorted({m["superstep"] for m in metrics}) == list(range(1, n_steps + 1))
