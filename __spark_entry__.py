@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components
 from subgraph_isomorphism_pregel_spark.operators.dedup import (
     dedup_exact,
+    dedup_survivors,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -275,6 +276,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(_emb(spark, sf_dir), k=3, n_planes=6)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Survivor selection over MinHash-LSH near-dup pairs: connected
+    components (the BSP kernel's hash-min program) over the pair graph;
+    canonical = min doc_id of each dup component."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_survivors(docs, pairs, num_partitions=8)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-flat ANN: fixed coarse quantizer (n_lists lowest vec_ids),
     exact int64 assignment distances, n_probe-list candidate scoring —
@@ -397,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -848,6 +861,35 @@ SELECT doc_a, doc_b, round(common / (ca.n + cb.n - common), 6) AS jaccard
 FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
 WHERE round(common / (ca.n + cb.n - common), 6) >= 0.2
 ORDER BY doc_a, doc_b""",
+        "dedup_survivors": f"""
+WITH RECURSIVE {SHINGLES.strip().rstrip(',')},
+sig AS (SELECT doc_id,
+        {', '.join(f"min(md5('{k}:' || s)) AS h{k}" for k in range(12))}
+        FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id,
+        {', '.join(f"md5(concat_ws('|', h{b * 3}, h{b * 3 + 1}, h{b * 3 + 2})) AS band{b}" for b in range(4))}
+        FROM sig),
+cand AS (
+  {' UNION '.join(f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id" for b in range(4))}),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+           GROUP BY c.doc_a, c.doc_b),
+dpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM common JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE round(common / (ca.n + cb.n - common), 6) >= 0.2),
+sym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM dpairs
+  UNION SELECT doc_b, doc_a FROM dpairs),
+lab AS (
+  SELECT doc_id, doc_id AS canonical FROM documents
+  UNION
+  SELECT s.b AS doc_id, l.canonical FROM lab l JOIN sym s ON l.doc_id = s.a
+)
+SELECT doc_id, CAST(min(canonical) AS BIGINT) AS canonical,
+       (doc_id = min(canonical)) AS is_survivor
+FROM lab GROUP BY doc_id ORDER BY doc_id""",
         "simhash": f"""
 WITH {DOC_WORDS.strip().rstrip(',')},
 tok AS (SELECT doc_id, md5(unnest(words)) AS h FROM w),

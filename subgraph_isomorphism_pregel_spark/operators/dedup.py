@@ -253,3 +253,34 @@ def simhash(docs: DataFrame, bits: int = 32, impl: str = "packed") -> DataFrame:
         .mapInPandas(pack, "doc_id long, simhash long")
         .orderBy("doc_id")
     )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, num_partitions: int = 8
+) -> DataFrame:
+    """(doc_id, canonical, is_survivor): survivor selection — the step an
+    actual dedup pipeline needs AFTER pair generation. Near-dup relations
+    are transitive in effect (a~b, b~c should keep ONE of {a,b,c}), so
+    survivors are chosen per connected component of the pair graph: the
+    BSP kernel's hash-min connected components assigns every doc the min
+    doc_id reachable over dup pairs; that min is the canonical survivor.
+
+    Scale: reuses the same CC vertex program that handles the billion-edge
+    link graph — pair graphs from LSH dedup are sparse (bounded candidate
+    generation), so this is a few supersteps over mostly-singleton
+    components. Isolated docs (no dup pair) survive as their own
+    canonical."""
+    from .components import connected_components
+
+    spark = docs.sparkSession
+    v = docs.select(F.col("doc_id").alias("id"), F.lit(0).alias("label"))
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    comp, _ = connected_components(spark, v, sym, num_partitions=num_partitions)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("canonical"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    ).orderBy("doc_id")

@@ -325,3 +325,23 @@ def test_ivf_topk_exactness_and_recall(spark, emb):
         hits += top["neighbor_id"] == true1[q]
     assert tot == len(ids)  # every vector got candidates
     assert hits / tot > 0.2  # 2/8 lists probed on near-random vectors
+
+
+def test_dedup_survivors_transitive(spark):
+    """a~b, b~c keeps ONE survivor for {a,b,c}; isolated docs survive."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical"], r["is_survivor"])
+        for r in dedup_survivors(docs, pairs, num_partitions=2).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
