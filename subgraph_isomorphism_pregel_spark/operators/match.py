@@ -234,14 +234,18 @@ class SubgraphMatcher:
         (label l, parents p_1..p_m with k_i leaves each):
 
         1. exact Venn-atom sizes of the parents' label-l neighbor pools in
-           ONE aggregate pass over the DISTINCT mapped parent tuples: union
-           the m adjacency legs tagged with bit 2^i, fold per (tuple,
-           neighbor) into the neighbor's parent-adjacency bitmask, count
-           per (tuple, mask) — never a per-frontier-row expansion, never a
-           2^m-join pipeline (m=1 short-circuits to the per-(vertex,label)
-           count table: a single broadcast join);
+           ONE aggregate pass over the DISTINCT mapped (parent, witness)
+           tuples: union the m adjacency legs tagged with bit 2^i, fold per
+           (tuple, neighbor) into the neighbor's parent-adjacency bitmask,
+           count per (tuple, mask) — never a per-frontier-row expansion,
+           never a 2^m-join pipeline (a witness-free m=1 group
+           short-circuits to the per-(vertex,label) count table: a single
+           broadcast join);
         2. each mapped enumerated l-vertex is subtracted from the ONE atom
-           matching its exact parent-adjacency pattern (injectivity);
+           matching its exact parent-adjacency pattern (injectivity). Its
+           mask comes from the SAME aggregate pass (max over the legs rows
+           whose neighbor equals the witness image) — hub-safe: no
+           per-vertex collected adjacency array ever rides a join cell;
         3. the number of injective leaf assignments expands at PLAN TIME
            into a polynomial in the atom sizes:
                Σ_dist Π_i multinomial(k_i; t_{i,A}) · Π_A P(n_A, Σ_i t_{i,A})
@@ -263,9 +267,18 @@ class SubgraphMatcher:
                 f = f.withColumn(c, F.element_at(F.col("m"), slot(ppos)))
                 pcols.append(c)
 
-            # 1. exact atom sizes, keyed by parent-adjacency bitmask
+            # bind witness images (mapped enumerated same-label vertices)
+            wcols = []
+            for ei, ep in enumerate(g.enum_pos):
+                wc = f"dgw{gi}_{ei}"
+                f = f.withColumn(wc, F.element_at(F.col("m"), slot(ep)))
+                wcols.append(wc)
+
+            # 1. exact atom sizes + per-witness atom masks, keyed by
+            # parent-adjacency bitmask, in one aggregate pass
             atom_raw: dict[frozenset, object] = {}
-            if m_parents == 1:
+            wmask_cols: list[str] = []
+            if m_parents == 1 and not wcols:
                 nl = self.nbr_label_counts.where(
                     F.col("dst_label") == F.lit(lbl)
                 ).alias(f"dg{gi}_0")
@@ -276,7 +289,8 @@ class SubgraphMatcher:
                     F.col(f"dg{gi}_0.n_nbrs"), F.lit(0)
                 ).cast("long")
             else:
-                tup = f.select(*pcols).distinct()
+                key = pcols + wcols
+                tup = f.select(*key).distinct()
                 legs = None
                 for i in range(m_parents):
                     ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
@@ -284,50 +298,42 @@ class SubgraphMatcher:
                         F.col("dst").alias(f"__nb{gi}"),
                     )
                     leg = tup.join(ai, pcols[i]).select(
-                        *pcols, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
+                        *key, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
                     )
                     legs = leg if legs is None else legs.unionByName(leg)
-                masks = legs.groupBy(*pcols, f"__nb{gi}").agg(
+                masks = legs.groupBy(*key, f"__nb{gi}").agg(
                     F.sum(f"__bit{gi}").alias(f"__mask{gi}")
                 )
-                atom_aggs = []
+                aggs = []
                 for size in range(1, m_parents + 1):
                     for A in combinations(range(m_parents), size):
                         mask = sum(1 << i for i in A)
-                        atom_aggs.append(
+                        aggs.append(
                             F.sum(
                                 (F.col(f"__mask{gi}") == mask).cast("long")
                             ).alias(f"dgn{gi}_raw_{mask}")
                         )
-                counts = masks.groupBy(*pcols).agg(*atom_aggs)
-                f = f.join(counts, pcols, "left")
+                for ei in range(len(wcols)):
+                    # the witness's own parent-adjacency mask: the legs row
+                    # whose neighbor IS the witness image (at most one after
+                    # the mask fold); null = adjacent to no parent
+                    aggs.append(
+                        F.max(
+                            F.when(
+                                F.col(f"__nb{gi}") == F.col(wcols[ei]),
+                                F.col(f"__mask{gi}"),
+                            )
+                        ).alias(f"dgwm{gi}_{ei}")
+                    )
+                    wmask_cols.append(f"dgwm{gi}_{ei}")
+                counts = masks.groupBy(*key).agg(*aggs)
+                f = f.join(counts, key, "left")
                 for size in range(1, m_parents + 1):
                     for A in combinations(range(m_parents), size):
                         mask = sum(1 << i for i in A)
                         atom_raw[frozenset(A)] = F.coalesce(
                             F.col(f"dgn{gi}_raw_{mask}"), F.lit(0)
                         ).cast("long")
-
-            # witness adjacency indicators: is image(ep) a neighbor of p_i?
-            hits: list[list] = []
-            for i in range(m_parents):
-                ind = []
-                if g.enum_pos:
-                    al = self.adjlist.alias(f"dga{gi}_{i}")
-                    f = f.join(
-                        al, F.col(pcols[i]) == F.col(f"dga{gi}_{i}.al_id"), "left"
-                    )
-                    for ep in g.enum_pos:
-                        ind.append(
-                            F.coalesce(
-                                F.array_contains(
-                                    F.col(f"dga{gi}_{i}.nbrs"),
-                                    F.element_at(F.col("m"), slot(ep)),
-                                ),
-                                F.lit(False),
-                            )
-                        )
-                hits.append(ind)
 
             # 2. witness-corrected atom sizes (materialized as columns —
             # each is referenced by many polynomial terms below)
@@ -339,12 +345,9 @@ class SubgraphMatcher:
             atom_col: dict[frozenset, str] = {}
             for A in atoms:
                 expr = atom_raw[A]
-                for ei in range(len(g.enum_pos)):
-                    exact = None
-                    for i in range(m_parents):
-                        c = hits[i][ei] if i in A else ~hits[i][ei]
-                        exact = c if exact is None else (exact & c)
-                    expr = expr - F.when(exact, 1).otherwise(0)
+                amask = sum(1 << i for i in A)
+                for wm in wmask_cols:
+                    expr = expr - F.when(F.col(wm) == amask, 1).otherwise(0)
                 name = f"dgn{gi}_" + "_".join(map(str, sorted(A)))
                 f = f.withColumn(name, expr)
                 atom_col[A] = name
