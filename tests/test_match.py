@@ -323,13 +323,14 @@ def test_randomized_query_shapes_vs_oracle(spark):
         m.unpersist()
 
 
-def test_fuzz_leaf_heavy_deferred_shapes(spark):
+@pytest.mark.parametrize("seed", [77, 20260817])
+def test_fuzz_leaf_heavy_deferred_shapes(spark, seed):
     """Targeted fuzz for the general deferred-conflict machinery: random
     trees whose internal spine is short and whose leaves are many, drawn
     from TWO labels — maximizing same-label leaf groups spread over
     multiple parents with multiplicities (the Venn-atom polynomial path).
     Every count compared to brute force with pseudo on/off and prune."""
-    rng = random.Random(77)
+    rng = random.Random(seed)
     n, p = 26, 0.16
     vs = {i: rng.randrange(3) for i in range(n)}
     es = set()
