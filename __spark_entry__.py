@@ -195,6 +195,20 @@ def q_match_triple_deferred_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
 
 
+def q_match_quad_deferred_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four same-label leaves under the four vertices of a path — exactly
+    4096 polynomial terms, the densest deferred shape the plan guard
+    admits (plans/sketch_tree.DEFER_MAX_TERMS): counted through the
+    Arrow-batched pandas-UDF polynomial tier instead of a Column tree, and
+    the leaf label collides with the enumerated v1, so the witness-mask
+    subtraction fires inside the same aggregate pass."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 3, 5: 0, 6: 0, 7: 0, 8: 0}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)}
+    for leaf, parent in ((5, 1), (6, 2), (7, 3), (8, 4)):
+        qe |= {(leaf, parent), (parent, leaf)}
+    return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -402,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_acbc_ring": q_match_acbc_ring,
         "match_twin_leaves_ring": q_match_twin_leaves_ring,
         "match_triple_deferred_ring": q_match_triple_deferred_ring,
+        "match_quad_deferred_ring": q_match_quad_deferred_ring,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -773,6 +788,22 @@ JOIN edges e5 ON v3.id = e5.src JOIN rv v6 ON e5.dst = v6.id
 WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2
   AND v4.label = 3 AND v5.label = 3 AND v6.label = 3
   AND v4.id <> v5.id AND v4.id <> v6.id AND v5.id <> v6.id""",
+        "match_quad_deferred_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v3.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges f1 ON v1.id = f1.src JOIN rv w1 ON f1.dst = w1.id
+JOIN edges f2 ON v2.id = f2.src JOIN rv w2 ON f2.dst = w2.id
+JOIN edges f3 ON v3.id = f3.src JOIN rv w3 ON f3.dst = w3.id
+JOIN edges f4 ON v4.id = f4.src JOIN rv w4 ON f4.dst = w4.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v4.label = 3
+  AND w1.label = 0 AND w2.label = 0 AND w3.label = 0 AND w4.label = 0
+  AND w1.id <> w2.id AND w1.id <> w3.id AND w1.id <> w4.id
+  AND w2.id <> w3.id AND w2.id <> w4.id AND w3.id <> w4.id
+  AND w1.id <> v1.id AND w2.id <> v1.id AND w3.id <> v1.id AND w4.id <> v1.id""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

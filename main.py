@@ -34,6 +34,9 @@ def parse_args(argv):
                    help="matcher engine: Catalyst join frontier (scale path) or BSP kernel vertex program")
     p.add_argument("--prune", default="off", choices=["on", "off"],
                    help="prefix column pruning + factorized counting (match)")
+    p.add_argument("--backward", default="auto", choices=["auto", "adjlist", "semijoin"],
+                   help="backward-edge check plan: collected-adjacency array_contains, "
+                        "hub-safe per-constraint left-semi joins, or auto by max degree")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
     p.add_argument("--source", type=int, default=None,
                    help="source vertex for --algo sssp (default: min id)")
@@ -157,7 +160,8 @@ def main(argv=None):
         else:
             matcher = SubgraphMatcher(spark, vertices, edges)
             n = matcher.count(
-                qv, qe, order=args.order, pseudo=args.pseudo == "on", prune=args.prune == "on"
+                qv, qe, order=args.order, pseudo=args.pseudo == "on",
+                prune=args.prune == "on", backward=args.backward,
             )
         print(f"Mapping count: {n}")  # same headline as the reference (README.md:83)
         result = spark.createDataFrame([(n,)], "mapping_count long")

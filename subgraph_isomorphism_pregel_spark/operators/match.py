@@ -38,6 +38,19 @@ from pyspark.sql import functions as F
 
 from ..plans.sketch_tree import QueryPlan, build_plan
 
+# Deferred-group polynomial evaluation tiers: up to this many terms the
+# polynomial is one whole-stage-codegen Column expression; above it (the
+# plan guard admits up to DEFER_MAX_TERMS) the same terms evaluate in a
+# single Arrow-batched vectorized pandas UDF over the atom columns — a
+# giant Column tree both hangs the py4j driver building it and blows the
+# JVM's 64KB codegen method limit.
+CODEGEN_MAX_TERMS = 64
+
+# backward='auto': use the hub-safe per-constraint left-semi-join plan once
+# any vertex degree exceeds this (an adjacency array cell of 100k longs is
+# ~0.8 MB; a 10^7-degree hub would be one ~80 MB shuffle row).
+HUB_DEGREE_THRESHOLD = 100_000
+
 
 def _perm_expr(cnt_col, k: int):
     """count * (count-1) * ... * (count-k+1) as a Column (injective choices
@@ -65,6 +78,37 @@ def _multinomial(k: int, parts) -> int:
     return r
 
 
+def _poly_pandas_udf(spec):
+    """Vectorized evaluator for a dense plan-time polynomial: spec is a
+    list of (coeff, ((atom_column_index, falling_factorial_exponent), ...))
+    terms; the UDF receives the atom-size columns and computes
+    Σ coeff · Π P(n_atom, exp) with numpy over the whole Arrow batch —
+    the >CODEGEN_MAX_TERMS tier of the deferred-group counting (a Column
+    tree of thousands of terms hangs the py4j driver and overflows JVM
+    codegen; see plans/sketch_tree.DEFER_MAX_TERMS for the plan guard)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # variadic signatures can't carry pandas type hints (PySpark eval-type
+    # inference rejects them) — legacy SCALAR inference handles bare *cols
+    @pandas_udf("long")
+    def poly(*cols):
+        arrs = [c.to_numpy(dtype="int64") for c in cols]
+        n = len(arrs[0]) if arrs else 0
+        total = np.zeros(n, dtype="int64")
+        for coeff, factors in spec:
+            t = np.full(n, coeff, dtype="int64")
+            for ai, texp in factors:
+                a = arrs[ai]
+                for j in range(texp):
+                    t = t * (a - j)
+            total = total + t
+        return pd.Series(total)
+
+    return poly
+
+
 class SubgraphMatcher:
     """Reusable matcher over one data graph (build once, run many queries)."""
 
@@ -88,13 +132,6 @@ class SubgraphMatcher:
             F.col("degree").alias("dst_degree"),
         )
         self.adj = edges.join(dstlab, "dst").select("src", "dst", "dst_label", "dst_degree").persist()
-        # adjacency list per vertex (for backward-edge membership tests)
-        self.adjlist = (
-            edges.groupBy("src")
-            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-            .withColumnRenamed("src", "al_id")
-            .persist()
-        )
         # per-(vertex, neighbor label) counts (for pseudo-child counting)
         self.nbr_label_counts = (
             self.adj.groupBy("src", "dst_label")
@@ -102,9 +139,50 @@ class SubgraphMatcher:
             .withColumnRenamed("src", "nl_id")
             .persist()
         )
+        self._adjlist: DataFrame | None = None
+        self._max_degree: int | None = None
+
+    @property
+    def adjlist(self) -> DataFrame:
+        """Per-vertex collected adjacency array (backward-edge membership
+        tests) — built LAZILY: when backward='auto' resolves to the
+        hub-safe semijoin plan this collect_list (the one structure whose
+        row size scales with max degree) is never materialized at all."""
+        if self._adjlist is None:
+            self._adjlist = (
+                self.adj.groupBy("src")
+                .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+                .withColumnRenamed("src", "al_id")
+                .persist()
+            )
+        return self._adjlist
+
+    @property
+    def max_degree(self) -> int:
+        """Max out-degree in the data graph (one agg over the persisted
+        vertex table; cached) — drives the backward='auto' plan pick."""
+        if self._max_degree is None:
+            row = self.vertices.agg(F.max("degree").alias("d")).collect()[0]
+            self._max_degree = int(row["d"] or 0)
+        return self._max_degree
+
+    def resolve_backward(
+        self, plan: QueryPlan, backward: str, hub_threshold: int = HUB_DEGREE_THRESHOLD
+    ) -> str:
+        """'auto' -> 'adjlist' (small max degree: the collected-array probe
+        measured faster) or 'semijoin' (hub-safe: a high-degree vertex stays
+        that many edge ROWS spread across partitions, never one giant array
+        cell — the scale analog of the reference's per-vertex nbs_set,
+        SIValue.h:38-41). Plans with no backward constraints never touch
+        either structure, so 'auto' resolves to 'adjlist' trivially."""
+        if backward != "auto":
+            return backward
+        if not any(nd.backward_pos for nd in plan.nodes):
+            return "adjlist"
+        return "semijoin" if self.max_degree > hub_threshold else "adjlist"
 
     def frontier(
-        self, plan: QueryPlan, prune: bool = False, backward: str = "adjlist"
+        self, plan: QueryPlan, prune: bool = False, backward: str = "auto"
     ) -> DataFrame:
         """Run MATCH; returns (m: array<long>, cnt: long) — one row per
         embedding of the non-pseudo query vertices, cnt = multiplicity from
@@ -115,7 +193,8 @@ class SubgraphMatcher:
         memory); backward='semijoin' instead left-semi-joins the frontier
         against the EDGE TABLE per backward constraint — the hub-safe plan: a
         10^7-degree vertex stays 10^7 edge rows spread over partitions, never
-        one multi-hundred-MB array cell.
+        one multi-hundred-MB array cell. backward='auto' (default) picks by
+        the graph's max degree (see resolve_backward).
 
         prune=True enables embedding-column pruning + factorized counting:
         after each extension, mapping positions that no later step references
@@ -124,23 +203,37 @@ class SubgraphMatcher:
         Spark form of the reference's chd_constraint column pruning + dummy-
         vertex prefix sharing (`SIQuery.h:544-591`, `SIMessage.h:176-203`,
         `pregel_app_subgraph.h:85-99`). Counting-only (rows no longer carry
-        full embeddings)."""
-        # needed_after[i]: original positions some node j>i still references;
-        # positions feeding the deferred conflict fix-up (parents of deferred
-        # leaf groups + their enumerated same-label witnesses) stay live to
-        # the very end
+        full embeddings).
+
+        Deferred same-label leaf groups are applied at the EARLIEST position
+        where all their parents and same-label witnesses are mapped (not at
+        plan end), so (a) their referenced columns stop blocking _prune's
+        prefix merging as soon as possible — the factorization the
+        reference's staged branch assembly gets from dummy vertices
+        (`SIBranch.h:161-248`) — and (b) rows whose conflict-corrected count
+        is zero leave the frontier before later extensions."""
+        backward = self.resolve_backward(plan, backward)
         n = len(plan.nodes)
+        # group gi is ready right after this position's extension step
+        ready_at = {
+            gi: max([p for p, _ in g.parents] + list(g.enum_pos))
+            for gi, g in enumerate(plan.deferred)
+        }
+        groups_at: dict[int, list[int]] = {}
+        for gi, pos in ready_at.items():
+            groups_at.setdefault(pos, []).append(gi)
+        # needed_after[i]: original positions some LATER consumer references
+        # (a node j>i as parent/backward/injectivity-witness, or a deferred
+        # group applied after position i)
         needed_after = [set() for _ in range(n)]
         acc: set[int] = set()
-        for g in plan.deferred:
-            acc |= {p for p, _ in g.parents} | set(g.enum_pos)
-        deferred_need = set(acc)
         for j in range(n - 1, 0, -1):
             nd = plan.nodes[j]
             acc |= {nd.parent_pos, *nd.backward_pos, *nd.samelabel_pos}
+            for gi in groups_at.get(j, ()):
+                g = plan.deferred[gi]
+                acc |= {p for p, _ in g.parents} | set(g.enum_pos)
             needed_after[j - 1] = set(acc)
-        if n:
-            needed_after[n - 1] = deferred_need
 
         root = plan.nodes[0]
         f = (
@@ -155,6 +248,8 @@ class SubgraphMatcher:
         def slot(pos: int) -> int:
             return live.index(pos) + 1  # 1-based element_at
 
+        for gi in groups_at.get(0, ()):
+            f = self._apply_deferred_group(f, plan.deferred[gi], gi, slot)
         if prune:
             f, live = self._prune(f, live, needed_after[0])
         for node in plan.nodes[1:]:
@@ -200,9 +295,10 @@ class SubgraphMatcher:
             )
             live = live + [node.pos]
             f = self._apply_pseudo(f, node, slot_of=slot)
+            for gi in groups_at.get(node.pos, ()):
+                f = self._apply_deferred_group(f, plan.deferred[gi], gi, slot)
             if prune:
                 f, live = self._prune(f, live, needed_after[node.pos])
-        f = self._apply_deferred(f, plan, slot)
         return f
 
     @staticmethod
@@ -223,12 +319,13 @@ class SubgraphMatcher:
         )
         return f, keep
 
-    def _apply_deferred(self, f: DataFrame, plan: QueryPlan, slot) -> DataFrame:
-        """Count deferred same-label leaf groups at plan end with conflict
-        fix-up — the Spark form of the reference's conflict-aware branch
+    def _apply_deferred_group(self, f: DataFrame, g, gi: int, slot) -> DataFrame:
+        """Count one deferred same-label leaf group with conflict fix-up —
+        the Spark form of the reference's conflict-aware branch
         assembly (`SIBranch.h:81-131,161-248`, `pregel_app_subgraph.h:85-99`):
         expansion never enumerated these leaves; here the multiplicative
         count is corrected algebraically instead of by cross-product pruning.
+        Called from `frontier` at the group's earliest ready position.
 
         GENERAL shape (any number of parents, any multiplicities). Per group
         (label l, parents p_1..p_m with k_i leaves each):
@@ -252,133 +349,151 @@ class SubgraphMatcher:
            over all distributions of each parent's k_i leaves among the
            atoms containing that parent (P = falling factorial). m=1 reduces
            to perm(pool, k); m=2, k=1+1 reduces to |A||B| − |A∩B|.
+           Up to CODEGEN_MAX_TERMS the polynomial is one whole-stage-codegen
+           Column expression; denser groups (the plan guard admits up to
+           DEFER_MAX_TERMS) evaluate the SAME plan-time term list in one
+           Arrow-batched vectorized pandas UDF over the atom columns —
+           numpy term loop per batch, never per row.
 
-        Every step is a whole-stage-codegen Column expression per frontier
-        row plus two aggregate shuffles — no per-row Python, no enumeration
-        of the leaves."""
-        for gi, g in enumerate(plan.deferred):
-            lbl = g.label
-            m_parents = len(g.parents)
-            ks = [k for _, k in g.parents]
-            # bind parent images as named columns (name-based joins below)
-            pcols = []
-            for i, (ppos, _k) in enumerate(g.parents):
-                c = f"dgp{gi}_{i}"
-                f = f.withColumn(c, F.element_at(F.col("m"), slot(ppos)))
-                pcols.append(c)
+        Every step is a per-frontier-row columnar expression plus two
+        aggregate shuffles — no per-row Python, no enumeration of the
+        leaves."""
+        lbl = g.label
+        m_parents = len(g.parents)
+        ks = [k for _, k in g.parents]
+        # bind parent images as named columns (name-based joins below)
+        pcols = []
+        for i, (ppos, _k) in enumerate(g.parents):
+            c = f"dgp{gi}_{i}"
+            f = f.withColumn(c, F.element_at(F.col("m"), slot(ppos)))
+            pcols.append(c)
 
-            # bind witness images (mapped enumerated same-label vertices)
-            wcols = []
-            for ei, ep in enumerate(g.enum_pos):
-                wc = f"dgw{gi}_{ei}"
-                f = f.withColumn(wc, F.element_at(F.col("m"), slot(ep)))
-                wcols.append(wc)
+        # bind witness images (mapped enumerated same-label vertices)
+        wcols = []
+        for ei, ep in enumerate(g.enum_pos):
+            wc = f"dgw{gi}_{ei}"
+            f = f.withColumn(wc, F.element_at(F.col("m"), slot(ep)))
+            wcols.append(wc)
 
-            # 1. exact atom sizes + per-witness atom masks, keyed by
-            # parent-adjacency bitmask, in one aggregate pass
-            atom_raw: dict[frozenset, object] = {}
-            wmask_cols: list[str] = []
-            if m_parents == 1 and not wcols:
-                nl = self.nbr_label_counts.where(
-                    F.col("dst_label") == F.lit(lbl)
-                ).alias(f"dg{gi}_0")
-                f = f.join(
-                    nl, F.col(pcols[0]) == F.col(f"dg{gi}_0.nl_id"), "left"
-                )
-                atom_raw[frozenset([0])] = F.coalesce(
-                    F.col(f"dg{gi}_0.n_nbrs"), F.lit(0)
-                ).cast("long")
-            else:
-                key = pcols + wcols
-                tup = f.select(*key).distinct()
-                legs = None
-                for i in range(m_parents):
-                    ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
-                        F.col("src").alias(pcols[i]),
-                        F.col("dst").alias(f"__nb{gi}"),
-                    )
-                    leg = tup.join(ai, pcols[i]).select(
-                        *key, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
-                    )
-                    legs = leg if legs is None else legs.unionByName(leg)
-                masks = legs.groupBy(*key, f"__nb{gi}").agg(
-                    F.sum(f"__bit{gi}").alias(f"__mask{gi}")
-                )
-                aggs = []
-                for size in range(1, m_parents + 1):
-                    for A in combinations(range(m_parents), size):
-                        mask = sum(1 << i for i in A)
-                        aggs.append(
-                            F.sum(
-                                (F.col(f"__mask{gi}") == mask).cast("long")
-                            ).alias(f"dgn{gi}_raw_{mask}")
-                        )
-                for ei in range(len(wcols)):
-                    # the witness's own parent-adjacency mask: the legs row
-                    # whose neighbor IS the witness image (at most one after
-                    # the mask fold); null = adjacent to no parent
-                    aggs.append(
-                        F.max(
-                            F.when(
-                                F.col(f"__nb{gi}") == F.col(wcols[ei]),
-                                F.col(f"__mask{gi}"),
-                            )
-                        ).alias(f"dgwm{gi}_{ei}")
-                    )
-                    wmask_cols.append(f"dgwm{gi}_{ei}")
-                counts = masks.groupBy(*key).agg(*aggs)
-                f = f.join(counts, key, "left")
-                for size in range(1, m_parents + 1):
-                    for A in combinations(range(m_parents), size):
-                        mask = sum(1 << i for i in A)
-                        atom_raw[frozenset(A)] = F.coalesce(
-                            F.col(f"dgn{gi}_raw_{mask}"), F.lit(0)
-                        ).cast("long")
-
-            # 2. witness-corrected atom sizes (materialized as columns —
-            # each is referenced by many polynomial terms below)
-            atoms = [
-                frozenset(A)
-                for size in range(1, m_parents + 1)
-                for A in combinations(range(m_parents), size)
-            ]
-            atom_col: dict[frozenset, str] = {}
-            for A in atoms:
-                expr = atom_raw[A]
-                amask = sum(1 << i for i in A)
-                for wm in wmask_cols:
-                    expr = expr - F.when(F.col(wm) == amask, 1).otherwise(0)
-                name = f"dgn{gi}_" + "_".join(map(str, sorted(A)))
-                f = f.withColumn(name, expr)
-                atom_col[A] = name
-
-            # 3. plan-time polynomial over distributions
-            per_parent_atoms = [[a for a in atoms if i in a] for i in range(m_parents)]
-            total = None
-            for joint in product(
-                *[
-                    list(_compositions(ks[i], len(per_parent_atoms[i])))
-                    for i in range(m_parents)
-                ]
-            ):
-                coeff = 1
-                T: dict[frozenset, int] = {a: 0 for a in atoms}
-                for i in range(m_parents):
-                    coeff *= _multinomial(ks[i], joint[i])
-                    for a, t in zip(per_parent_atoms[i], joint[i]):
-                        T[a] += t
-                term = F.lit(coeff).cast("long")
-                for a in atoms:
-                    if T[a]:
-                        term = term * _perm_expr(F.col(atom_col[a]), T[a])
-                total = term if total is None else (total + term)
-            # bind the polynomial once; filter and project reference the column
-            f = (
-                f.withColumn(f"dgt{gi}", total)
-                .where(F.col(f"dgt{gi}") > 0)
-                .select(F.col("m"), (F.col("cnt") * F.col(f"dgt{gi}")).alias("cnt"))
+        # 1. exact atom sizes + per-witness atom masks, keyed by
+        # parent-adjacency bitmask, in one aggregate pass
+        atom_raw: dict[frozenset, object] = {}
+        wmask_cols: list[str] = []
+        if m_parents == 1 and not wcols:
+            nl = self.nbr_label_counts.where(
+                F.col("dst_label") == F.lit(lbl)
+            ).alias(f"dg{gi}_0")
+            f = f.join(
+                nl, F.col(pcols[0]) == F.col(f"dg{gi}_0.nl_id"), "left"
             )
-        return f
+            atom_raw[frozenset([0])] = F.coalesce(
+                F.col(f"dg{gi}_0.n_nbrs"), F.lit(0)
+            ).cast("long")
+        else:
+            key = pcols + wcols
+            tup = f.select(*key).distinct()
+            legs = None
+            for i in range(m_parents):
+                ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                    F.col("src").alias(pcols[i]),
+                    F.col("dst").alias(f"__nb{gi}"),
+                )
+                leg = tup.join(ai, pcols[i]).select(
+                    *key, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
+                )
+                legs = leg if legs is None else legs.unionByName(leg)
+            masks = legs.groupBy(*key, f"__nb{gi}").agg(
+                F.sum(f"__bit{gi}").alias(f"__mask{gi}")
+            )
+            aggs = []
+            for size in range(1, m_parents + 1):
+                for A in combinations(range(m_parents), size):
+                    mask = sum(1 << i for i in A)
+                    aggs.append(
+                        F.sum(
+                            (F.col(f"__mask{gi}") == mask).cast("long")
+                        ).alias(f"dgn{gi}_raw_{mask}")
+                    )
+            for ei in range(len(wcols)):
+                # the witness's own parent-adjacency mask: the legs row
+                # whose neighbor IS the witness image (at most one after
+                # the mask fold); null = adjacent to no parent
+                aggs.append(
+                    F.max(
+                        F.when(
+                            F.col(f"__nb{gi}") == F.col(wcols[ei]),
+                            F.col(f"__mask{gi}"),
+                        )
+                    ).alias(f"dgwm{gi}_{ei}")
+                )
+                wmask_cols.append(f"dgwm{gi}_{ei}")
+            counts = masks.groupBy(*key).agg(*aggs)
+            f = f.join(counts, key, "left")
+            for size in range(1, m_parents + 1):
+                for A in combinations(range(m_parents), size):
+                    mask = sum(1 << i for i in A)
+                    atom_raw[frozenset(A)] = F.coalesce(
+                        F.col(f"dgn{gi}_raw_{mask}"), F.lit(0)
+                    ).cast("long")
+
+        # 2. witness-corrected atom sizes (materialized as columns —
+        # each is referenced by many polynomial terms below)
+        atoms = [
+            frozenset(A)
+            for size in range(1, m_parents + 1)
+            for A in combinations(range(m_parents), size)
+        ]
+        atom_col: dict[frozenset, str] = {}
+        for A in atoms:
+            expr = atom_raw[A]
+            amask = sum(1 << i for i in A)
+            for wm in wmask_cols:
+                expr = expr - F.when(F.col(wm) == amask, 1).otherwise(0)
+            name = f"dgn{gi}_" + "_".join(map(str, sorted(A)))
+            f = f.withColumn(name, expr)
+            atom_col[A] = name
+
+        # 3. plan-time polynomial over distributions: collect the term list
+        # first (coeff, {atom: exponent}), then pick the evaluation tier
+        per_parent_atoms = [[a for a in atoms if i in a] for i in range(m_parents)]
+        terms: list[tuple[int, dict[frozenset, int]]] = []
+        for joint in product(
+            *[
+                list(_compositions(ks[i], len(per_parent_atoms[i])))
+                for i in range(m_parents)
+            ]
+        ):
+            coeff = 1
+            T: dict[frozenset, int] = {a: 0 for a in atoms}
+            for i in range(m_parents):
+                coeff *= _multinomial(ks[i], joint[i])
+                for a, t in zip(per_parent_atoms[i], joint[i]):
+                    T[a] += t
+            terms.append((coeff, {a: t for a, t in T.items() if t}))
+
+        if len(terms) <= CODEGEN_MAX_TERMS:
+            total = None
+            for coeff, T in terms:
+                term = F.lit(coeff).cast("long")
+                for a, t in T.items():
+                    term = term * _perm_expr(F.col(atom_col[a]), t)
+                total = term if total is None else (total + term)
+            f = f.withColumn(f"dgt{gi}", total)
+        else:
+            atom_index = {a: i for i, a in enumerate(atoms)}
+            spec = [
+                (coeff, tuple((atom_index[a], t) for a, t in T.items()))
+                for coeff, T in terms
+            ]
+            poly = _poly_pandas_udf(spec)
+            f = f.withColumn(
+                f"dgt{gi}", poly(*[F.col(atom_col[a]) for a in atoms])
+            )
+        # bind the polynomial once; filter and project reference the column
+        return (
+            f.where(F.col(f"dgt{gi}") > 0)
+            .select(F.col("m"), (F.col("cnt") * F.col(f"dgt{gi}")).alias("cnt"))
+        )
 
     def _apply_pseudo(self, f: DataFrame, node, slot_of=None) -> DataFrame:
         """Fold counted pseudo children of `node` into cnt."""
@@ -425,7 +540,7 @@ class SubgraphMatcher:
         order: str = "degree",
         pseudo: bool = True,
         prune: bool = False,
-        backward: str = "adjlist",
+        backward: str = "auto",
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83)."""
@@ -456,7 +571,8 @@ class SubgraphMatcher:
     def unpersist(self) -> None:
         self.vertices.unpersist()
         self.adj.unpersist()
-        self.adjlist.unpersist()
+        if self._adjlist is not None:
+            self._adjlist.unpersist()
         self.nbr_label_counts.unpersist()
 
 

@@ -23,9 +23,13 @@ role of the reference's sketch tree (/root/reference/src/SItypes/SIQuery.h):
   Venn-atom decomposition of the parents' label-l neighbor pools
   (inclusion–exclusion over subset intersection counts) and expands the
   exact injective-assignment count as a plan-time polynomial in the atom
-  sizes. Only astronomically dense groups (>4 distinct parents or >8 leaves
-  of one label, beyond anything in the reference's workloads) fall back to
-  ordinary enumeration.
+  sizes. The polynomial's term count is bounded EXACTLY before deferring:
+  with m parents, parent i's k_i leaves distribute over its 2^(m-1)
+  containing atoms, so the expansion has
+  prod_i C(k_i + 2^(m-1) - 1, 2^(m-1) - 1) terms — groups beyond
+  ``DEFER_MAX_TERMS`` fall back to ordinary enumeration WITH an explicit
+  ``PlanDowngradeWarning`` (never a silent cap) and are recorded on
+  ``QueryPlan.downgraded``.
 
 The plan is a tiny immutable object; the matcher broadcasts it implicitly in
 its join expressions (reference broadcasts the whole query graph,
@@ -34,7 +38,37 @@ its join expressions (reference broadcasts the whole query graph,
 
 from __future__ import annotations
 
+import math
+import warnings
 from dataclasses import dataclass, field
+
+# Hard ceiling on the plan-time polynomial expansion of one deferred group.
+# Terms are materialized as expression work (Column tree or pandas-UDF term
+# loop); past this the driver-side build itself becomes the bottleneck —
+# e.g. 4 parents x 2 leaves each is C(9,7)^4 ~= 1.68M terms. Groups whose
+# EXACT term count exceeds this enumerate their leaves normally instead.
+DEFER_MAX_TERMS = 4096
+
+
+class PlanDowngradeWarning(UserWarning):
+    """A deferred-counting group fell back to plain enumeration (the leaf
+    group was too dense for the plan-time polynomial). The count stays
+    exact; the query runs in the frontier-enumeration regime instead of
+    the factorized-counting regime — surface it, never cap silently."""
+
+
+def deferred_term_count(ks: list[int] | tuple[int, ...]) -> int:
+    """Exact number of terms in the injective-assignment polynomial for a
+    deferred group with per-parent leaf multiplicities `ks`: each parent's
+    k_i leaves distribute over the 2^(m-1) Venn atoms containing it, i.e.
+    C(k_i + 2^(m-1) - 1, 2^(m-1) - 1) weak compositions, multiplied across
+    parents."""
+    m = len(ks)
+    bins = 1 << (m - 1)
+    terms = 1
+    for k in ks:
+        terms *= math.comb(k + bins - 1, bins - 1)
+    return terms
 
 
 @dataclass(frozen=True)
@@ -72,6 +106,10 @@ class QueryPlan:
     nodes: tuple[PlanNode, ...]  # matching order; nodes[0] is the root
     n_query_vertices: int  # including pseudo children
     deferred: tuple[DeferredGroup, ...] = ()
+    # (label, n_parents, n_leaves) of leaf groups that EXCEEDED
+    # DEFER_MAX_TERMS and re-entered ordinary enumeration; a
+    # PlanDowngradeWarning was issued for each at plan time
+    downgraded: tuple[tuple[int, int, int], ...] = ()
 
     @property
     def depth(self) -> int:
@@ -126,6 +164,7 @@ def build_plan(
     # shape allows (one parent with any multiplicity, or a two-parent pair)
     is_deferred = {u: False for u in query_v}
     deferred_specs: list[tuple[int, dict[int, int]]] = []  # (label, parent u -> k)
+    downgraded: list[tuple[int, int, int]] = []
     if pseudo:
         leaves_by_label: dict[int, list[int]] = {}
         for u in query_v:
@@ -136,10 +175,22 @@ def build_plan(
             for u in leaves:
                 by_parent[next(iter(adj[u]))] = by_parent.get(next(iter(adj[u])), 0) + 1
             # the matcher's Venn-atom count handles ANY parent/multiplicity
-            # shape; bound the plan-time polynomial expansion (2^m atoms,
-            # compositions of each k) to keep generated expressions small —
-            # beyond the bound, enumerate these leaves normally
-            if len(by_parent) > 4 or sum(by_parent.values()) > 8:
+            # shape; bound the EXACT term count of the plan-time polynomial
+            # (independent parent/leaf bounds admit explosive combinations:
+            # 4 parents x 2 leaves = 36^4 terms) — beyond the bound, these
+            # leaves enumerate normally, loudly
+            n_terms = deferred_term_count(list(by_parent.values()))
+            if n_terms > DEFER_MAX_TERMS:
+                downgraded.append((lbl, len(by_parent), len(leaves)))
+                warnings.warn(
+                    f"deferred-counting group (label={lbl}, "
+                    f"{len(by_parent)} parents, {len(leaves)} leaves) needs "
+                    f"{n_terms} polynomial terms > DEFER_MAX_TERMS="
+                    f"{DEFER_MAX_TERMS}; falling back to enumerating these "
+                    f"leaves (exact but in the frontier-expansion regime)",
+                    PlanDowngradeWarning,
+                    stacklevel=2,
+                )
                 continue
             # (a parent with deg 1 is necessarily the root of a 2-vertex
             # query — roots are always enumerated, so deferral stays valid)
@@ -229,5 +280,8 @@ def build_plan(
         for lbl, by_parent in deferred_specs
     )
     return QueryPlan(
-        nodes=tuple(nodes), n_query_vertices=len(query_v), deferred=deferred
+        nodes=tuple(nodes),
+        n_query_vertices=len(query_v),
+        deferred=deferred,
+        downgraded=tuple(downgraded),
     )

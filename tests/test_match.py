@@ -6,7 +6,12 @@ import random
 import pytest
 
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
-from subgraph_isomorphism_pregel_spark.plans.sketch_tree import build_plan
+from subgraph_isomorphism_pregel_spark.plans.sketch_tree import (
+    DEFER_MAX_TERMS,
+    PlanDowngradeWarning,
+    build_plan,
+    deferred_term_count,
+)
 from subgraph_isomorphism_pregel_spark.sources.graph import (
     TOY_QUERY_TEXT,
     parse_query_text,
@@ -238,13 +243,16 @@ def test_plan_defers_nonunique_leaves():
     assert g.label == B and len(g.parents) == 3
     assert all(k == 1 for _, k in g.parents)
 
-    # beyond the expansion bound (5 distinct parents) falls back cleanly
+    # beyond the expansion bound (5 distinct parents = 2^20 terms) falls
+    # back LOUDLY: PlanDowngradeWarning + recorded on plan.downgraded
     qv = {1: A, 2: C, 3: D, 4: C, 5: D} | {10 + i: B for i in range(5)}
     qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4)}
     for i, p in enumerate([1, 2, 3, 4, 5]):
         qe |= {(p, 10 + i), (10 + i, p)}
-    plan = build_plan(qv, qe, order="degree")
+    with pytest.warns(PlanDowngradeWarning):
+        plan = build_plan(qv, qe, order="degree")
     assert plan.deferred == ()
+    assert plan.downgraded == ((B, 5, 5),)
     assert len(plan.nodes) == 10  # everything enumerated
 
 
@@ -364,5 +372,142 @@ def test_fuzz_leaf_heavy_deferred_shapes(spark, seed):
                        dict(pseudo=True, prune=True)):
                 got = m.count(qv, qe, **kw)
                 assert got == want, (trial, qv, sorted(qe), kw, got, want)
+    finally:
+        m.unpersist()
+
+
+def _random_graph(spark, seed, n=24, p=0.18, n_labels=3):
+    rng = random.Random(seed)
+    vs = {i: rng.randrange(n_labels) for i in range(n)}
+    es = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < p:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    return vs, es, v, e
+
+
+def test_quad_parent_deferred_udf_tier(spark):
+    """4 parents x 1 leaf each = exactly 4096 polynomial terms: the densest
+    shape the plan guard admits, evaluated through the Arrow-batched
+    pandas-UDF tier (> CODEGEN_MAX_TERMS) instead of a Column tree."""
+    assert deferred_term_count((1, 1, 1, 1)) == 4096 <= DEFER_MAX_TERMS
+    # path 1-2-3-4 (labels 0,1,0,1) with one label-2 leaf on each
+    qv = {1: 0, 2: 1, 3: 0, 4: 1, 5: 2, 6: 2, 7: 2, 8: 2}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)}
+    for leaf, parent in ((5, 1), (6, 2), (7, 3), (8, 4)):
+        qe |= {(leaf, parent), (parent, leaf)}
+    plan = build_plan(qv, qe, order="degree")
+    assert len(plan.deferred) == 1
+    (g,) = plan.deferred
+    assert len(g.parents) == 4 and all(k == 1 for _, k in g.parents)
+    assert plan.downgraded == ()
+
+    vs, es, v, e = _random_graph(spark, seed=1, n=20, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        want = match_count_oracle(vs, es, qv, qe)
+        assert want > 0  # seed chosen so the shape actually occurs
+        assert m.count(qv, qe, pseudo=True) == want
+        assert m.count(qv, qe, pseudo=True, prune=True) == want
+    finally:
+        m.unpersist()
+
+
+def test_dense_group_downgrades_with_warning_and_counts_exactly(spark):
+    """The ADVICE round-3 explosive shape: 4 parents x 2 leaves each is
+    C(9,7)^4 ~= 1.68M terms — must fall back to enumeration with an
+    explicit PlanDowngradeWarning (never hang the driver) and still count
+    exactly."""
+    assert deferred_term_count((2, 2, 2, 2)) == 36**4 > DEFER_MAX_TERMS
+    qv = {1: 0, 2: 1, 3: 0, 4: 1}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3)}
+    leaf = 5
+    for parent in (1, 2, 3, 4):
+        for _ in range(2):
+            qv[leaf] = 2
+            qe |= {(leaf, parent), (parent, leaf)}
+            leaf += 1
+    with pytest.warns(PlanDowngradeWarning):
+        plan = build_plan(qv, qe, order="degree")
+    assert plan.deferred == ()
+    assert plan.downgraded == ((2, 4, 8),)
+
+    # deterministic graph: data path 0-1-2-3 (labels 0,1,0,1) + 8 label-2
+    # vertices adjacent to every path vertex -> count = 1 * P(8,8) = 40320
+    data_v = {0: 0, 1: 1, 2: 0, 3: 1} | {10 + i: 2 for i in range(8)}
+    data_e = set()
+    for a, b in ((0, 1), (1, 2), (2, 3)):
+        data_e |= {(a, b), (b, a)}
+    for w in range(10, 18):
+        for x in range(4):
+            data_e |= {(w, x), (x, w)}
+    v = spark.createDataFrame(list(data_v.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(data_e), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        want = match_count_oracle(data_v, data_e, qv, qe)
+        assert want == 40320
+        with pytest.warns(PlanDowngradeWarning):
+            assert m.count(qv, qe, pseudo=True) == want
+    finally:
+        m.unpersist()
+
+
+def test_backward_auto_resolution_and_lazy_adjlist(spark):
+    """backward='auto' picks adjlist below the hub threshold and the
+    hub-safe semijoin above it; the collected-adjacency table is only ever
+    built when an adjlist plan actually runs."""
+    from subgraph_isomorphism_pregel_spark.sources.graph import toy_graph
+
+    v, e = toy_graph(spark)
+    m = SubgraphMatcher(spark, v, e)
+    qv, qe = QUERIES["cycle4_golden"]
+    try:
+        plan = build_plan(qv, qe, order="degree")
+        assert any(nd.backward_pos for nd in plan.nodes)
+        assert m.resolve_backward(plan, "auto") == "adjlist"  # tiny degrees
+        assert m.resolve_backward(plan, "auto", hub_threshold=1) == "semijoin"
+        # no backward constraints -> adjlist trivially, hub or not
+        path_plan = build_plan(*QUERIES["path3"], order="degree")
+        assert m.resolve_backward(path_plan, "auto", hub_threshold=1) == "adjlist"
+        # explicit choices pass through untouched
+        assert m.resolve_backward(plan, "semijoin") == "semijoin"
+
+        # laziness: a semijoin run never materializes the adjacency arrays
+        assert m._adjlist is None
+        n_semi = m.count(qv, qe, backward="semijoin")
+        assert m._adjlist is None
+        n_adj = m.count(qv, qe, backward="adjlist")
+        assert m._adjlist is not None
+        assert n_semi == n_adj == 4
+    finally:
+        m.unpersist()
+
+
+def test_deferred_group_applies_before_plan_end(spark):
+    """A deferred group whose parents/witnesses are all mapped early is
+    applied at that point — its columns stop blocking _prune's prefix
+    merging for the rest of the plan — and counts stay exact."""
+    # root 1 (label 0) with two deferred label-2 leaves, then a 3-node tail
+    qv = {1: 0, 2: 2, 3: 2, 4: 1, 5: 0, 6: 1}
+    qe = {(1, 2), (2, 1), (1, 3), (3, 1),
+          (1, 4), (4, 1), (4, 5), (5, 4), (5, 6), (6, 5)}
+    plan = build_plan(qv, qe, order="degree")
+    g = next(gr for gr in plan.deferred if gr.label == 2)
+    # the label-2 group is ready at the root; enumerated nodes follow it
+    assert max([p for p, _ in g.parents] + list(g.enum_pos)) < len(plan.nodes) - 1
+
+    vs, es, v, e = _random_graph(spark, seed=2, n=22, p=0.25)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        want = match_count_oracle(vs, es, qv, qe)
+        assert want > 0
+        assert m.count(qv, qe, pseudo=True) == want
+        assert m.count(qv, qe, pseudo=True, prune=True) == want
+        assert m.count(qv, qe, pseudo=False) == want
     finally:
         m.unpersist()
