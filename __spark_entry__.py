@@ -649,7 +649,8 @@ WITH {EMB_PAIRS.strip().rstrip(',')},
 qq AS MATERIALIZED (
   SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p),
 cent AS MATERIALIZED (
-  SELECT vec_id AS list_id, pos, qv AS qc FROM qq WHERE vec_id < {n_lists}),
+  SELECT vec_id AS list_id, pos, qv AS qc FROM qq
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM qq ORDER BY vec_id LIMIT {n_lists})),
 dist AS MATERIALIZED (
   SELECT q.vec_id, c.list_id, sum((q.qv - c.qc) * (q.qv - c.qc)) AS d
   FROM qq q JOIN cent c ON q.pos = c.pos GROUP BY q.vec_id, c.list_id),

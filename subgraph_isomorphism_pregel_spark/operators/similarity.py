@@ -327,10 +327,13 @@ def ivf_topk(
     """(query_id, neighbor_id, rank, cos): IVF-flat approximate top-k —
     the inverted-file ANN shape (the other classic scale path besides LSH).
 
-    Coarse quantizer: the vectors with the n_lists smallest vec_ids serve
-    as fixed centroids (deterministic; a production index trains them
-    offline — k-means iterations would introduce engine-dependent float
-    means, which this operator deliberately avoids). Every vector is
+    Coarse quantizer: the vectors with the n_lists smallest ACTUAL vec_ids
+    serve as fixed centroids (deterministic; a production index trains
+    them offline — k-means iterations would introduce engine-dependent
+    float means, which this operator deliberately avoids). Selecting by
+    rank rather than `vec_id < n_lists` keeps offset or sparse id spaces
+    working (they'd otherwise silently get fewer or zero centroids —
+    ADVICE r3). Every vector is
     ASSIGNED to its nearest centroid by EXACT integer distance on the
     2^20-quantized values (sum of squared int64 deltas — associative, so
     DuckDB reproduces the assignment bit-for-bit); every query PROBES its
@@ -346,8 +349,11 @@ def ivf_topk(
         " v -> CAST(floor(v * 1048576.0) AS BIGINT))"
     )
     base = emb.select("vec_id", qarr.alias("qv"))
-    cent = base.where(F.col("vec_id") < n_lists).select(
-        F.col("vec_id").alias("list_id"), F.col("qv").alias("qc")
+    # n_lists smallest actual ids (tiny global sort-limit, broadcast below)
+    cent = (
+        base.orderBy("vec_id")
+        .limit(n_lists)
+        .select(F.col("vec_id").alias("list_id"), F.col("qv").alias("qc"))
     )
     # exact int64 squared distance, whole-stage codegen (deltas < 2^21,
     # squared < 2^42, dim-summed < 2^52 — no overflow)

@@ -190,11 +190,24 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     removed_files = 0
     data_root = os.path.join(path, "data")
     for sub in sorted(os.listdir(data_root)):
-        for part in sorted(os.listdir(os.path.join(data_root, sub))):
-            fdir = os.path.join(data_root, sub, part)
+        subdir = os.path.join(data_root, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for part in sorted(os.listdir(subdir)):
+            fdir = os.path.join(subdir, part)
+            # skip Spark's write markers (_SUCCESS etc.) — only partition
+            # DIRECTORIES are manifest-referenced data file sets
+            if not os.path.isdir(fdir):
+                continue
             if fdir not in referenced:
                 shutil.rmtree(fdir, ignore_errors=True)
                 removed_files += 1
+        # a staging dir whose every partition was expired is an empty
+        # shell (just the marker files) — remove it outright
+        if not any(
+            os.path.isdir(os.path.join(subdir, x)) for x in os.listdir(subdir)
+        ):
+            shutil.rmtree(subdir, ignore_errors=True)
     removed_snaps = 0
     for sid in all_sids:
         if sid not in keep:

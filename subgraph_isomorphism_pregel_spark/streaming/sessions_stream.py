@@ -50,7 +50,7 @@ def _quant(v: float) -> int:
     return int(math.floor(v * 1e6 + 0.5))
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, idle_ttl_ms: int | None = None):
     def fn(key: Tuple[Any], pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
@@ -63,12 +63,17 @@ def _session_fn(gap_us: int):
         closed = []  # (session_no, start_us, last_us, n, val_micro)
 
         if state.hasTimedOut:
+            if not has_open:
+                # the IDLE timer fired: the user's last session closed
+                # idle_ttl ago with no new events — drop the state entry
+                # entirely (their session_no restarts at 1 if they return)
+                state.remove()
+                return
             # watermark passed open_last + gap: no event can extend it
-            if has_open:
-                closed.append((next_no, o_start, o_last, o_n, o_val))
-                next_no += 1
-                has_open = False
-                o_start = o_last = o_n = o_val = 0
+            closed.append((next_no, o_start, o_last, o_n, o_val))
+            next_no += 1
+            has_open = False
+            o_start = o_last = o_n = o_val = 0
         else:
             rows = [p for p in pdf_iter if len(p)]
             if rows:
@@ -95,7 +100,17 @@ def _session_fn(gap_us: int):
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max((o_last + gap_us) // 1000 + 1, wm + 1))
         else:
+            # no open session. Default: RETAIN state so a returning user's
+            # session_no continues exactly where the batch sessionizer
+            # would number it (the unbounded-growth tradeoff is deliberate
+            # and now opt-out). With idle_ttl set: re-arm a long event-time
+            # timer; if it fires before any new event, the state entry is
+            # removed above (session_no continuity is traded for a bounded
+            # state store).
             state.update((next_no, 0, 0, 0, 0))
+            if idle_ttl_ms is not None:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(wm + idle_ttl_ms, wm + 1))
 
         if closed:
             yield pd.DataFrame(
@@ -113,15 +128,30 @@ def _session_fn(gap_us: int):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 minute"
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    idle_state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming (user_id, session_no, n_events, first_ts, last_ts,
-    total_value) in append mode — one row per CLOSED session."""
+    total_value) in append mode — one row per CLOSED session.
+
+    State retention: by default per-user state is RETAINED after a
+    session closes so session_no numbering stays exactly the batch
+    sessionizer's — on an unbounded stream the state store then grows
+    with the number of DISTINCT users (one tiny fixed-size row each).
+    Set idle_state_ttl_minutes to bound the store instead: a user idle
+    (no events, no open session) past the TTL in EVENT TIME has their
+    state entry removed; if they return later their session_no restarts
+    at 1, diverging from the batch numbering for exactly those users."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl_ms = (
+        idle_state_ttl_minutes * 60_000 if idle_state_ttl_minutes is not None else None
+    )
     e = events.withWatermark("ts", watermark) if events.isStreaming else events
     return e.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_minutes * 60 * _US),
+        _session_fn(gap_minutes * 60 * _US, idle_ttl_ms=ttl_ms),
         OUT_SCHEMA,
         STATE_SCHEMA,
         "append",
@@ -136,6 +166,7 @@ def run_availablenow_sessions(
     watermark: str = "1 minute",
     out_table: str = "stream_sessions",
     max_files_per_trigger: int = 1,
+    idle_state_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Drain an events parquet directory as a stream (one file per trigger
     so the watermark advances between microbatches; Spark's no-data final
@@ -147,7 +178,12 @@ def run_availablenow_sessions(
         .parquet(events_dir)
     )
     q = (
-        sessionize_stream(stream, gap_minutes=gap_minutes, watermark=watermark)
+        sessionize_stream(
+            stream,
+            gap_minutes=gap_minutes,
+            watermark=watermark,
+            idle_state_ttl_minutes=idle_state_ttl_minutes,
+        )
         .writeStream.format("memory")
         .queryName(out_table)
         .outputMode("append")

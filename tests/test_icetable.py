@@ -92,12 +92,35 @@ def test_compact_and_expire(spark):
     # pre-compaction snapshot still time-travelable
     assert read_table(spark, path, snapshot_id=2).count() == before.count()
 
+    # count the expirable partition dirs up front: removed_file_dirs must
+    # equal exactly this (it would overcount if Spark's _SUCCESS markers
+    # were tallied, the round-3 bug)
+    referenced_now = {
+        os.path.normpath(os.path.dirname(f.removeprefix("file:")))
+        for f in read_table(spark, path).inputFiles()
+    }
+    data_root = os.path.join(path, "data")
+    n_expirable = sum(
+        1
+        for sub in os.listdir(data_root)
+        if os.path.isdir(os.path.join(data_root, sub))
+        for part in os.listdir(os.path.join(data_root, sub))
+        if os.path.isdir(os.path.join(data_root, sub, part))
+        and os.path.join(data_root, sub, part) not in referenced_now
+    )
     stats = expire_snapshots(path, keep_last=1)
     assert stats["kept"] == [3]
     assert stats["removed_snapshots"] == 2
-    assert stats["removed_file_dirs"] > 0
+    assert stats["removed_file_dirs"] == n_expirable > 0
     # current read still intact after reclaim, old snapshot gone
     assert read_table(spark, path).count() == len(want)
+    # fully-expired staging dirs leave no empty shells behind: every
+    # surviving data/sNNNNN-* dir still holds at least one partition dir
+    for sub in os.listdir(data_root):
+        subdir = os.path.join(data_root, sub)
+        assert any(
+            os.path.isdir(os.path.join(subdir, x)) for x in os.listdir(subdir)
+        ), f"empty staging shell left behind: {subdir}"
     with pytest.raises(FileNotFoundError):
         read_table(spark, path, snapshot_id=2)
     # guard: cannot expire the current snapshot

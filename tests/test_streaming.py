@@ -93,3 +93,68 @@ def test_stateful_sessionize_stream(spark, tmp_path):
             )
     assert len(got) > 0
     assert got == want
+
+
+def test_idle_state_ttl_removes_state(spark, tmp_path):
+    """With idle_state_ttl_minutes set, a user idle past the TTL (in event
+    time) has their state entry REMOVED: when they return, session_no
+    restarts at 1. Without the TTL (default), state is retained and the
+    numbering continues — the documented tradeoff (ADVICE r3)."""
+    import pandas as pd
+
+    from subgraph_isomorphism_pregel_spark.streaming.sessions_stream import (
+        run_availablenow_sessions,
+    )
+
+    def ev(eid, minute, user):
+        return (
+            eid,
+            (pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=minute)).to_pydatetime(),
+            user,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    # one event per file; user 2's events only advance the watermark.
+    # Timeline (gap=30m, wm=60s, ttl=10m): u1@0:00 -> u2 ticks advance the
+    # watermark past u1's gap timeout (session 1 emitted, idle timer armed)
+    # then past the idle TTL (state removed) -> u1 returns @5:00 -> final
+    # tick + no-data batch close the second session.
+    timeline = [
+        ev(1, 0, 1),
+        ev(2, 90, 2),
+        ev(3, 120, 2),
+        ev(4, 240, 2),
+        ev(5, 300, 1),
+        ev(6, 360, 2),
+        ev(7, 420, 2),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def drain(name, ttl):
+        events_dir = str(tmp_path / name)
+        os.makedirs(events_dir)
+        for i, row in enumerate(timeline):
+            sub = str(tmp_path / f"{name}_stage{i}")
+            spark.createDataFrame([row], schema).coalesce(1).write.parquet(sub)
+            (pf,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+            dst = os.path.join(events_dir, f"{i:02d}.parquet")
+            shutil.copy(os.path.join(sub, pf), dst)
+            os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        df = run_availablenow_sessions(
+            spark, events_dir, gap_minutes=30, watermark="60 seconds",
+            out_table=f"t_{name}", idle_state_ttl_minutes=ttl,
+        )
+        return sorted(
+            (r["session_no"], r["first_ts"].minute + r["first_ts"].hour * 60)
+            for r in df.collect() if r["user_id"] == 1
+        )
+
+    # TTL: both of user 1's sessions close; the second restarts at no=1
+    assert drain("ttl", ttl=10) == [(1, 0), (1, 300)]
+    # default retention: numbering continues across the idle gap
+    assert drain("nottl", ttl=None) == [(1, 0), (2, 300)]

@@ -327,6 +327,27 @@ def test_ivf_topk_exactness_and_recall(spark, emb):
     assert hits / tot > 0.2  # 2/8 lists probed on near-random vectors
 
 
+def test_ivf_topk_offset_ids(spark, emb):
+    """Centroids are the n_lists smallest ACTUAL ids — a table whose ids
+    start at 1000 must produce exactly the shifted result of the 0-based
+    table, not degraded/empty output (ADVICE r3: `vec_id < n_lists` only
+    worked for contiguous 0-based ids)."""
+    from pyspark.sql import functions as F
+
+    from subgraph_isomorphism_pregel_spark.operators.similarity import ivf_topk
+
+    base = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+        for r in ivf_topk(emb, k=3, n_lists=8, n_probe=2).collect()
+    )
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    got = sorted(
+        (r["query_id"] - 1000, r["neighbor_id"] - 1000, r["rank"], r["cos"])
+        for r in ivf_topk(shifted, k=3, n_lists=8, n_probe=2).collect()
+    )
+    assert got == base and len(base) > 0
+
+
 def test_dedup_survivors_transitive(spark):
     """a~b, b~c keeps ONE survivor for {a,b,c}; isolated docs survive."""
     from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_survivors
