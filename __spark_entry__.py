@@ -321,6 +321,23 @@ def q_media_meta(spark, sf_dir):
     return extract_media_meta(attach_binary(_docs(spark, sf_dir))).orderBy("media_id")
 
 
+def q_media_meta_png(spark, sf_dir):
+    """REAL PNG header decode: deterministic minimal PNGs synthesized from
+    doc_id (valid IHDR chunk + CRC32s), then width/height parsed back from
+    the BYTES with stdlib struct — the oracle recomputes the dims from the
+    generator formula instead, so a parse bug cannot cancel out."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_media_meta,
+        synth_png,
+    )
+
+    return (
+        extract_media_meta(synth_png(_docs(spark, sf_dir)))
+        .select("media_id", "n_bytes", "width", "height", "format")
+        .orderBy("media_id")
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     from subgraph_isomorphism_pregel_spark.operators.sessions import sessionize
 
@@ -435,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_meta": q_media_meta,
+        "media_meta_png": q_media_meta_png,
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
@@ -978,6 +996,15 @@ SELECT media_id, n_bytes, sha AS sha256,
        CAST(1 + 16 * h3 + h4 AS INT) AS height,
        'raw' AS format
 FROM hx ORDER BY media_id""",
+        # real IHDR parse vs the independent generator formula (45-byte
+        # minimal PNG: 8 sig + 25 IHDR chunk + 12 IEND chunk)
+        "media_meta_png": """
+SELECT doc_id AS media_id,
+       CAST(45 AS BIGINT) AS n_bytes,
+       CAST(1 + doc_id % 512 AS INT) AS width,
+       CAST(1 + (doc_id * 7) % 512 AS INT) AS height,
+       'png' AS format
+FROM documents ORDER BY media_id""",
         "icetable_docs": """
 SELECT 'snap1' AS snap, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
