@@ -209,6 +209,26 @@ def q_match_quad_deferred_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _count_query(spark, sf_dir, qv, qe, pseudo=True, prune=True)
 
 
+def q_match_factorized_twin_paths_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-FACTORIZED counting with internal same-label conflicts: two
+    2-node branches off the root where BOTH levels collide cross-branch
+    (internal 1-1 pair and leaf 2-2 pair). Each branch is enumerated
+    independently and assembled by inclusion-exclusion over the two
+    conflict pairs (4 signed join-aggregate terms) — the Spark form of
+    the reference's marked-choice branch assembly for enumerated vertices
+    (SIBranch.h:161-248); the cross product of branches never
+    materializes."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (4, 5), (5, 4)}
+    m = _ring_matcher(spark, sf_dir)
+    try:
+        n = m.count_tree_factorized(qv, qe)
+        assert n is not None  # the shape must actually take the factorized path
+    finally:
+        m.unpersist()
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -434,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_twin_leaves_ring": q_match_twin_leaves_ring,
         "match_triple_deferred_ring": q_match_triple_deferred_ring,
         "match_quad_deferred_ring": q_match_quad_deferred_ring,
+        "match_factorized_twin_paths_ring": q_match_factorized_twin_paths_ring,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -807,6 +828,17 @@ JOIN edges e5 ON v3.id = e5.src JOIN rv v6 ON e5.dst = v6.id
 WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2
   AND v4.label = 3 AND v5.label = 3 AND v6.label = 3
   AND v4.id <> v5.id AND v4.id <> v6.id AND v5.id <> v6.id""",
+        "match_factorized_twin_paths_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+JOIN edges e3 ON v1.id = e3.src JOIN rv v4 ON e3.dst = v4.id
+JOIN edges e4 ON v4.id = e4.src JOIN rv v5 ON e4.dst = v5.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2
+  AND v4.label = 1 AND v5.label = 2
+  AND v2.id <> v4.id AND v3.id <> v5.id""",
         "match_quad_deferred_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

@@ -185,6 +185,38 @@ def main() -> None:
 
     throughput["match_deferred_triple"] = bench("match_deferred_triple", run_triple)
 
+    # branch-factorized counting (round 4): two 2-node branches with BOTH
+    # levels conflicting cross-branch — enumerated independently and
+    # assembled by inclusion-exclusion (4 signed join-aggregate terms)
+    # instead of materializing the branch cross product; the same query
+    # through the join pipeline is the baseline twin
+    fact_qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    fact_qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (4, 5), (5, 4)}
+
+    def run_fact():
+        m = SubgraphMatcher(spark, rv, re_)
+        try:
+            n = m.count_tree_factorized(fact_qv, fact_qe)
+            assert n is not None
+            return n
+        finally:
+            m.unpersist()
+
+    def run_fact_pipeline():
+        m = SubgraphMatcher(spark, rv, re_)
+        try:
+            return m.count(fact_qv, fact_qe, pseudo=True, prune=True)
+        finally:
+            m.unpersist()
+
+    throughput["match_factorized_twin_paths"] = bench(
+        "match_factorized_twin_paths", run_fact
+    )
+    assert (
+        bench("match_twin_paths_pipeline", run_fact_pipeline)
+        == throughput["match_factorized_twin_paths"]
+    )
+
     # the north-star pipeline itself: synthesize the source-code corpus
     # table, derive the file-dependency graph (language-aware import
     # extraction + intra-repo resolve join), run PageRank over it. Corpus

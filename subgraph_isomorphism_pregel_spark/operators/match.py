@@ -541,14 +541,188 @@ class SubgraphMatcher:
         pseudo: bool = True,
         prune: bool = False,
         backward: str = "auto",
+        factorize: bool = False,
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
-        the reference's "Mapping count" (/root/reference/README.md:83)."""
+        the reference's "Mapping count" (/root/reference/README.md:83).
+
+        factorize=True tries branch-factorized counting first (tree
+        queries: independent branch enumeration + inclusion–exclusion
+        assembly of cross-branch same-label conflicts; see
+        count_tree_factorized) and falls back to the join pipeline when
+        the shape doesn't admit it."""
+        if factorize:
+            nf = self.count_tree_factorized(query_v, query_e, order=order)
+            if nf is not None:
+                return nf
         cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
         plan = build_plan(query_v, query_e, order=order, pseudo=pseudo, cand_counts=cand)
         f = self.frontier(plan, prune=prune, backward=backward)
         row = f.agg(F.sum("cnt").alias("n")).collect()[0]
         return int(row["n"] or 0)
+
+    def count_tree_factorized(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+        max_pairs: int = 6,
+    ) -> int | None:
+        """Branch-factorized counting with INTERNAL same-label conflict
+        deferral — the Spark form of the reference's conflict-aware branch
+        assembly for ENUMERATED (non-leaf) vertices (`SIBranch.h:161-248`
+        marked-choice trees, `SIQuery.h` Conflict index chains): each root
+        branch is enumerated INDEPENDENTLY and cross-branch injectivity is
+        restored algebraically at assembly time, never by materializing the
+        cross product of branches.
+
+        Why this is exact: an injectivity violation can only happen between
+        two query vertices of the SAME label. Within one branch (which
+        includes the shared root) the branch sub-plan enforces these during
+        enumeration exactly like the main pipeline; ACROSS branches the
+        only possible violations are the cross-branch same-label pairs P,
+        corrected by inclusion–exclusion over subsets M ⊆ P:
+
+            count = Σ_M (−1)^|M| Σ_va Π_i C_i^M(va, pinned images)
+
+        where C_i^M is branch i's embedding count grouped by the anchor
+        image and the images of its vertices appearing in M, joined with
+        the pair equalities in M pinned. One Spark job: every term is a
+        join-aggregate over the (small) grouped branch tables, unioned and
+        summed once.
+
+        Returns None when the shape doesn't factorize — non-tree query
+        (backward edges need the join pipeline), more than `max_pairs`
+        cross-branch conflict pairs, or a trivial query — and the caller
+        falls back to the standard frontier. Per-branch sub-plans keep the
+        full pseudo/deferred leaf machinery whenever every label of the
+        branch is confined to it."""
+        built = self._tree_factorized_df(query_v, query_e, order, max_pairs)
+        if built is None:
+            return None
+        total, tables = built
+        try:
+            row = total.agg(F.sum("t").alias("n")).collect()[0]
+            return int(row["n"] or 0)
+        finally:
+            for t in tables:
+                t.unpersist()
+
+    def _tree_factorized_df(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+        max_pairs: int = 6,
+    ) -> tuple[DataFrame, list[DataFrame]] | None:
+        """Lazy form of count_tree_factorized: (signed-terms DataFrame whose
+        sum('t') is the count, persisted branch tables to unpersist after
+        the action), or None when the shape doesn't factorize."""
+        n = len(query_v)
+        und = {frozenset(e) for e in query_e}
+        if n <= 2 or len(und) != n - 1:
+            return None  # not a tree (or trivial: pipeline is already flat)
+        # root selection mirrors the pipeline plan's
+        root_u = build_plan(query_v, query_e, order=order, pseudo=False).nodes[0].u
+        adj: dict[int, set[int]] = {u: set() for u in query_v}
+        for a, b in query_e:
+            adj[a].add(b)
+            adj[b].add(a)
+        # branches: connected components of the query minus the root
+        seen: set[int] = {root_u}
+        branches: list[set[int]] = []
+        for c in sorted(adj[root_u]):
+            if c in seen:
+                continue
+            comp, stack = set(), [c]
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                comp.add(x)
+                stack.extend(adj[x] - seen)
+            branches.append(comp)
+        if len(branches) < 2:
+            return None  # single chain: nothing to factorize
+        # labels spanning >1 branch create the cross-branch conflict pairs
+        label_branches: dict[int, set[int]] = {}
+        for bi, comp in enumerate(branches):
+            for u in comp:
+                label_branches.setdefault(query_v[u], set()).add(bi)
+        spanning = {l for l, bs in label_branches.items() if len(bs) > 1}
+        pairs: list[tuple[int, int]] = []  # (query vertex x, query vertex y)
+        branch_of = {u: bi for bi, comp in enumerate(branches) for u in comp}
+        for l in sorted(spanning):
+            vs = sorted(u for u in query_v if query_v[u] == l and u in branch_of)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    if branch_of[vs[i]] != branch_of[vs[j]]:
+                        pairs.append((vs[i], vs[j]))
+        if len(pairs) > max_pairs:
+            return None  # 2^|P| assembly terms: hand back to the pipeline
+        # enumerate each branch independently (anchored at the shared root)
+        conflict_vs = [
+            sorted(u for u in comp if query_v[u] in spanning) for comp in branches
+        ]
+        tables: list[DataFrame] = []
+        for bi, comp in enumerate(branches):
+            sub_v = {root_u: query_v[root_u]} | {u: query_v[u] for u in comp}
+            sub_e = {
+                (a, b) for (a, b) in query_e if a in sub_v and b in sub_v
+            }
+            # leaf pseudo/deferred machinery only when every label of this
+            # branch is confined to it (a spanning label counted instead of
+            # enumerated would dodge the assembly's pinned equalities)
+            pseudo_ok = all(query_v[u] not in spanning for u in comp)
+            sub_plan = build_plan(
+                sub_v, sub_e, order=order, pseudo=pseudo_ok, force_root=root_u
+            )
+            pos_of = {nd.u: nd.pos for nd in sub_plan.nodes}
+            assert all(u in pos_of for u in conflict_vs[bi])
+            f = self.frontier(sub_plan, prune=False)
+            cols = [F.element_at(F.col("m"), 1).alias("va")] + [
+                F.element_at(F.col("m"), pos_of[u] + 1).alias(f"img_{u}")
+                for u in conflict_vs[bi]
+            ]
+            tables.append(
+                f.select(*cols, "cnt")
+                .groupBy("va", *[f"img_{u}" for u in conflict_vs[bi]])
+                .agg(F.sum("cnt").alias(f"c{bi}"))
+                .persist()
+            )
+        terms: list[DataFrame] = []
+        for mask in range(1 << len(pairs)):
+            M = [pairs[i] for i in range(len(pairs)) if (mask >> i) & 1]
+            pinned = {u for p in M for u in p}
+            # re-aggregate each branch down to just the keys this term
+            # needs (the ∅ term is one tiny (va, cnt) table per branch)
+            cs = []
+            for bi in range(len(branches)):
+                keep = [f"img_{u}" for u in conflict_vs[bi] if u in pinned]
+                cs.append(
+                    tables[bi]
+                    .groupBy("va", *keep)
+                    .agg(F.sum(f"c{bi}").alias(f"c{bi}"))
+                )
+            joined = cs[0]
+            for bi in range(1, len(branches)):
+                joined = joined.join(cs[bi], "va")
+            for x, y in M:
+                joined = joined.where(F.col(f"img_{x}") == F.col(f"img_{y}"))
+            prod = F.lit(1).cast("long")
+            for bi in range(len(branches)):
+                prod = prod * F.col(f"c{bi}")
+            sign = -1 if len(M) % 2 else 1
+            terms.append(
+                joined.agg(
+                    F.coalesce(F.sum(prod), F.lit(0)).alias("t")
+                ).select((F.lit(sign) * F.col("t")).alias("t"))
+            )
+        total = terms[0]
+        for t in terms[1:]:
+            total = total.unionByName(t)
+        return total, tables
 
     def embeddings(
         self,

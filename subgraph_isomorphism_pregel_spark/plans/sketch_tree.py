@@ -122,6 +122,7 @@ def build_plan(
     order: str = "degree",
     pseudo: bool = True,
     cand_counts: dict[int, int] | None = None,
+    force_root: int | None = None,
 ) -> QueryPlan:
     """query_v: id -> label; query_e: directed pairs (both directions present).
 
@@ -129,14 +130,20 @@ def build_plan(
     data graph (cand_counts: query vertex -> candidate count, supplied by the
     matcher) — the reference's `-order candidate` hook (`SIQuery.h:261`,
     driven by the aggregator diagonal), which its released pipeline never
-    populates; here it is computed for real."""
+    populates; here it is computed for real.
+
+    force_root pins the matching-order root regardless of `order` — used by
+    the branch-factorized counter, whose per-branch sub-plans must all be
+    anchored at the SAME query vertex."""
     adj: dict[int, set[int]] = {u: set() for u in query_v}
     for a, b in query_e:
         adj[a].add(b)
         adj[b].add(a)
     deg = {u: len(adj[u]) for u in query_v}
 
-    if order == "degree":
+    if force_root is not None:
+        root = force_root
+    elif order == "degree":
         root = max(query_v, key=lambda u: (deg[u], -u))
     elif order == "anti-degree":
         root = min(query_v, key=lambda u: (deg[u], u))
