@@ -212,10 +212,61 @@ def main() -> None:
     throughput["match_factorized_twin_paths"] = bench(
         "match_factorized_twin_paths", run_fact
     )
+    # on the uniform low-degree ring the join pipeline is FASTER (its
+    # frontier never blows up; the assembly's extra jobs dominate) — both
+    # are measured so the tradeoff stays visible
     assert (
         bench("match_twin_paths_pipeline", run_fact_pipeline)
         == throughput["match_factorized_twin_paths"]
     )
+
+    # where factorization wins: a hub graph where the pipeline frontier is
+    # the PRODUCT of the branch counts. 1 anchor (label 0) - 300 mids
+    # (label 1) - 100 leaves each from a 2000-leaf shared pool (label 2):
+    # per-branch embeddings 30k, pipeline cross product ~9x10^8 rows
+    # (measured ~23s at 32 cores), factorized 2x30k branch tables + a
+    # 4-term assembly (~4s). Built with spark.range only.
+    hub_mid = spark.range(1, 301).selectExpr("0 as src", "id as dst")
+    hub_leaf = spark.range(1, 301).selectExpr(
+        "id as src", "explode(sequence(0, 99)) as j"
+    ).selectExpr("src", "100000 + (src * 37 + j * 13) % 2000 as dst")
+    hub_e = (
+        hub_mid.union(hub_leaf)
+        .union(hub_mid.selectExpr("dst as src", "src as dst"))
+        .union(hub_leaf.selectExpr("dst as src", "src as dst"))
+        .persist()
+    )
+    hub_v = (
+        spark.range(0, 1).selectExpr("id", "0 as label")
+        .union(spark.range(1, 301).selectExpr("id", "1 as label"))
+        .union(spark.range(100000, 102000).selectExpr("id", "2 as label"))
+        .persist()
+    )
+    hub_e.count(), hub_v.count()
+
+    def run_hub_fact():
+        m = SubgraphMatcher(spark, hub_v, hub_e)
+        try:
+            n = m.count_tree_factorized(fact_qv, fact_qe)
+            assert n is not None
+            return n
+        finally:
+            m.unpersist()
+
+    def run_hub_pipeline():
+        m = SubgraphMatcher(spark, hub_v, hub_e)
+        try:
+            return m.count(fact_qv, fact_qe, pseudo=True, prune=True)
+        finally:
+            m.unpersist()
+
+    throughput["match_factorized_hub"] = bench("match_factorized_hub", run_hub_fact)
+    assert (
+        bench("match_hub_pipeline", run_hub_pipeline)
+        == throughput["match_factorized_hub"]
+    )
+    hub_e.unpersist()
+    hub_v.unpersist()
 
     # the north-star pipeline itself: synthesize the source-code corpus
     # table, derive the file-dependency graph (language-aware import
