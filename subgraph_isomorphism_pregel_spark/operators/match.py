@@ -576,6 +576,13 @@ class SubgraphMatcher:
         restored algebraically at assembly time, never by materializing the
         cross product of branches.
 
+        Applies whenever the root is an ARTICULATION point of the query:
+        branches are the connected components of Q minus the root, so no
+        query edge crosses branches, and each branch sub-query (root +
+        branch) may itself contain cycles — its sub-frontier checks those
+        backward edges exactly like the main pipeline. Tree queries are
+        the common case (every non-root vertex of a tree splits off).
+
         Why this is exact: an injectivity violation can only happen between
         two query vertices of the SAME label. Within one branch (which
         includes the shared root) the branch sub-plan enforces these during
@@ -591,12 +598,12 @@ class SubgraphMatcher:
         join-aggregate over the (small) grouped branch tables, unioned and
         summed once.
 
-        Returns None when the shape doesn't factorize — non-tree query
-        (backward edges need the join pipeline), more than `max_pairs`
-        cross-branch conflict pairs, or a trivial query — and the caller
-        falls back to the standard frontier. Per-branch sub-plans keep the
-        full pseudo/deferred leaf machinery whenever every label of the
-        branch is confined to it."""
+        Returns None when the shape doesn't factorize — the chosen root is
+        not an articulation point, more than `max_pairs` cross-branch
+        conflict pairs, or a trivial query — and the caller falls back to
+        the standard frontier. Per-branch sub-plans keep the full
+        pseudo/deferred leaf machinery whenever every label of the branch
+        is confined to it."""
         built = self._tree_factorized_df(query_v, query_e, order, max_pairs)
         if built is None:
             return None
@@ -619,11 +626,13 @@ class SubgraphMatcher:
         sum('t') is the count, persisted branch tables to unpersist after
         the action), or None when the shape doesn't factorize."""
         n = len(query_v)
-        und = {frozenset(e) for e in query_e}
-        if n <= 2 or len(und) != n - 1:
-            return None  # not a tree (or trivial: pipeline is already flat)
+        if n <= 2:
+            return None  # trivial: the pipeline is already flat
         # root selection mirrors the pipeline plan's
-        root_u = build_plan(query_v, query_e, order=order, pseudo=False).nodes[0].u
+        cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
+        root_u = build_plan(
+            query_v, query_e, order=order, pseudo=False, cand_counts=cand
+        ).nodes[0].u
         adj: dict[int, set[int]] = {u: set() for u in query_v}
         for a, b in query_e:
             adj[a].add(b)
@@ -643,8 +652,10 @@ class SubgraphMatcher:
                 comp.add(x)
                 stack.extend(adj[x] - seen)
             branches.append(comp)
-        if len(branches) < 2:
-            return None  # single chain: nothing to factorize
+        if len(branches) < 2 or len(seen) != n:
+            # root is not an articulation point (no branches), or the query
+            # is disconnected (let the pipeline raise its usual error)
+            return None
         # labels spanning >1 branch create the cross-branch conflict pairs
         label_branches: dict[int, set[int]] = {}
         for bi, comp in enumerate(branches):
@@ -676,7 +687,8 @@ class SubgraphMatcher:
             # enumerated would dodge the assembly's pinned equalities)
             pseudo_ok = all(query_v[u] not in spanning for u in comp)
             sub_plan = build_plan(
-                sub_v, sub_e, order=order, pseudo=pseudo_ok, force_root=root_u
+                sub_v, sub_e, order=order, pseudo=pseudo_ok,
+                cand_counts=cand, force_root=root_u,
             )
             pos_of = {nd.u: nd.pos for nd in sub_plan.nodes}
             assert all(u in pos_of for u in conflict_vs[bi])

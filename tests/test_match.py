@@ -589,3 +589,59 @@ def test_branch_factorized_fuzz_random_trees(spark):
         assert accepted >= 6  # most random trees must take the factorized path
     finally:
         m.unpersist()
+
+
+def test_branch_factorized_cyclic_branches(spark):
+    """Factorization only needs the root to be an ARTICULATION point —
+    branches may contain cycles (their sub-frontiers run the backward-edge
+    checks). Two triangles sharing one vertex, with both non-root levels
+    conflicting cross-branch, plus order='candidate' passthrough."""
+    # bowtie: root 1 (label 0); triangle A = 1-2-3, triangle B = 1-4-5;
+    # labels make (2,4) and (3,5) cross-branch same-label pairs
+    qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    qe = set()
+    for a, b in ((1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (5, 1)):
+        qe |= {(a, b), (b, a)}
+    vs, es, v, e = _random_graph(spark, seed=3, n=22, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        want = match_count_oracle(vs, es, qv, qe)
+        assert want > 0
+        got = m.count_tree_factorized(qv, qe)
+        assert got == want, (got, want)
+        assert m.count_tree_factorized(qv, qe, order="candidate") == want
+        assert m.count(qv, qe, factorize=True) == want
+        # a 4-cycle (no articulation point) still declines
+        qv2 = {1: 0, 2: 1, 3: 2, 4: 1}
+        qe2 = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
+        assert m.count_tree_factorized(qv2, qe2) is None
+    finally:
+        m.unpersist()
+
+
+def test_branch_factorized_fuzz_cyclic(spark):
+    """Fuzz with random connected queries (trees + extra edges): whenever
+    the factorizer accepts a shape, it must match brute force."""
+    vs, es, v, e = _random_graph(spark, seed=17, n=20, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    rng = random.Random(4077)
+    try:
+        accepted = 0
+        for trial in range(12):
+            k = rng.randrange(4, 7)
+            qv = {i: rng.randrange(3) for i in range(k)}
+            qe = set()
+            for i in range(1, k):
+                parent = rng.randrange(i)
+                qe |= {(i, parent), (parent, i)}
+            for _ in range(rng.randrange(0, 3)):  # extra edges -> cycles
+                a, b = rng.sample(range(k), 2)
+                qe |= {(a, b), (b, a)}
+            want = match_count_oracle(vs, es, qv, qe)
+            got = m.count_tree_factorized(qv, qe)
+            if got is not None:
+                accepted += 1
+                assert got == want, (trial, qv, sorted(qe), got, want)
+        assert accepted >= 4
+    finally:
+        m.unpersist()
