@@ -1,10 +1,11 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,cc,lp,triangles,match} \
+        --algo {pagerank,cc,lp,sssp,triangles,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
-        [--pseudo on|off] [--prune on|off] \
+        [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
+        [--backward auto|adjlist|semijoin] [--factorize on|off] \
         [--partitions 32] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
 
 Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/
