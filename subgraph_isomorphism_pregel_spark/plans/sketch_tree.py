@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import math
 import warnings
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Hard ceiling on the plan-time polynomial expansion of one deferred group.
 # Terms are materialized as expression work (Column tree or pandas-UDF term
