@@ -38,10 +38,11 @@ def parse_args(argv):
     p.add_argument("--backward", default="auto", choices=["auto", "adjlist", "semijoin"],
                    help="backward-edge check plan: collected-adjacency array_contains, "
                         "hub-safe per-constraint left-semi joins, or auto by max degree")
-    p.add_argument("--factorize", default="off", choices=["on", "off"],
-                   help="tree queries: branch-factorized counting (independent branch "
-                        "enumeration + inclusion-exclusion conflict assembly); falls "
-                        "back to the join pipeline for non-tree shapes")
+    p.add_argument("--factorize", default="auto", choices=["on", "off", "auto"],
+                   help="branch-factorized counting (independent branch enumeration + "
+                        "inclusion-exclusion conflict assembly) for articulation-rooted "
+                        "queries; 'auto' switches only when the label-fanout cost model "
+                        "says the pipeline frontier is product-dominated")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
     p.add_argument("--source", type=int, default=None,
                    help="source vertex for --algo sssp (default: min id)")
@@ -167,7 +168,7 @@ def main(argv=None):
             n = matcher.count(
                 qv, qe, order=args.order, pseudo=args.pseudo == "on",
                 prune=args.prune == "on", backward=args.backward,
-                factorize=args.factorize == "on",
+                factorize={"on": True, "off": False, "auto": "auto"}[args.factorize],
             )
         print(f"Mapping count: {n}")  # same headline as the reference (README.md:83)
         result = spark.createDataFrame([(n,)], "mapping_count long")

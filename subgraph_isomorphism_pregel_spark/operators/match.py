@@ -51,6 +51,12 @@ CODEGEN_MAX_TERMS = 64
 # ~0.8 MB; a 10^7-degree hub would be one ~80 MB shuffle row).
 HUB_DEGREE_THRESHOLD = 100_000
 
+# factorize='auto': branch-factorize when the estimated pipeline frontier
+# (product of per-anchor branch counts) exceeds this multiple of the
+# factorized work (their sum) — the assembly's extra jobs cost ~2s of fixed
+# overhead locally, so only clearly product-dominated shapes should switch.
+FACTORIZE_RATIO = 64.0
+
 
 def _perm_expr(cnt_col, k: int):
     """count * (count-1) * ... * (count-k+1) as a Column (injective choices
@@ -141,6 +147,37 @@ class SubgraphMatcher:
         )
         self._adjlist: DataFrame | None = None
         self._max_degree: int | None = None
+        self._label_fanout: dict[tuple[int, int], float] | None = None
+
+    @property
+    def label_fanout(self) -> dict[tuple[int, int], float]:
+        """(src_label, dst_label) -> average number of dst_label neighbors
+        per src_label vertex, over ALL src_label vertices (absent pairs are
+        0). One cached aggregate over the persisted adjacency — drives the
+        factorize='auto' cost estimate."""
+        if self._label_fanout is None:
+            by_label = (
+                self.adj.join(
+                    self.vertices.select(
+                        F.col("id").alias("src"), F.col("label").alias("src_label")
+                    ),
+                    "src",
+                )
+                .groupBy("src_label", "dst_label")
+                .agg(F.count("*").alias("n_edges"))
+            )
+            label_sizes = {
+                r["label"]: r["n"]
+                for r in self.vertices.groupBy("label")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            self._label_fanout = {
+                (r["src_label"], r["dst_label"]): r["n_edges"]
+                / max(label_sizes.get(r["src_label"], 1), 1)
+                for r in by_label.collect()
+            }
+        return self._label_fanout
 
     @property
     def adjlist(self) -> DataFrame:
@@ -541,16 +578,19 @@ class SubgraphMatcher:
         pseudo: bool = True,
         prune: bool = False,
         backward: str = "auto",
-        factorize: bool = False,
+        factorize: bool | str = False,
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83).
 
-        factorize=True tries branch-factorized counting first (tree
-        queries: independent branch enumeration + inclusion–exclusion
-        assembly of cross-branch same-label conflicts; see
-        count_tree_factorized) and falls back to the join pipeline when
-        the shape doesn't admit it."""
+        factorize=True tries branch-factorized counting first (independent
+        branch enumeration + inclusion–exclusion assembly of cross-branch
+        same-label conflicts; see count_tree_factorized) and falls back to
+        the join pipeline when the shape doesn't admit it. factorize='auto'
+        additionally consults the label-fanout cost model
+        (should_factorize): only product-dominated shapes switch."""
+        if factorize == "auto":
+            factorize = self.should_factorize(query_v, query_e, order=order)
         if factorize:
             nf = self.count_tree_factorized(query_v, query_e, order=order)
             if nf is not None:
@@ -615,16 +655,17 @@ class SubgraphMatcher:
             for t in tables:
                 t.unpersist()
 
-    def _tree_factorized_df(
+    def _branch_decomposition(
         self,
         query_v: dict[int, int],
         query_e: set[tuple[int, int]],
         order: str = "degree",
         max_pairs: int = 6,
-    ) -> tuple[DataFrame, list[DataFrame]] | None:
-        """Lazy form of count_tree_factorized: (signed-terms DataFrame whose
-        sum('t') is the count, persisted branch tables to unpersist after
-        the action), or None when the shape doesn't factorize."""
+    ):
+        """(root_u, branches, spanning labels, cross-branch pairs,
+        cand_counts) when the query admits branch factorization, else None:
+        root must be an articulation point, the query connected and
+        non-trivial, and at most max_pairs cross-branch same-label pairs."""
         n = len(query_v)
         if n <= 2:
             return None  # trivial: the pipeline is already flat
@@ -672,6 +713,63 @@ class SubgraphMatcher:
                         pairs.append((vs[i], vs[j]))
         if len(pairs) > max_pairs:
             return None  # 2^|P| assembly terms: hand back to the pipeline
+        return root_u, branches, spanning, pairs, cand
+
+    def should_factorize(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+        ratio: float = FACTORIZE_RATIO,
+    ) -> bool:
+        """factorize='auto' cost model: estimate each branch's per-anchor
+        embedding count as the product of average label-pair fanouts along
+        a spanning walk (cycle edges are filters, ignored — biases the
+        estimate TOWARD factorizing on cyclic branches, which is the safe
+        direction since filters shrink the pipeline product too), then
+        factorize iff the pipeline's per-anchor frontier (the PRODUCT of
+        branch counts) exceeds `ratio` x the factorized work (their SUM).
+        On the uniform ring the ratio is ~1 (pipeline wins, measured); on
+        the bench hub graph it is ~10^4 (factorized wins 7.5x, measured)."""
+        dec = self._branch_decomposition(query_v, query_e, order)
+        if dec is None:
+            return False
+        root_u, branches, _spanning, _pairs, _cand = dec
+        adj: dict[int, set[int]] = {u: set() for u in query_v}
+        for a, b in query_e:
+            adj[a].add(b)
+            adj[b].add(a)
+        fan = self.label_fanout
+        ests: list[float] = []
+        for comp in branches:
+            est, seen, stack = 1.0, {root_u}, [root_u]
+            while stack:
+                x = stack.pop()
+                for nb in sorted(adj[x]):
+                    if nb in comp and nb not in seen:
+                        est *= fan.get((query_v[x], query_v[nb]), 0.0)
+                        seen.add(nb)
+                        stack.append(nb)
+            ests.append(est)
+        prod = 1.0
+        for e_ in ests:
+            prod *= e_
+        return prod >= ratio * sum(ests)
+
+    def _tree_factorized_df(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+        max_pairs: int = 6,
+    ) -> tuple[DataFrame, list[DataFrame]] | None:
+        """Lazy form of count_tree_factorized: (signed-terms DataFrame whose
+        sum('t') is the count, persisted branch tables to unpersist after
+        the action), or None when the shape doesn't factorize."""
+        dec = self._branch_decomposition(query_v, query_e, order, max_pairs)
+        if dec is None:
+            return None
+        root_u, branches, spanning, pairs, cand = dec
         # enumerate each branch independently (anchored at the shared root)
         conflict_vs = [
             sorted(u for u in comp if query_v[u] in spanning) for comp in branches

@@ -645,3 +645,49 @@ def test_branch_factorized_fuzz_cyclic(spark):
         assert accepted >= 4
     finally:
         m.unpersist()
+
+
+def test_factorize_auto_cost_model(spark):
+    """factorize='auto' must pick the pipeline on a uniform low-degree
+    graph (branch product ~ branch sum) and the factorized assembly on a
+    hub graph whose pipeline frontier is the product of branch counts —
+    the two regimes the bench measures."""
+    qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (4, 5), (5, 4)}
+
+    # uniform: the random graph's label-pair fanouts are all ~n*p/3
+    vs, es, v, e = _random_graph(spark, seed=5, n=24, p=0.22)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        assert m.should_factorize(qv, qe) is False
+        # auto still counts correctly through the pipeline
+        assert m.count(qv, qe, factorize="auto") == match_count_oracle(vs, es, qv, qe)
+    finally:
+        m.unpersist()
+
+    # hub: 1 anchor - 30 mids - 20 leaves each from a shared pool of 100
+    hub_v = {0: 0} | {i: 1 for i in range(1, 31)} | {100 + j: 2 for j in range(100)}
+    hub_e = set()
+    for i in range(1, 31):
+        hub_e |= {(0, i), (i, 0)}
+        for j in range(20):
+            leaf = 100 + (i * 7 + j * 3) % 100
+            hub_e |= {(i, leaf), (leaf, i)}
+    v2 = spark.createDataFrame(list(hub_v.items()), "id long, label int")
+    e2 = spark.createDataFrame(sorted(hub_e), "src long, dst long")
+    m2 = SubgraphMatcher(spark, v2, e2)
+    try:
+        assert m2.should_factorize(qv, qe) is True
+        want = match_count_oracle(hub_v, hub_e, qv, qe)
+        assert m2.count(qv, qe, factorize="auto") == want
+    finally:
+        m2.unpersist()
+
+    # a biconnected query can never factorize, whatever the stats say
+    qv3 = {1: 0, 2: 1, 3: 2, 4: 1}
+    qe3 = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
+    m3 = SubgraphMatcher(spark, v2, e2)
+    try:
+        assert m3.should_factorize(qv3, qe3) is False
+    finally:
+        m3.unpersist()
