@@ -664,39 +664,60 @@ class SubgraphMatcher:
     ):
         """(root_u, branches, spanning labels, cross-branch pairs,
         cand_counts) when the query admits branch factorization, else None:
-        root must be an articulation point, the query connected and
-        non-trivial, and at most max_pairs cross-branch same-label pairs."""
+        some vertex must be an articulation point (the order-chosen plan
+        root is preferred; counting is root-agnostic, so any other split
+        vertex works when it is not), the query connected and non-trivial,
+        and at most max_pairs cross-branch same-label pairs."""
         n = len(query_v)
         if n <= 2:
             return None  # trivial: the pipeline is already flat
         # root selection mirrors the pipeline plan's
         cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
-        root_u = build_plan(
+        plan_root = build_plan(
             query_v, query_e, order=order, pseudo=False, cand_counts=cand
         ).nodes[0].u
         adj: dict[int, set[int]] = {u: set() for u in query_v}
         for a, b in query_e:
             adj[a].add(b)
             adj[b].add(a)
-        # branches: connected components of the query minus the root
-        seen: set[int] = {root_u}
-        branches: list[set[int]] = []
-        for c in sorted(adj[root_u]):
-            if c in seen:
-                continue
-            comp, stack = set(), [c]
-            while stack:
-                x = stack.pop()
-                if x in seen:
+
+        def split(root_u: int):
+            """Connected components of the query minus root_u, or None if
+            root_u is not an articulation point / query is disconnected."""
+            seen: set[int] = {root_u}
+            comps: list[set[int]] = []
+            for c in sorted(adj[root_u]):
+                if c in seen:
                     continue
-                seen.add(x)
-                comp.add(x)
-                stack.extend(adj[x] - seen)
-            branches.append(comp)
-        if len(branches) < 2 or len(seen) != n:
-            # root is not an articulation point (no branches), or the query
-            # is disconnected (let the pipeline raise its usual error)
-            return None
+                comp, stack = set(), [c]
+                while stack:
+                    x = stack.pop()
+                    if x in seen:
+                        continue
+                    seen.add(x)
+                    comp.add(x)
+                    stack.extend(adj[x] - seen)
+                comps.append(comp)
+            if len(comps) < 2 or len(seen) != n:
+                return None
+            return comps
+
+        branches = split(plan_root)
+        root_u = plan_root
+        if branches is None:
+            # the plan root doesn't split the query, but another vertex may
+            # (queries are tiny: trying each vertex is O(V*E) driver work).
+            # Prefer the vertex yielding the most branches, then max degree.
+            best = None
+            for u in sorted(query_v, key=lambda x: (-len(adj[x]), x)):
+                if u == plan_root:
+                    continue
+                comps = split(u)
+                if comps is not None and (best is None or len(comps) > len(best[1])):
+                    best = (u, comps)
+            if best is None:
+                return None  # biconnected: the pipeline is the only plan
+            root_u, branches = best
         # labels spanning >1 branch create the cross-branch conflict pairs
         label_branches: dict[int, set[int]] = {}
         for bi, comp in enumerate(branches):

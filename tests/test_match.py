@@ -691,3 +691,24 @@ def test_factorize_auto_cost_model(spark):
         assert m3.should_factorize(qv3, qe3) is False
     finally:
         m3.unpersist()
+
+
+def test_factorized_scans_for_articulation_vertex(spark):
+    """When the order-chosen plan root does not split the query, the
+    decomposition scans for another articulation vertex (counting is
+    root-agnostic): a bowtie rooted at a triangle corner by
+    order='random' (min id) must still factorize at the center."""
+    # ids chosen so order='random' roots at corner 1, not center 9
+    qv = {1: 1, 2: 2, 9: 0, 4: 1, 5: 2}
+    qe = set()
+    for a, b in ((9, 1), (1, 2), (2, 9), (9, 4), (4, 5), (5, 9)):
+        qe |= {(a, b), (b, a)}
+    vs, es, v, e = _random_graph(spark, seed=3, n=22, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        want = match_count_oracle(vs, es, qv, qe)
+        assert want > 0
+        got = m.count_tree_factorized(qv, qe, order="random")
+        assert got == want, (got, want)
+    finally:
+        m.unpersist()
