@@ -712,3 +712,44 @@ def test_factorized_scans_for_articulation_vertex(spark):
         assert got == want, (got, want)
     finally:
         m.unpersist()
+
+
+def test_factorize_auto_fuzz_on_skewed_graph(spark):
+    """Random connected queries against a SKEWED data graph (a few hubs +
+    a uniform fringe): count(factorize='auto') must equal brute force on
+    every shape, whichever strategy the cost model picks — the regime
+    where the estimator actually flips between pipeline and assembly."""
+    rng = random.Random(90210)
+    vs = {i: rng.randrange(3) for i in range(40)}
+    es = set()
+    for h in (0, 1, 2):  # three hubs wired to most of the graph
+        for j in range(3, 40):
+            if rng.random() < 0.8:
+                es.add((h, j))
+                es.add((j, h))
+    for i in range(3, 40):  # sparse fringe
+        for j in range(i + 1, 40):
+            if rng.random() < 0.05:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        picks = set()
+        for trial in range(10):
+            k = rng.randrange(4, 7)
+            qv = {i: rng.randrange(3) for i in range(k)}
+            qe = set()
+            for i in range(1, k):
+                parent = rng.randrange(i)
+                qe |= {(i, parent), (parent, i)}
+            if rng.random() < 0.4:
+                a, b = rng.sample(range(k), 2)
+                qe |= {(a, b), (b, a)}
+            want = match_count_oracle(vs, es, qv, qe)
+            picks.add(m.should_factorize(qv, qe))
+            got = m.count(qv, qe, factorize="auto")
+            assert got == want, (trial, qv, sorted(qe), got, want)
+    finally:
+        m.unpersist()
