@@ -5,7 +5,7 @@
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
-        [--backward auto|adjlist|semijoin] [--factorize on|off] \
+        [--backward auto|adjlist|semijoin] [--factorize on|off|auto] \
         [--partitions 32] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
 
 Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/

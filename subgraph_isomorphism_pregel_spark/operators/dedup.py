@@ -232,6 +232,18 @@ def simhash(docs: DataFrame, bits: int = 32, impl: str = "packed") -> DataFrame:
     weights = 1 << np.arange(bits, dtype=np.int64)
 
     def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition digest cache: token frequency is Zipfian, so the
+        # md5 of a common token is computed once per partition instead of
+        # once per occurrence (CPU, not shuffle — the hot cost here);
+        # bounded by the partition's token vocabulary
+        digest: dict[str, str] = {}
+
+        def h(t: str) -> str:
+            v = digest.get(t)
+            if v is None:
+                v = digest[t] = hashlib.md5(t.encode("utf-8")).hexdigest()[:bits]
+            return v
+
         for pdf in it:
             ids, vals = [], []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
@@ -240,7 +252,7 @@ def simhash(docs: DataFrame, bits: int = 32, impl: str = "packed") -> DataFrame:
                 toks = [t for t in (text or "").strip(" ").split(" ") if t]
                 if not toks:
                     continue
-                hx = "".join(hashlib.md5(t.encode("utf-8")).hexdigest()[:bits] for t in toks)
+                hx = "".join(h(t) for t in toks)
                 mat = np.frombuffer(hx.encode(), dtype="S1").reshape(len(toks), bits)
                 votes = 2 * np.isin(mat, hexhi).sum(axis=0) - len(toks)
                 ids.append(doc_id)

@@ -31,12 +31,13 @@ Counts equal the reference's "Mapping count" (README.md:83: toy graph +
 from __future__ import annotations
 
 import math
+import warnings
 from itertools import combinations, product
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.sketch_tree import QueryPlan, build_plan
+from ..plans.sketch_tree import PlanDowngradeWarning, QueryPlan, build_plan
 
 # Deferred-group polynomial evaluation tiers: up to this many terms the
 # polynomial is one whole-stage-codegen Column expression; above it (the
@@ -103,13 +104,26 @@ def _poly_pandas_udf(spec):
         arrs = [c.to_numpy(dtype="int64") for c in cols]
         n = len(arrs[0]) if arrs else 0
         total = np.zeros(n, dtype="int64")
+        ftotal = np.zeros(n, dtype="float64")  # overflow sentinel mirror
         for coeff, factors in spec:
             t = np.full(n, coeff, dtype="int64")
+            ft = np.full(n, float(coeff))
             for ai, texp in factors:
                 a = arrs[ai]
                 for j in range(texp):
                     t = t * (a - j)
+                    ft = ft * (a - j)
             total = total + t
+            ftotal = ftotal + ft
+        # every term is non-negative (coeff > 0; a falling factorial past
+        # its pool size contains a zero factor), so the float64 mirror is
+        # monotone: past ~2^63 the int64 sum has silently wrapped — raise
+        # instead (the count()'s documented int64 ceiling)
+        if np.any(ftotal > 9.0e18):
+            raise OverflowError(
+                "deferred-group count exceeds the int64 ceiling (~9.2e18); "
+                "the exact count is too large to return as a long"
+            )
         return pd.Series(total)
 
     return poly
@@ -148,6 +162,12 @@ class SubgraphMatcher:
         self._adjlist: DataFrame | None = None
         self._max_degree: int | None = None
         self._label_fanout: dict[tuple[int, int], float] | None = None
+        # deferred-group counting: broadcast the distinct frontier-key tuple
+        # set into the adjacency probe + the counts join (see
+        # _apply_deferred_group). On by default — the tuple set is bounded
+        # by the pruned frontier's distinct keys; disable for frontiers
+        # whose key set may not fit the broadcast ceiling.
+        self.defer_broadcast = True
 
     @property
     def label_fanout(self) -> dict[tuple[int, int], float]:
@@ -429,16 +449,31 @@ class SubgraphMatcher:
         else:
             key = pcols + wcols
             tup = f.select(*key).distinct()
-            legs = None
+            # melt the (small, distinct) tuple set into (key, parent image,
+            # bit) rows so the label-l adjacency is probed by ONE join for
+            # ALL m legs — and BROADCAST the melted side so that probe never
+            # shuffles the adjacency at all (the r3/r4 regression: m
+            # shuffle joins of the full label-l adjacency per group). The
+            # tuple set is the distinct (pruned) frontier key set — orders
+            # of magnitude smaller than the adjacency; set
+            # `defer_broadcast=False` on frontiers whose distinct key set
+            # may exceed executor/driver memory (Spark raises, never
+            # silently corrupts, past its 8 GB broadcast ceiling).
+            melted = None
             for i in range(m_parents):
-                ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
-                    F.col("src").alias(pcols[i]),
-                    F.col("dst").alias(f"__nb{gi}"),
+                part = tup.select(
+                    *key,
+                    F.col(pcols[i]).alias(f"__src{gi}"),
+                    F.lit(1 << i).alias(f"__bit{gi}"),
                 )
-                leg = tup.join(ai, pcols[i]).select(
-                    *key, f"__nb{gi}", F.lit(1 << i).alias(f"__bit{gi}")
-                )
-                legs = leg if legs is None else legs.unionByName(leg)
+                melted = part if melted is None else melted.unionByName(part)
+            if self.defer_broadcast:
+                melted = F.broadcast(melted)
+            ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
+                F.col("src").alias(f"__src{gi}"),
+                F.col("dst").alias(f"__nb{gi}"),
+            )
+            legs = melted.join(ai, f"__src{gi}")
             masks = legs.groupBy(*key, f"__nb{gi}").agg(
                 F.sum(f"__bit{gi}").alias(f"__mask{gi}")
             )
@@ -465,6 +500,10 @@ class SubgraphMatcher:
                 )
                 wmask_cols.append(f"dgwm{gi}_{ei}")
             counts = masks.groupBy(*key).agg(*aggs)
+            # counts has <= |tup| rows (one per distinct key tuple) — joined
+            # back broadcast so the frontier itself never shuffles either
+            if self.defer_broadcast:
+                counts = F.broadcast(counts)
             f = f.join(counts, key, "left")
             for size in range(1, m_parents + 1):
                 for A in combinations(range(m_parents), size):
@@ -582,6 +621,12 @@ class SubgraphMatcher:
     ) -> int:
         """Number of injective label/edge-preserving mappings V(Q) -> V(G) —
         the reference's "Mapping count" (/root/reference/README.md:83).
+
+        Counts are exact up to the int64 ceiling (~9.2e18): per-row factors
+        (pseudo permutations, deferred-group polynomials) are computed as
+        longs, so astronomically large counts cannot be represented — the
+        pandas-UDF polynomial tier raises OverflowError past the ceiling
+        rather than wrapping; the codegen tiers share the same bound.
 
         factorize=True tries branch-factorized counting first (independent
         branch enumeration + inclusion–exclusion assembly of cross-branch
@@ -775,7 +820,11 @@ class SubgraphMatcher:
         prod = 1.0
         for e_ in ests:
             prod *= e_
-        return prod >= ratio * sum(ests)
+        # a zero estimate (a label pair with no edges on some walk) means
+        # prod == 0: the pipeline dies instantly on the empty join — never
+        # pay the assembly's fixed overhead for a provably-0 count
+        s = sum(ests)
+        return s > 0 and prod >= ratio * s
 
     def _tree_factorized_df(
         self,
@@ -863,7 +912,23 @@ class SubgraphMatcher:
     ) -> DataFrame:
         """Materialized embeddings: one column ``u_<qid>`` per query vertex
         (pseudo counting and pruning disabled so every query vertex is
-        enumerated — the flag the reference ships disabled, SURVEY §2.1 S5)."""
+        enumerated — the flag the reference ships disabled, SURVEY §2.1 S5).
+
+        Materialization REQUIRES the enumeration pipeline: each output row
+        is one full embedding, so the result itself is the branch cross
+        product — factorized counting cannot help. When the cost model says
+        the frontier is product-dominated (a hub-shaped graph), warn loudly
+        that the user is in the cross-product regime before the job runs."""
+        if self.should_factorize(query_v, query_e, order=order):
+            warnings.warn(
+                "embeddings(): the branch cost model estimates a "
+                "product-dominated frontier (hub-shaped data graph) — "
+                "materializing every embedding IS the branch cross product "
+                "and cannot be factorized; expect the enumeration regime. "
+                "If only the count is needed, use count(factorize='auto').",
+                PlanDowngradeWarning,
+                stacklevel=2,
+            )
         cand = self.candidate_counts(query_v, query_e) if order == "candidate" else None
         plan = build_plan(query_v, query_e, order=order, pseudo=False, cand_counts=cand)
         f = self.frontier(plan)

@@ -129,7 +129,6 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64, stride: int = 2) -> Da
     """Chunk each payload into fixed-size 'frames' and keep every `stride`-th
     one — the plumbing shape of video frame sampling (explode with typed
     binary output), done JVM-side with array expressions."""
-    n_frames = F.ceil(F.length("payload") / frame_bytes).cast("int")
     frames = F.expr(
         f"transform(sequence(0, greatest(ceil(length(payload)/{frame_bytes})-1, 0)),"
         f" i -> struct(i as frame_no, substring(payload, i*{frame_bytes}+1, {frame_bytes}) as frame))"

@@ -193,6 +193,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         subdir = os.path.join(data_root, sub)
         if not os.path.isdir(subdir):
             continue
+        removed_here = 0
         for part in sorted(os.listdir(subdir)):
             fdir = os.path.join(subdir, part)
             # skip Spark's write markers (_SUCCESS etc.) — only partition
@@ -202,9 +203,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
             if fdir not in referenced:
                 shutil.rmtree(fdir, ignore_errors=True)
                 removed_files += 1
+                removed_here += 1
         # a staging dir whose every partition was expired is an empty
-        # shell (just the marker files) — remove it outright
-        if not any(
+        # shell (just the marker files) — remove it outright. Only when
+        # THIS expire call actually deleted a partition from it: a subdir
+        # that was already partition-free may be a concurrent writer's
+        # freshly-created staging dir that so far holds only marker files.
+        if removed_here > 0 and not any(
             os.path.isdir(os.path.join(subdir, x)) for x in os.listdir(subdir)
         ):
             shutil.rmtree(subdir, ignore_errors=True)

@@ -61,6 +61,7 @@ def _session_fn(gap_us: int, idle_ttl_ms: int | None = None):
             has_open = False
 
         closed = []  # (session_no, start_us, last_us, n, val_micro)
+        last_event_us = 0  # set when a session closes by timeout (TTL base)
 
         if state.hasTimedOut:
             if not has_open:
@@ -73,6 +74,10 @@ def _session_fn(gap_us: int, idle_ttl_ms: int | None = None):
             closed.append((next_no, o_start, o_last, o_n, o_val))
             next_no += 1
             has_open = False
+            # keep the closed session's last EVENT time for the idle-TTL
+            # timer below — retention counts from the last event, not from
+            # when the close happened to be observed
+            last_event_us = o_last
             o_start = o_last = o_n = o_val = 0
         else:
             rows = [p for p in pdf_iter if len(p)]
@@ -109,8 +114,15 @@ def _session_fn(gap_us: int, idle_ttl_ms: int | None = None):
             # state store).
             state.update((next_no, 0, 0, 0, 0))
             if idle_ttl_ms is not None:
+                # TTL counts from the closed session's last EVENT TIME (not
+                # from when the watermark happened to observe the close):
+                # the entry dies once the user has been idle past the TTL
+                # in event time. Must still be strictly beyond the current
+                # watermark or the state store rejects the timer.
                 wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(max(wm + idle_ttl_ms, wm + 1))
+                state.setTimeoutTimestamp(
+                    max(last_event_us // 1000 + idle_ttl_ms, wm + 1)
+                )
 
         if closed:
             yield pd.DataFrame(

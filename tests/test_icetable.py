@@ -126,3 +126,27 @@ def test_compact_and_expire(spark):
     # guard: cannot expire the current snapshot
     with pytest.raises(ValueError, match="current"):
         expire_snapshots(path, keep_last=0)
+
+
+def test_expire_spares_concurrent_staging_dir(spark):
+    """A data/<sub> staging dir that holds only marker files (a concurrent
+    writer's freshly-created staging area, no partition dirs yet) must
+    SURVIVE expire_snapshots — the empty-shell cleanup only removes a
+    shell it emptied itself."""
+    import os
+
+    from subgraph_isomorphism_pregel_spark.sources.icetable import expire_snapshots
+
+    path = tempfile.mkdtemp(prefix="ice_race_")
+    c1 = synth_corpus(spark, n_repos=2, files_per_repo=10, seed=5)
+    write_table(c1, path, partition_by="lang")
+    append_table(synth_corpus(spark, n_repos=2, files_per_repo=10, seed=6), path)
+
+    # simulate a concurrent writer mid-flight: staging dir + marker only
+    staging = os.path.join(path, "data", "s99999-inflight")
+    os.makedirs(staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    expire_snapshots(path, keep_last=1)
+    assert os.path.isdir(staging), "expire removed a concurrent staging dir"
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))

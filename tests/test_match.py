@@ -753,3 +753,72 @@ def test_factorize_auto_fuzz_on_skewed_graph(spark):
             assert got == want, (trial, qv, sorted(qe), got, want)
     finally:
         m.unpersist()
+
+
+def test_deferred_tuple_broadcast_in_plan(spark):
+    """The deferred-group fix-up must probe the label-l adjacency with a
+    BROADCAST of the (small) distinct frontier-tuple set — one broadcast
+    hash join for the melted legs, one for the counts join-back — never a
+    shuffle of the full adjacency per parent leg; and the hint must be
+    honest: defer_broadcast=False removes it without changing the count."""
+    vs, es, v, e = _random_graph(spark, seed=2, n=22, p=0.25)
+    m = SubgraphMatcher(spark, v, e)
+    # three same-label leaves under three different parents (multi-parent
+    # Venn path, so the general legs/masks machinery runs)
+    qv = {1: 0, 2: 1, 3: 2, 4: 0, 5: 0}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2),
+          (1, 4), (4, 1), (2, 5), (5, 2)}
+    try:
+        from subgraph_isomorphism_pregel_spark.plans.sketch_tree import build_plan as bp
+
+        plan = bp(qv, qe, order="degree")
+        assert plan.deferred  # the shape actually defers
+        f = m.frontier(plan, prune=True)
+        phys = f._jdf.queryExecution().sparkPlan().toString()
+        assert phys.count("BroadcastHashJoin") >= 2, phys
+        want = match_count_oracle(vs, es, qv, qe)
+        assert int(f.groupBy().sum("cnt").collect()[0][0] or 0) == want
+
+        m.defer_broadcast = False
+        f2 = m.frontier(bp(qv, qe, order="degree"), prune=True)
+        assert int(f2.groupBy().sum("cnt").collect()[0][0] or 0) == want
+    finally:
+        m.defer_broadcast = True
+        m.unpersist()
+
+
+def test_embeddings_warns_on_product_dominated_frontier(spark):
+    """embeddings() cannot factorize (each output row IS one embedding of
+    the branch cross product) — on a hub-shaped graph where the cost model
+    says the frontier is product-dominated it must warn loudly; on a
+    uniform graph it must stay silent."""
+    import warnings as _w
+
+    qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (4, 5), (5, 4)}
+
+    hub_v = {0: 0} | {i: 1 for i in range(1, 31)} | {100 + j: 2 for j in range(100)}
+    hub_e = set()
+    for i in range(1, 31):
+        hub_e |= {(0, i), (i, 0)}
+        for j in range(20):
+            leaf = 100 + (i * 7 + j * 3) % 100
+            hub_e |= {(i, leaf), (leaf, i)}
+    v = spark.createDataFrame(list(hub_v.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(hub_e), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        with pytest.warns(PlanDowngradeWarning, match="cross product"):
+            m.embeddings(qv, qe)  # warning fires at plan build, pre-action
+    finally:
+        m.unpersist()
+
+    vs, es, v2, e2 = _random_graph(spark, seed=5, n=24, p=0.22)
+    m2 = SubgraphMatcher(spark, v2, e2)
+    try:
+        with _w.catch_warnings():
+            _w.simplefilter("error", PlanDowngradeWarning)
+            df = m2.embeddings(qv, qe)  # uniform graph: no warning
+        assert df.count() == match_count_oracle(vs, es, qv, qe)
+    finally:
+        m2.unpersist()
