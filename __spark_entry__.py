@@ -229,6 +229,54 @@ def q_match_factorized_twin_paths_ring(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame([(n,)], "cnt long")
 
 
+def q_match_star_of_stars_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED (two-level) branch factorization, driver-gated: a
+    star-of-stars — root, two same-label mids, four same-label grandchild
+    leaves shared across mids — factorizes at the root AND again inside
+    each branch at the mid (the Spark form of the reference's staged
+    branch numbers, SIQuery.h:429-486). 5 cross-branch pairs at the top
+    (32 signed assembly terms) + 1 nested pair per branch; the branch
+    cross product never materializes at either level."""
+    qv = {0: 0, 1: 1, 2: 1, 11: 2, 12: 2, 21: 2, 22: 2}
+    qe = set()
+    for a, b in ((0, 1), (0, 2), (1, 11), (1, 12), (2, 21), (2, 22)):
+        qe |= {(a, b), (b, a)}
+    m = _ring_matcher(spark, sf_dir)
+    try:
+        n = m.count_tree_factorized(qv, qe, nested=True)
+        assert n is not None  # the shape must take the factorized path
+    finally:
+        m.unpersist()
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
+def q_match_corpus_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline END TO END under the hash gate: synthesize
+    the source-code corpus, derive the import dependency graph (regex
+    import extraction + intra-repo resolve join, sources/corpus.py), then
+    run a labeled subgraph match ON THE DERIVED GRAPH — a py-py-py wedge
+    whose two leaves are counted DEFERRED against the enumerated same-label
+    center (witness subtraction). The DuckDB twin rebuilds the abstract
+    dependency graph directly from the generator's arithmetic import
+    formula (file j imports (7j+1+s) and (13j+5+s) mod fpr within its
+    repo; lang label = (31r+7j+s) mod 5), so an extraction or resolution
+    bug in the Spark derivation changes the count and fails the gate."""
+    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
+
+    v, e = corpus_graph(spark, n_repos=20, files_per_repo=50, seed=7)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        n = m.count(
+            {1: 0, 2: 0, 3: 0},
+            {(1, 2), (2, 1), (2, 3), (3, 2)},
+            pseudo=True,
+            prune=True,
+        )
+    finally:
+        m.unpersist()
+    return spark.createDataFrame([(n,)], "cnt long")
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -455,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_triple_deferred_ring": q_match_triple_deferred_ring,
         "match_quad_deferred_ring": q_match_quad_deferred_ring,
         "match_factorized_twin_paths_ring": q_match_factorized_twin_paths_ring,
+        "match_star_of_stars_ring": q_match_star_of_stars_ring,
+        "match_corpus_wedge": q_match_corpus_wedge,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -855,6 +905,40 @@ WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v4.label = 3
   AND w1.id <> w2.id AND w1.id <> w3.id AND w1.id <> w4.id
   AND w2.id <> w3.id AND w2.id <> w4.id AND w3.id <> w4.id
   AND w1.id <> v1.id AND w2.id <> v1.id AND w3.id <> v1.id AND w4.id <> v1.id""",
+        "match_star_of_stars_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT count(*) AS cnt
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv m1 ON e1.dst = m1.id
+JOIN edges e2 ON v1.id = e2.src JOIN rv m2 ON e2.dst = m2.id
+JOIN edges f1 ON m1.id = f1.src JOIN rv s11 ON f1.dst = s11.id
+JOIN edges f2 ON m1.id = f2.src JOIN rv s12 ON f2.dst = s12.id
+JOIN edges f3 ON m2.id = f3.src JOIN rv s21 ON f3.dst = s21.id
+JOIN edges f4 ON m2.id = f4.src JOIN rv s22 ON f4.dst = s22.id
+WHERE v1.label = 0 AND m1.label = 1 AND m2.label = 1
+  AND s11.label = 2 AND s12.label = 2 AND s21.label = 2 AND s22.label = 2
+  AND m1.id <> m2.id
+  AND s11.id <> s12.id AND s11.id <> s21.id AND s11.id <> s22.id
+  AND s12.id <> s21.id AND s12.id <> s22.id AND s21.id <> s22.id""",
+        # the corpus-derived dependency graph, rebuilt ARITHMETICALLY from
+        # the generator's import formula (sources/corpus.py _file_row):
+        # an independent derivation, not a translation of the Spark plan
+        "match_corpus_wedge": """
+WITH rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+lab AS (SELECT r, j, CAST((r*31 + j*7 + 7) % 5 AS INT) AS label FROM rj),
+raw AS (SELECT r, j AS sj, (j*7 + 1 + 7) % 50 AS dj FROM rj
+        UNION
+        SELECT r, j, (j*13 + 5 + 7) % 50 FROM rj),
+dir AS (SELECT r, sj, dj FROM raw WHERE sj <> dj),
+edges AS MATERIALIZED (
+  SELECT r, sj, dj FROM dir UNION SELECT r, dj AS sj, sj AS dj FROM dir)
+SELECT count(*) AS cnt
+FROM lab v1
+JOIN edges e1 ON v1.r = e1.r AND v1.j = e1.sj
+JOIN lab v2 ON v2.r = e1.r AND v2.j = e1.dj
+JOIN edges e2 ON v2.r = e2.r AND v2.j = e2.sj
+JOIN lab v3 ON v3.r = e2.r AND v3.j = e2.dj
+WHERE v1.label = 0 AND v2.label = 0 AND v3.label = 0 AND v1.j <> v3.j""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

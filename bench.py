@@ -12,12 +12,15 @@ metric: supersteps/sec, edges/sec), connected components, label propagation,
 triangle counting, subgraph-match query set on the ring graph, and the
 training-data-pipeline ops (MinHash LSH dedup, cosine top-k).
 
-Variance: short queries (<20 s) run SPARK_GRAFT_BENCH_REPEATS times
-(default 2) and report the MIN — at 1-7 s scale single-JVM runs carry
-15-20% GC/JIT noise, which round 2's n=1-per-process numbers could not
-distinguish from regressions; the raw repeat times are kept in "runs" so
-the spread is visible. Long convergence runs (PageRank) amortize that
-noise over ~40 supersteps and run once.
+Variance: EVERY query runs SPARK_GRAFT_BENCH_REPEATS times (default 3)
+and reports the MIN — at 1-7 s scale single-JVM runs carry 15-20% GC/JIT
+noise, which n=1 numbers cannot distinguish from regressions; the raw
+repeat times are kept in "runs" and per-query {n, min, median, max} in
+"stats" so the spread is adjudicable (round-4 verdict item). Graph
+builds unpersist + rebuild per repeat so each timing is a cold build.
+The only queries allowed to stop early are those whose single run
+exceeds their cap (default 20 s; convergence runs 90 s) — the ~20 s
+hub-pipeline cross-product demo deliberately stays n=1.
 """
 
 from __future__ import annotations
@@ -51,54 +54,53 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("sip-bench", cores=cpus, shuffle_partitions=cpus)
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 2))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 3))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     throughput: dict[str, float] = {}
 
-    def timed(name):
-        """One-shot timing (graph builds with persisted side effects, long
-        convergence runs)."""
-
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
-                return self
-
-            def __exit__(self, *a):
-                t = round(time.time() - self.t0, 3)
-                timings[name] = t
-                runs[name] = [t]
-
-        return _T()
-
-    def bench(name, fn):
-        """Repeat fn while it stays short; record min (and the raw spread)."""
+    def bench(name, fn, cap=20.0):
+        """Repeat fn while each run stays under `cap` seconds; record min
+        (and the raw spread — see the docstring's variance note)."""
         ts = []
         for i in range(max(repeats, 1)):
             t0 = time.time()
             out = fn()
             ts.append(round(time.time() - t0, 3))
-            if ts[-1] >= 20:
+            if ts[-1] >= cap:
                 break
         timings[name] = min(ts)
         runs[name] = ts
         return out
 
-    # graph construction (shared, measured separately)
-    with timed("build_supply_graph"):
+    # graph construction (shared, measured separately; each repeat
+    # unpersists and rebuilds so every timing is a cold build — the last
+    # repeat leaves the graph persisted for the downstream queries)
+    sv = se = None
+
+    def run_build_supply():
+        nonlocal sv, se
+        if sv is not None:
+            sv.unpersist()
+            se.unpersist()
         sv, se = supply_graph(spark, sf_dir)
         sv = sv.persist()
         se = se.persist()
-        n_edges = se.count()
+        n = se.count()
         sv.count()
+        return n
+
+    n_edges = bench("build_supply_graph", run_build_supply)
 
     # num_partitions=None: CSR blocks sized by edge volume (auto_partitions)
     # — at sf0.1 that is P=8, ~25% fewer seconds/superstep than P=cpus=32
     # (per-superstep cost is task-scheduling-bound at this graph size)
-    with timed("pagerank_convergence"):
+    def run_pagerank():
         scores, metrics = pagerank(spark, sv, se, num_partitions=None, tol=1e-6)
         scores.agg(F.sum("score")).collect()
+        return metrics
+
+    metrics = bench("pagerank_convergence", run_pagerank, cap=90.0)
     steps = max(m["superstep"] for m in metrics)
     pr_sec = timings["pagerank_convergence"]
     throughput["pagerank_supersteps_per_sec"] = round(steps / pr_sec, 3)
@@ -118,11 +120,21 @@ def main() -> None:
 
     bench("label_propagation_k3", run_lp)
 
-    with timed("build_ring_graph"):
+    rv = re_ = None
+
+    def run_build_ring():
+        nonlocal rv, re_
+        if rv is not None:
+            rv.unpersist()
+            re_.unpersist()
         rv, re_ = ring_graph(spark, sf_dir)
         rv = rv.persist()
         re_ = re_.persist()
-        ring_edges = re_.count()
+        n = re_.count()
+        rv.count()
+        return n
+
+    ring_edges = bench("build_ring_graph", run_build_ring)
     throughput["n_edges_ring"] = ring_edges
 
     throughput["triangles"] = bench("triangle_count", lambda: triangle_count(spark, re_))
@@ -230,16 +242,32 @@ def main() -> None:
     hub_leaf = spark.range(1, 301).selectExpr(
         "id as src", "explode(sequence(0, 99)) as j"
     ).selectExpr("src", "100000 + (src * 37 + j * 13) % 2000 as dst")
+    # two more levels below the shared s-pool (for the NESTED demo): each
+    # s touches 58 label-3 t's from a 500-pool; each t touches 5 label-4
+    # and 5 label-5 u's from 100-pools. Adds no label-1<->label-2 edges,
+    # so the single-level hub demos above count exactly as before.
+    hub_t = spark.range(100000, 102000).selectExpr(
+        "id as src", "explode(sequence(0, 57)) as k"
+    ).selectExpr("src", "200000 + (src * 7 + k * 3) % 500 as dst")
+    hub_u4 = spark.range(200000, 200500).selectExpr(
+        "id as src", "explode(sequence(0, 4)) as k"
+    ).selectExpr("src", "300000 + (src * 3 + k) % 100 as dst")
+    hub_u5 = spark.range(200000, 200500).selectExpr(
+        "id as src", "explode(sequence(0, 4)) as k"
+    ).selectExpr("src", "310000 + (src * 5 + k) % 100 as dst")
+    hub_fwd = hub_mid.union(hub_leaf).union(hub_t).union(hub_u4).union(hub_u5)
     hub_e = (
-        hub_mid.union(hub_leaf)
-        .union(hub_mid.selectExpr("dst as src", "src as dst"))
-        .union(hub_leaf.selectExpr("dst as src", "src as dst"))
+        hub_fwd.union(hub_fwd.selectExpr("dst as src", "src as dst"))
+        .distinct()
         .persist()
     )
     hub_v = (
         spark.range(0, 1).selectExpr("id", "0 as label")
         .union(spark.range(1, 301).selectExpr("id", "1 as label"))
         .union(spark.range(100000, 102000).selectExpr("id", "2 as label"))
+        .union(spark.range(200000, 200500).selectExpr("id", "3 as label"))
+        .union(spark.range(300000, 300100).selectExpr("id", "4 as label"))
+        .union(spark.range(310000, 310100).selectExpr("id", "5 as label"))
         .persist()
     )
     hub_e.count(), hub_v.count()
@@ -265,6 +293,48 @@ def main() -> None:
         bench("match_hub_pipeline", run_hub_pipeline)
         == throughput["match_factorized_hub"]
     )
+
+    # NESTED (two-level) factorization (round 5): a branch whose INTERNAL
+    # same-label conflicts sit two levels below the top split. Query:
+    # root(0) - m1(1), m2(1); under m1 two chains s(2)-t(3)-u(4|5) where
+    # (s,s') and (t,t') collide INSIDE the branch and the t's are internal
+    # (a unique-label u-leaf hangs below each). The naive branch cross
+    # product is ~10^10 rows — but the PRUNED pipeline's prefix merge
+    # performs the same factorization IMPLICITLY (a released same-label
+    # witness collapses the frontier like a DP over the chain), streaming
+    # only ~3x10^8 rows through codegen. MEASURED: single-level with
+    # pruned branch tables ~11 s, forced 2-level assembly ~17 s (the
+    # extra stages cost more than the saved rows at this scale) — so
+    # nested='auto' consults _flat_stream_est and correctly DECLINES
+    # here; the crossover sits around 10^10 streamed rows
+    # (NESTED_MIN_STREAM). Both paths benched, counts must agree: 'auto'
+    # is the plan a user gets, nested=True keeps the depth machinery
+    # honest under measurement.
+    deep_qv = {0: 0, 1: 1, 9: 1, 11: 2, 12: 3, 13: 4, 21: 2, 22: 3, 23: 5}
+    deep_qe = set()
+    for a, b in (
+        (0, 1), (0, 9),
+        (1, 11), (11, 12), (12, 13),
+        (1, 21), (21, 22), (22, 23),
+    ):
+        deep_qe |= {(a, b), (b, a)}
+
+    def run_deep(nested):
+        m = SubgraphMatcher(spark, hub_v, hub_e)
+        try:
+            n = m.count_tree_factorized(deep_qv, deep_qe, nested=nested)
+            assert n is not None
+            return n
+        finally:
+            m.unpersist()
+
+    throughput["match_deep_chain_auto"] = bench(
+        "match_deep_chain_auto", lambda: run_deep("auto")
+    )
+    assert (
+        bench("match_deep_chain_nested_forced", lambda: run_deep(True))
+        == throughput["match_deep_chain_auto"]
+    )
     hub_e.unpersist()
     hub_v.unpersist()
 
@@ -275,17 +345,28 @@ def main() -> None:
     from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
 
     n_repos = max(20, int(3000 * float(sf)))
-    with timed("corpus_derive_graph"):
+    cv = ce = None
+
+    def run_build_corpus():
+        nonlocal cv, ce
+        if cv is not None:
+            cv.unpersist()
+            ce.unpersist()
         cv, ce = corpus_graph(spark, n_repos=n_repos, files_per_repo=60, seed=11)
         cv = cv.persist()
         ce = ce.persist()
-        n_corpus_edges = ce.count()
+        n = ce.count()
         cv.count()
+        return n
+
+    n_corpus_edges = bench("corpus_derive_graph", run_build_corpus)
     throughput["n_edges_corpus"] = n_corpus_edges
 
-    with timed("corpus_pagerank_8steps"):
+    def run_corpus_pr():
         cscores, _ = pagerank(spark, cv, ce, num_partitions=None, fixed_steps=8)
         cscores.agg(F.sum("score")).collect()
+
+    bench("corpus_pagerank_8steps", run_corpus_pr)
     throughput["corpus_pagerank_edges_per_sec"] = round(
         8 * n_corpus_edges / timings["corpus_pagerank_8steps"], 1
     )
@@ -309,6 +390,17 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    import statistics
+
+    stats = {
+        k: {
+            "n": len(v),
+            "min": min(v),
+            "median": round(statistics.median(v), 3),
+            "max": max(v),
+        }
+        for k, v in runs.items()
+    }
     print(
         json.dumps(
             {
@@ -317,6 +409,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "stats": stats,
                 "sf": sf,
                 "cpus": cpus,
                 "throughput": throughput,

@@ -58,6 +58,21 @@ HUB_DEGREE_THRESHOLD = 100_000
 # overhead locally, so only clearly product-dominated shapes should switch.
 FACTORIZE_RATIO = 64.0
 
+# Maximum NESTING depth of branch factorization: the top-level split plus
+# this many recursive splits inside branches (the reference stages branch
+# numbers to arbitrary depth, SIQuery.h:429-486; real queries rarely need
+# more than two or three levels, and each level multiplies assembly jobs).
+FACTORIZE_MAX_DEPTH = 3
+
+# nested='auto' recurses only when the simulated PRUNED-pipeline stream of
+# the branch exceeds this many rows: below it, whole-stage-codegen
+# streaming through the prefix-merge aggregates (which performs the same
+# factorization implicitly — see _flat_stream_est) beats the assembly's
+# extra stages. MEASURED on local[32]: a ~3x10^8-row pruned stream runs in
+# ~11 s while the equivalent 2-level assembly pays ~15 s of stage overhead
+# on ~2x10^8 joined rows; the crossover is order 10^10.
+NESTED_MIN_STREAM = 1e10
+
 
 def _perm_expr(cnt_col, k: int):
     """count * (count-1) * ... * (count-k+1) as a Column (injective choices
@@ -162,6 +177,7 @@ class SubgraphMatcher:
         self._adjlist: DataFrame | None = None
         self._max_degree: int | None = None
         self._label_fanout: dict[tuple[int, int], float] | None = None
+        self._label_sizes: dict[int, int] = {}
         # deferred-group counting: broadcast the distinct frontier-key tuple
         # set into the adjacency probe + the counts join (see
         # _apply_deferred_group). On by default — the tuple set is bounded
@@ -192,6 +208,7 @@ class SubgraphMatcher:
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            self._label_sizes = label_sizes
             self._label_fanout = {
                 (r["src_label"], r["dst_label"]): r["n_edges"]
                 / max(label_sizes.get(r["src_label"], 1), 1)
@@ -239,11 +256,21 @@ class SubgraphMatcher:
         return "semijoin" if self.max_degree > hub_threshold else "adjlist"
 
     def frontier(
-        self, plan: QueryPlan, prune: bool = False, backward: str = "auto"
+        self,
+        plan: QueryPlan,
+        prune: bool = False,
+        backward: str = "auto",
+        keep_pos: frozenset[int] | set[int] = frozenset(),
+        live_out: list[int] | None = None,
     ) -> DataFrame:
         """Run MATCH; returns (m: array<long>, cnt: long) — one row per
         embedding of the non-pseudo query vertices, cnt = multiplicity from
         counted pseudo children.
+
+        keep_pos: original plan positions that must SURVIVE pruning to the
+        end (grouping keys for the factorized branch tables); live_out, if
+        given, is filled in place with the final live position list so the
+        caller can map positions to array slots after pruning.
 
         backward='adjlist' checks non-tree edges with array_contains on the
         per-vertex collected neighbor array (fast when adjacency rows fit in
@@ -280,10 +307,12 @@ class SubgraphMatcher:
         for gi, pos in ready_at.items():
             groups_at.setdefault(pos, []).append(gi)
         # needed_after[i]: original positions some LATER consumer references
-        # (a node j>i as parent/backward/injectivity-witness, or a deferred
-        # group applied after position i)
-        needed_after = [set() for _ in range(n)]
-        acc: set[int] = set()
+        # (a node j>i as parent/backward/injectivity-witness, a deferred
+        # group applied after position i, or a caller-requested keep_pos
+        # grouping key that must survive to the end)
+        keep_set = set(keep_pos)
+        needed_after = [set(keep_set) for _ in range(n)]
+        acc: set[int] = set(keep_set)
         for j in range(n - 1, 0, -1):
             nd = plan.nodes[j]
             acc |= {nd.parent_pos, *nd.backward_pos, *nd.samelabel_pos}
@@ -356,6 +385,8 @@ class SubgraphMatcher:
                 f = self._apply_deferred_group(f, plan.deferred[gi], gi, slot)
             if prune:
                 f, live = self._prune(f, live, needed_after[node.pos])
+        if live_out is not None:
+            live_out[:] = live
         return f
 
     @staticmethod
@@ -652,6 +683,7 @@ class SubgraphMatcher:
         query_e: set[tuple[int, int]],
         order: str = "degree",
         max_pairs: int = 6,
+        nested: bool | str = "auto",
     ) -> int | None:
         """Branch-factorized counting with INTERNAL same-label conflict
         deferral — the Spark form of the reference's conflict-aware branch
@@ -688,8 +720,16 @@ class SubgraphMatcher:
         conflict pairs, or a trivial query — and the caller falls back to
         the standard frontier. Per-branch sub-plans keep the full
         pseudo/deferred leaf machinery whenever every label of the branch
-        is confined to it."""
-        built = self._tree_factorized_df(query_v, query_e, order, max_pairs)
+        is confined to it, and run through the PRUNED pipeline with the
+        grouping images pinned live.
+
+        `nested` (default 'auto'): branches may themselves be counted by
+        branch factorization at their own articulation vertices —
+        multi-LEVEL factorization, the analog of the reference's staged
+        branch numbers (`SIQuery.h:429-486`); see _tree_factorized_df.
+        With nested=False every branch runs the flat pipeline (the
+        single-level round-4 behavior)."""
+        built = self._tree_factorized_df(query_v, query_e, order, max_pairs, nested)
         if built is None:
             return None
         total, tables = built
@@ -801,6 +841,18 @@ class SubgraphMatcher:
         if dec is None:
             return False
         root_u, branches, _spanning, _pairs, _cand = dec
+        ests = self._branch_fanout_ests(query_v, query_e, root_u, branches)
+        return self._product_dominated(ests, ratio)
+
+    def _branch_fanout_ests(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        root_u: int,
+        branches: list[set[int]],
+    ) -> list[float]:
+        """Per-branch per-anchor embedding-count estimates: the product of
+        average label-pair fanouts along a spanning walk from the anchor."""
         adj: dict[int, set[int]] = {u: set() for u in query_v}
         for a, b in query_e:
             adj[a].add(b)
@@ -817,6 +869,57 @@ class SubgraphMatcher:
                         seen.add(nb)
                         stack.append(nb)
             ests.append(est)
+        return ests
+
+    def _flat_stream_est(
+        self,
+        sub_v: dict[int, int],
+        sub_e: set[tuple[int, int]],
+        keep_us,
+        order: str,
+    ) -> float:
+        """Estimated TOTAL streamed row count of the PRUNED flat pipeline
+        on this sub-query: simulate the plan's prefix-merge trace with
+        label-pair fanout estimates — each extension multiplies the live
+        width by the tree-edge fanout, each prune merge divides out the
+        contributions of released positions. This is the honest cost of
+        the flat path: the prefix merge performs branch factorization
+        IMPLICITLY (a released same-label witness collapses the frontier
+        like a DP over the chain), so a naive branch-product estimate
+        wildly overstates what the pipeline actually streams."""
+        plan = build_plan(sub_v, sub_e, order=order, pseudo=False)
+        self.label_fanout  # ensure _label_sizes is populated
+        fan, sizes = self.label_fanout, self._label_sizes
+        n = len(plan.nodes)
+        pos_of = {nd.u: nd.pos for nd in plan.nodes}
+        contrib: dict[int, float] = {
+            0: float(max(sizes.get(plan.nodes[0].label, 1), 1))
+        }
+        for nd in plan.nodes[1:]:
+            plabel = plan.nodes[nd.parent_pos].label
+            contrib[nd.pos] = fan.get((plabel, nd.label), 0.0)
+        keep = {pos_of[u] for u in keep_us if u in pos_of}
+        needed_after = [set(keep) for _ in range(n)]
+        acc = set(keep)
+        for j in range(n - 1, 0, -1):
+            nd = plan.nodes[j]
+            acc |= {nd.parent_pos, *nd.backward_pos, *nd.samelabel_pos}
+            needed_after[j - 1] = set(acc)
+        live = {0}
+        width = contrib[0]
+        total = width
+        for nd in plan.nodes[1:]:
+            width *= contrib[nd.pos]
+            live.add(nd.pos)
+            total += width
+            for p in [p for p in live if p not in needed_after[nd.pos]]:
+                width /= max(contrib[p], 1e-12)
+                live.discard(p)
+            width = max(width, 1.0)
+        return total
+
+    @staticmethod
+    def _product_dominated(ests: list[float], ratio: float = FACTORIZE_RATIO) -> bool:
         prod = 1.0
         for e_ in ests:
             prod *= e_
@@ -832,77 +935,202 @@ class SubgraphMatcher:
         query_e: set[tuple[int, int]],
         order: str = "degree",
         max_pairs: int = 6,
+        nested: bool | str = "auto",
     ) -> tuple[DataFrame, list[DataFrame]] | None:
         """Lazy form of count_tree_factorized: (signed-terms DataFrame whose
         sum('t') is the count, persisted branch tables to unpersist after
-        the action), or None when the shape doesn't factorize."""
+        the action), or None when the shape doesn't factorize.
+
+        nested: whether each branch's grouped table may ITSELF be computed
+        by branch factorization at the branch's own articulation vertex —
+        the multi-level analog of the reference's staged branch numbers
+        (`SIQuery.h:429-486`, `pregel_app_subgraph.h:614-676`). True
+        always recurses where the shape admits it, False keeps every
+        branch on the flat (pruned) pipeline, 'auto' (default) recurses
+        only when the label-fanout cost model says the branch's own
+        sub-frontier is product-dominated."""
         dec = self._branch_decomposition(query_v, query_e, order, max_pairs)
         if dec is None:
             return None
-        root_u, branches, spanning, pairs, cand = dec
-        # enumerate each branch independently (anchored at the shared root)
-        conflict_vs = [
-            sorted(u for u in comp if query_v[u] in spanning) for comp in branches
+        root_u, branches, _spanning, pairs, cand = dec
+        flc: dict[int, int] = {}
+        for l in query_v.values():
+            flc[l] = flc.get(l, 0) + 1
+        temps: list[DataFrame] = []
+        total = self._assemble_grouped(
+            query_v, query_e, root_u, branches, pairs, [],
+            order, cand, flc, max_pairs, nested, FACTORIZE_MAX_DEPTH, temps,
+        )
+        return total.withColumnRenamed("c", "t"), temps
+
+    def _grouped_count(
+        self,
+        sub_v: dict[int, int],
+        sub_e: set[tuple[int, int]],
+        group_us: list[int],
+        order: str,
+        cand: dict[int, int] | None,
+        flc: dict[int, int],
+        max_pairs: int,
+        nested: bool | str,
+        depth: int,
+        temps: list[DataFrame],
+    ) -> DataFrame:
+        """Injective embedding counts of (sub_v, sub_e) GROUPED by the
+        images of `group_us`: columns img_<u> for each u plus count c.
+        Either flat — the pruned join pipeline with the group positions
+        kept alive — or, when `nested` allows and the sub-query has its
+        own articulation vertex, recursively branch-factorized."""
+        group_us = sorted(set(group_us))
+        if nested and depth > 0 and len(sub_v) > 2:
+            dec = self._branch_decomposition(sub_v, sub_e, order, max_pairs)
+            if dec is not None:
+                w, brs, _spn, prs, _ = dec
+                if nested is True:
+                    go = True
+                else:
+                    # 'auto': recurse only when the flat PRUNED pipeline
+                    # would stream an astronomical number of rows AND the
+                    # per-branch streams are collectively much smaller —
+                    # the prefix merge already factorizes implicitly (see
+                    # _flat_stream_est), so codegen streaming wins below
+                    # NESTED_MIN_STREAM despite the branch-product bound
+                    flat_est = self._flat_stream_est(sub_v, sub_e, group_us, order)
+                    pinned_all = {u for p in prs for u in p}
+                    nested_sum = 0.0
+                    for comp in brs:
+                        b_v = {w: sub_v[w]} | {u: sub_v[u] for u in comp}
+                        b_e = {(a, b) for (a, b) in sub_e if a in b_v and b in b_v}
+                        bg = [w] + sorted((set(group_us) | pinned_all) & comp)
+                        nested_sum += self._flat_stream_est(b_v, b_e, bg, order)
+                    go = flat_est >= NESTED_MIN_STREAM and flat_est >= (
+                        FACTORIZE_RATIO * max(nested_sum, 1.0)
+                    )
+                if go:
+                    return self._assemble_grouped(
+                        sub_v, sub_e, w, brs, prs, group_us,
+                        order, cand, flc, max_pairs, nested, depth - 1, temps,
+                    )
+        # flat: pruned pipeline with the group keys pinned live. Leaf
+        # pseudo/deferred counting stays on only when every LEAF label of
+        # this sub-query is CONFINED to it (only degree-1 vertices can be
+        # pseudo/deferred-counted; a counted leaf whose label also appears
+        # outside would dodge an outer assembly's pinned equalities and
+        # miss injectivity against the outside images); a group key that
+        # still ends up counted away forces a full-enumeration rebuild.
+        sub_counts: dict[int, int] = {}
+        for l in sub_v.values():
+            sub_counts[l] = sub_counts.get(l, 0) + 1
+        sdeg: dict[int, int] = {u: 0 for u in sub_v}
+        for a, _b in sub_e:
+            sdeg[a] += 1
+        leaf_labels = {sub_v[u] for u in sub_v if sdeg[u] <= 1}
+        pseudo_ok = all(sub_counts[l] == flc.get(l, 0) for l in leaf_labels)
+        plan = build_plan(sub_v, sub_e, order=order, pseudo=pseudo_ok, cand_counts=cand)
+        pos_of = {nd.u: nd.pos for nd in plan.nodes}
+        if any(u not in pos_of for u in group_us):
+            plan = build_plan(sub_v, sub_e, order=order, pseudo=False, cand_counts=cand)
+            pos_of = {nd.u: nd.pos for nd in plan.nodes}
+        live: list[int] = []
+        f = self.frontier(
+            plan, prune=True, keep_pos={pos_of[u] for u in group_us}, live_out=live
+        )
+        cols = [
+            F.element_at(F.col("m"), live.index(pos_of[u]) + 1).alias(f"img_{u}")
+            for u in group_us
         ]
-        tables: list[DataFrame] = []
+        return (
+            f.select(*cols, "cnt")
+            .groupBy(*[f"img_{u}" for u in group_us])
+            .agg(F.sum("cnt").alias("c"))
+        )
+
+    def _assemble_grouped(
+        self,
+        sub_v: dict[int, int],
+        sub_e: set[tuple[int, int]],
+        w: int,
+        branches: list[set[int]],
+        pairs: list[tuple[int, int]],
+        group_us: list[int],
+        order: str,
+        cand: dict[int, int] | None,
+        flc: dict[int, int],
+        max_pairs: int,
+        nested: bool | str,
+        depth: int,
+        temps: list[DataFrame],
+    ) -> DataFrame:
+        """One level of branch-factorized assembly, output GROUPED by the
+        images of `group_us` (empty -> one signed scalar row per
+        inclusion–exclusion term; the caller sums): each branch (anchored
+        at the split vertex w) contributes a grouped count table keyed by
+        img_w plus whatever images the outer grouping or the conflict
+        pairs pin; cross-branch same-label injectivity is restored by
+        inclusion–exclusion over subsets of `pairs` (2^|P| signed
+        pinned-equality join terms over the small grouped tables — the
+        branch cross product never materializes)."""
+        group_set = set(group_us)
+        pinned_all = {u for p in pairs for u in p}
+        btabs: list[tuple[DataFrame, list[int]]] = []
         for bi, comp in enumerate(branches):
-            sub_v = {root_u: query_v[root_u]} | {u: query_v[u] for u in comp}
-            sub_e = {
-                (a, b) for (a, b) in query_e if a in sub_v and b in sub_v
-            }
-            # leaf pseudo/deferred machinery only when every label of this
-            # branch is confined to it (a spanning label counted instead of
-            # enumerated would dodge the assembly's pinned equalities)
-            pseudo_ok = all(query_v[u] not in spanning for u in comp)
-            sub_plan = build_plan(
-                sub_v, sub_e, order=order, pseudo=pseudo_ok,
-                cand_counts=cand, force_root=root_u,
-            )
-            pos_of = {nd.u: nd.pos for nd in sub_plan.nodes}
-            assert all(u in pos_of for u in conflict_vs[bi])
-            f = self.frontier(sub_plan, prune=False)
-            cols = [F.element_at(F.col("m"), 1).alias("va")] + [
-                F.element_at(F.col("m"), pos_of[u] + 1).alias(f"img_{u}")
-                for u in conflict_vs[bi]
-            ]
-            tables.append(
-                f.select(*cols, "cnt")
-                .groupBy("va", *[f"img_{u}" for u in conflict_vs[bi]])
-                .agg(F.sum("cnt").alias(f"c{bi}"))
+            b_v = {w: sub_v[w]} | {u: sub_v[u] for u in comp}
+            b_e = {(a, b) for (a, b) in sub_e if a in b_v and b in b_v}
+            bg = [w] + sorted((group_set | pinned_all) & comp)
+            t = (
+                self._grouped_count(
+                    b_v, b_e, bg, order, cand, flc, max_pairs, nested, depth, temps
+                )
+                .withColumnRenamed("c", f"c{bi}")
                 .persist()
             )
+            temps.append(t)
+            btabs.append((t, bg))
+        out_keys = [f"img_{u}" for u in sorted(group_set)]
         terms: list[DataFrame] = []
         for mask in range(1 << len(pairs)):
             M = [pairs[i] for i in range(len(pairs)) if (mask >> i) & 1]
             pinned = {u for p in M for u in p}
             # re-aggregate each branch down to just the keys this term
-            # needs (the ∅ term is one tiny (va, cnt) table per branch)
+            # needs (the ∅ term is one tiny per-anchor table per branch)
             cs = []
-            for bi in range(len(branches)):
-                keep = [f"img_{u}" for u in conflict_vs[bi] if u in pinned]
-                cs.append(
-                    tables[bi]
-                    .groupBy("va", *keep)
-                    .agg(F.sum(f"c{bi}").alias(f"c{bi}"))
-                )
+            for bi, (t, bg) in enumerate(btabs):
+                keep = [
+                    f"img_{u}" for u in bg if u == w or u in pinned or u in group_set
+                ]
+                cs.append(t.groupBy(*keep).agg(F.sum(f"c{bi}").alias(f"c{bi}")))
             joined = cs[0]
-            for bi in range(1, len(branches)):
-                joined = joined.join(cs[bi], "va")
+            for c in cs[1:]:
+                joined = joined.join(c, f"img_{w}")
             for x, y in M:
                 joined = joined.where(F.col(f"img_{x}") == F.col(f"img_{y}"))
             prod = F.lit(1).cast("long")
             for bi in range(len(branches)):
                 prod = prod * F.col(f"c{bi}")
             sign = -1 if len(M) % 2 else 1
-            terms.append(
-                joined.agg(
-                    F.coalesce(F.sum(prod), F.lit(0)).alias("t")
-                ).select((F.lit(sign) * F.col("t")).alias("t"))
-            )
+            if out_keys:
+                terms.append(
+                    joined.groupBy(*out_keys).agg(
+                        (F.lit(sign) * F.sum(prod)).alias("c")
+                    )
+                )
+            else:
+                terms.append(
+                    joined.agg(F.coalesce(F.sum(prod), F.lit(0)).alias("c"))
+                    .select((F.lit(sign) * F.col("c")).alias("c"))
+                )
         total = terms[0]
         for t in terms[1:]:
             total = total.unionByName(t)
-        return total, tables
+        if out_keys:
+            # net exact counts per group (empty groups are simply absent);
+            # signed terms cancel to 0 for over-counted tuples — drop them
+            total = (
+                total.groupBy(*out_keys)
+                .agg(F.sum("c").alias("c"))
+                .where(F.col("c") != 0)
+            )
+        return total
 
     def embeddings(
         self,

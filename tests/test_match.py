@@ -822,3 +822,85 @@ def test_embeddings_warns_on_product_dominated_frontier(spark):
         assert df.count() == match_count_oracle(vs, es, qv, qe)
     finally:
         m2.unpersist()
+
+
+def test_nested_factorized_star_of_stars(spark):
+    """MULTI-LEVEL branch factorization (the reference's staged branch
+    numbers, SIQuery.h:429-486): a star-of-stars — root, two same-label
+    mids, each mid two same-label children shared ACROSS mids — must
+    factorize at the root AND again inside each branch at the mid, with
+    counts exact vs brute force at every nesting setting."""
+    rng = random.Random(11)
+    vs = {i: rng.randrange(3) for i in range(24)}
+    es = set()
+    for i in range(24):
+        for j in range(i + 1, 24):
+            if rng.random() < 0.3:
+                es.add((i, j))
+                es.add((j, i))
+    v = spark.createDataFrame(list(vs.items()), "id long, label int")
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    m = SubgraphMatcher(spark, v, e)
+    qv = {0: 0, 1: 1, 2: 1, 11: 2, 12: 2, 21: 2, 22: 2}
+    qe = set()
+    for a, b in ((0, 1), (0, 2), (1, 11), (1, 12), (2, 21), (2, 22)):
+        qe |= {(a, b), (b, a)}
+    try:
+        want = match_count_oracle(vs, es, qv, qe)
+        assert want > 0
+        # instrument: count assembly levels actually taken
+        calls = []
+        orig = m._assemble_grouped
+
+        def spy(*a, **kw):
+            calls.append(a[2])  # the split vertex w
+            return orig(*a, **kw)
+
+        m._assemble_grouped = spy
+        assert m.count_tree_factorized(qv, qe, nested=True) == want
+        # top split at the root plus one nested split per branch (at a mid)
+        assert len(calls) >= 3, calls
+        m._assemble_grouped = orig
+        assert m.count_tree_factorized(qv, qe, nested=False) == want
+        assert m.count_tree_factorized(qv, qe, nested="auto") == want
+        assert m.count(qv, qe, pseudo=True, prune=True) == want
+    finally:
+        m.unpersist()
+
+
+def test_nested_factorized_fuzz_depth2_trees(spark):
+    """Fuzz: random depth-2 trees (root -> mids -> leaves) with shared
+    labels across subtrees — nested=True must equal brute force on every
+    accepted shape; nested='auto'/False must agree."""
+    vs, es, v, e = _random_graph(spark, seed=13, n=22, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    rng = random.Random(515)
+    try:
+        accepted = 0
+        for trial in range(7):
+            n_mid = rng.choice([2, 3])
+            qv = {0: 0}
+            qe = set()
+            nxt = 1
+            for mi in range(n_mid):
+                mid = nxt
+                nxt += 1
+                qv[mid] = rng.choice([1, 2])
+                qe |= {(0, mid), (mid, 0)}
+                for _ in range(rng.choice([1, 2])):
+                    leaf = nxt
+                    nxt += 1
+                    qv[leaf] = rng.choice([1, 2])
+                    qe |= {(mid, leaf), (leaf, mid)}
+            want = match_count_oracle(vs, es, qv, qe)
+            got = m.count_tree_factorized(qv, qe, nested=True)
+            if got is None:
+                continue
+            accepted += 1
+            assert got == want, (trial, qv, sorted(qe), got, want)
+            # nested='auto' must agree whichever side the cost model picks
+            # (nested=False is the single-level path other tests pin down)
+            assert m.count_tree_factorized(qv, qe, nested="auto") == want, (trial, qv)
+        assert accepted >= 4
+    finally:
+        m.unpersist()
