@@ -85,6 +85,25 @@ def run_match():
 
 
 out["match_sec"], out["match_path3"] = best(run_match)
+
+
+def run_deferred():
+    # triple same-label leaves under three different parents: the Venn-atom
+    # DEFERRED counting path (two aggregate shuffles + broadcast tuple set)
+    # — N->4N evidence for the conflict machinery (round-4 verdict item)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        return m.count(
+            {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 3},
+            {(1, 2), (2, 1), (2, 3), (3, 2),
+             (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)},
+            pseudo=True, prune=True,
+        )
+    finally:
+        m.unpersist()
+
+
+out["deferred_sec"], out["match_deferred"] = best(run_deferred)
 print("RESULT " + json.dumps(out))
 """
 
@@ -102,6 +121,14 @@ e = None
 for mult, add in ((1, 1), (7, 3), (13, 11)):
     fam = ids.select(F.col("i").alias("src"), ((F.col("i") * mult + add) % n).alias("dst"))
     e = fam if e is None else e.unionByName(fam)
+# deterministic planted triangles: the (i, i+1) family gives the wedge
+# i -> i+1 -> i+2; closing every 100th wedge with (i, i+2) plants n/100
+# triangles, so the ladder's triangle job validates a NON-ZERO count
+# identical across parallelism levels (round-4 verdict: the arithmetic
+# graph was triangle-free and the consistency check was vacuous 0 == 0)
+tri = ids.where(F.col("i") % 100 == 0).select(
+    F.col("i").alias("src"), ((F.col("i") + 2) % n).alias("dst"))
+e = e.unionByName(tri)
 edges = symmetrize(e)
 vertices = ids.select(F.col("i").alias("id"), (F.col("i") % 4).cast("int").alias("label"))
 edges.repartition(64).write.mode("overwrite").parquet(f"{gdir}/edges")
@@ -168,17 +195,26 @@ def main() -> None:
             f"{r[lo]['match_sec']}s → {r[hi]['match_sec']}s | — | "
             f"**{eff(1 / r[hi]['match_sec'], 1 / r[lo]['match_sec'], hi // lo)}** |"
         )
+        rows.append(
+            f"| Deferred triple-leaf match | local[{lo}]→local[{hi}] | "
+            f"{r[lo]['deferred_sec']}s → {r[hi]['deferred_sec']}s | — | "
+            f"**{eff(1 / r[hi]['deferred_sec'], 1 / r[lo]['deferred_sec'], hi // lo)}** |"
+        )
 
     consistency = all(
         r[c]["triangles"] == r[LEVELS[0]]["triangles"]
         and r[c]["match_path3"] == r[LEVELS[0]]["match_path3"]
+        and r[c]["match_deferred"] == r[LEVELS[0]]["match_deferred"]
         for c in LEVELS
     )
+    # the planted-triangle family must actually show up (non-vacuous check)
+    assert r[LEVELS[0]]["triangles"] > 0, "scaling graph must contain triangles"
     effs = {
         (lo, hi): {
             "pagerank": eff(r[hi]["pagerank_edges_per_sec"], r[lo]["pagerank_edges_per_sec"], hi // lo),
             "triangles": eff(1 / r[hi]["triangles_sec"], 1 / r[lo]["triangles_sec"], hi // lo),
             "match": eff(1 / r[hi]["match_sec"], 1 / r[lo]["match_sec"], hi // lo),
+            "deferred": eff(1 / r[hi]["deferred_sec"], 1 / r[lo]["deferred_sec"], hi // lo),
         }
         for lo, hi in pairs
     }
@@ -222,7 +258,9 @@ Notes:
   pid-bucketed tables, so the per-superstep cogroups plan with zero
   exchanges; only messages cross the wire (see operators/pregel.py).
 - Result consistency across all levels: {"identical" if consistency else "MISMATCH"}
-  (triangles={r[LEVELS[0]]['triangles']:,}, match_path3={r[LEVELS[0]]['match_path3']:,}).
+  (triangles={r[LEVELS[0]]['triangles']:,} — planted, non-zero,
+  match_path3={r[LEVELS[0]]['match_path3']:,},
+  match_deferred={r[LEVELS[0]]['match_deferred']:,}).
 - The reference repo publishes no benchmark numbers (only a toy transcript,
   see /root/repo/BASELINE.md); these are this engine's recorded baselines.
 """
