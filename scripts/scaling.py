@@ -88,15 +88,18 @@ out["match_sec"], out["match_path3"] = best(run_match)
 
 
 def run_deferred():
-    # triple same-label leaves under three different parents: the Venn-atom
-    # DEFERRED counting path (two aggregate shuffles + broadcast tuple set)
-    # — N->4N evidence for the conflict machinery (round-4 verdict item)
+    # same-label leaves under TWO different parents with the middle path
+    # vertex as an enumerated same-label WITNESS: the Venn-atom DEFERRED
+    # counting path incl. witness subtraction (broadcast tuple set + one
+    # adjacency probe) — N->4N evidence for the conflict machinery
+    # (round-4 verdict item). Labels chosen for the arithmetic graph's
+    # parity structure: label-0 and label-2 vertices both have label-3
+    # neighbors (label-1 vertices never do), so the count is NON-zero.
     m = SubgraphMatcher(spark, v, e)
     try:
         return m.count(
-            {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 3},
-            {(1, 2), (2, 1), (2, 3), (3, 2),
-             (1, 4), (4, 1), (2, 5), (5, 2), (3, 6), (6, 3)},
+            {1: 0, 2: 3, 3: 2, 4: 3, 5: 3},
+            {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (3, 5), (5, 3)},
             pseudo=True, prune=True,
         )
     finally:

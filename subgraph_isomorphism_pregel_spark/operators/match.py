@@ -178,12 +178,19 @@ class SubgraphMatcher:
         self._max_degree: int | None = None
         self._label_fanout: dict[tuple[int, int], float] | None = None
         self._label_sizes: dict[int, int] = {}
-        # deferred-group counting: broadcast the distinct frontier-key tuple
-        # set into the adjacency probe + the counts join (see
-        # _apply_deferred_group). On by default — the tuple set is bounded
-        # by the pruned frontier's distinct keys; disable for frontiers
-        # whose key set may not fit the broadcast ceiling.
-        self.defer_broadcast = True
+        # deferred-group counting: EXPLICIT broadcast hints on the distinct
+        # frontier-key tuple set (adjacency probe + counts join-back, see
+        # _apply_deferred_group). Default OFF: with AQE enabled the runtime
+        # re-plan already converts these joins to broadcast from observed
+        # shuffle sizes (verified in the executed plan), while the explicit
+        # hint forces eager driver-side collects that MEASURED ~25% slower
+        # on overhead-bound frontiers (sf0.1: acbc 2.06s hinted vs 1.64s
+        # AQE). Set True only for non-AQE deployments.
+        self.defer_broadcast = False
+        # frontiers cached at deferred-group application points (the prefix
+        # feeds the main path, the tuple-set broadcast, AND the counts
+        # broadcast — caching computes it once); released by unpersist()
+        self._temps: list[DataFrame] = []
 
     @property
     def label_fanout(self) -> dict[tuple[int, int], float]:
@@ -479,17 +486,22 @@ class SubgraphMatcher:
             ).cast("long")
         else:
             key = pcols + wcols
+            # cache the frontier-so-far: three consumers read this prefix
+            # (the main count path, the broadcast tuple-set collect, and
+            # the broadcast counts collect) — without the cache each would
+            # recompute the whole join pipeline up to this point
+            f = f.persist()
+            self._temps.append(f)
             tup = f.select(*key).distinct()
             # melt the (small, distinct) tuple set into (key, parent image,
             # bit) rows so the label-l adjacency is probed by ONE join for
-            # ALL m legs — and BROADCAST the melted side so that probe never
-            # shuffles the adjacency at all (the r3/r4 regression: m
-            # shuffle joins of the full label-l adjacency per group). The
-            # tuple set is the distinct (pruned) frontier key set — orders
-            # of magnitude smaller than the adjacency; set
-            # `defer_broadcast=False` on frontiers whose distinct key set
-            # may exceed executor/driver memory (Spark raises, never
-            # silently corrupts, past its 8 GB broadcast ceiling).
+            # ALL m legs (the r3/r4 regression: m separate joins of the
+            # full label-l adjacency per group). The melted side is the
+            # distinct (pruned) frontier key set — orders of magnitude
+            # smaller than the adjacency — so AQE's runtime re-plan turns
+            # this into a broadcast hash join from observed sizes (the
+            # adjacency never shuffles; verified in the executed plan);
+            # defer_broadcast=True adds explicit hints for non-AQE runs.
             melted = None
             for i in range(m_parents):
                 part = tup.select(
@@ -1172,6 +1184,9 @@ class SubgraphMatcher:
         if self._adjlist is not None:
             self._adjlist.unpersist()
         self.nbr_label_counts.unpersist()
+        for t in self._temps:
+            t.unpersist()
+        self._temps.clear()
 
 
 def match_count(

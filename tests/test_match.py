@@ -756,14 +756,16 @@ def test_factorize_auto_fuzz_on_skewed_graph(spark):
 
 
 def test_deferred_tuple_broadcast_in_plan(spark):
-    """The deferred-group fix-up must probe the label-l adjacency with a
-    BROADCAST of the (small) distinct frontier-tuple set — one broadcast
-    hash join for the melted legs, one for the counts join-back — never a
-    shuffle of the full adjacency per parent leg; and the hint must be
-    honest: defer_broadcast=False removes it without changing the count."""
+    """The deferred-group fix-up probes the label-l adjacency with ONE
+    join against the melted distinct frontier-tuple set, and that probe
+    must run as a BROADCAST hash join — by AQE's runtime re-plan in the
+    default configuration (executed plan), or by explicit hints when
+    defer_broadcast=True (static plan, for non-AQE deployments) — never
+    a shuffle of the full adjacency per parent leg. Counts agree in both
+    modes."""
     vs, es, v, e = _random_graph(spark, seed=2, n=22, p=0.25)
     m = SubgraphMatcher(spark, v, e)
-    # three same-label leaves under three different parents (multi-parent
+    # two same-label leaves under two different parents (multi-parent
     # Venn path, so the general legs/masks machinery runs)
     qv = {1: 0, 2: 1, 3: 2, 4: 0, 5: 0}
     qe = {(1, 2), (2, 1), (2, 3), (3, 2),
@@ -773,17 +775,23 @@ def test_deferred_tuple_broadcast_in_plan(spark):
 
         plan = bp(qv, qe, order="degree")
         assert plan.deferred  # the shape actually defers
-        f = m.frontier(plan, prune=True)
-        phys = f._jdf.queryExecution().sparkPlan().toString()
-        assert phys.count("BroadcastHashJoin") >= 2, phys
         want = match_count_oracle(vs, es, qv, qe)
-        assert int(f.groupBy().sum("cnt").collect()[0][0] or 0) == want
 
-        m.defer_broadcast = False
+        # default (AQE): broadcasts appear in the EXECUTED plan
+        f = m.frontier(plan, prune=True)
+        assert int(f.groupBy().sum("cnt").collect()[0][0] or 0) == want
+        ex = f._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" in ex
+        assert ex.count("BroadcastHashJoin") >= 2, ex
+
+        # explicit hints: broadcasts already in the STATIC plan
+        m.defer_broadcast = True
         f2 = m.frontier(bp(qv, qe, order="degree"), prune=True)
+        phys = f2._jdf.queryExecution().sparkPlan().toString()
+        assert phys.count("BroadcastHashJoin") >= 2, phys
         assert int(f2.groupBy().sum("cnt").collect()[0][0] or 0) == want
     finally:
-        m.defer_broadcast = True
+        m.defer_broadcast = False
         m.unpersist()
 
 
