@@ -232,6 +232,63 @@ def main() -> None:
         == throughput["match_factorized_twin_paths"]
     )
 
+
+    # the north-star pipeline itself: synthesize the source-code corpus
+    # table, derive the file-dependency graph (language-aware import
+    # extraction + intra-repo resolve join), run PageRank over it. Corpus
+    # size scales with sf (sf0.1 -> 300 repos x 60 files = 18k vertices).
+    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
+
+    n_repos = max(20, int(3000 * float(sf)))
+    cv = ce = None
+
+    def run_build_corpus():
+        nonlocal cv, ce
+        if cv is not None:
+            cv.unpersist()
+            ce.unpersist()
+        cv, ce = corpus_graph(spark, n_repos=n_repos, files_per_repo=60, seed=11)
+        cv = cv.persist()
+        ce = ce.persist()
+        n = ce.count()
+        cv.count()
+        return n
+
+    n_corpus_edges = bench("corpus_derive_graph", run_build_corpus)
+    throughput["n_edges_corpus"] = n_corpus_edges
+
+    def run_corpus_pr():
+        cscores, _ = pagerank(spark, cv, ce, num_partitions=None, fixed_steps=8)
+        cscores.agg(F.sum("score")).collect()
+
+    bench("corpus_pagerank_8steps", run_corpus_pr)
+    throughput["corpus_pagerank_edges_per_sec"] = round(
+        8 * n_corpus_edges / timings["corpus_pagerank_8steps"], 1
+    )
+    cv.unpersist()
+    ce.unpersist()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench(
+        "minhash_lsh_dedup",
+        lambda: minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.2).count(),
+    )
+
+    bench("simhash_packed", lambda: simhash(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())
+
+    bench(
+        "embedding_dups_lsh",
+        lambda: embedding_dup_pairs_lsh(emb, threshold=0.4).count(),
+    )
+
+    # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
+    # multi-hundred-MB grouped tables linger in the JVM heap until GC and
+    # measurably slow every query that follows (round-5 measurement:
+    # embedding_dups_lsh 2.6s standalone vs 11.8s right after this block),
+    # so it must not precede the corpus/dedup/similarity timings.
     # where factorization wins: a hub graph where the pipeline frontier is
     # the PRODUCT of the branch counts. 1 anchor (label 0) - 300 mids
     # (label 1) - 100 leaves each from a 2000-leaf shared pool (label 2):
@@ -337,57 +394,9 @@ def main() -> None:
     )
     hub_e.unpersist()
     hub_v.unpersist()
-
-    # the north-star pipeline itself: synthesize the source-code corpus
-    # table, derive the file-dependency graph (language-aware import
-    # extraction + intra-repo resolve join), run PageRank over it. Corpus
-    # size scales with sf (sf0.1 -> 300 repos x 60 files = 18k vertices).
-    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
-
-    n_repos = max(20, int(3000 * float(sf)))
-    cv = ce = None
-
-    def run_build_corpus():
-        nonlocal cv, ce
-        if cv is not None:
-            cv.unpersist()
-            ce.unpersist()
-        cv, ce = corpus_graph(spark, n_repos=n_repos, files_per_repo=60, seed=11)
-        cv = cv.persist()
-        ce = ce.persist()
-        n = ce.count()
-        cv.count()
-        return n
-
-    n_corpus_edges = bench("corpus_derive_graph", run_build_corpus)
-    throughput["n_edges_corpus"] = n_corpus_edges
-
-    def run_corpus_pr():
-        cscores, _ = pagerank(spark, cv, ce, num_partitions=None, fixed_steps=8)
-        cscores.agg(F.sum("score")).collect()
-
-    bench("corpus_pagerank_8steps", run_corpus_pr)
-    throughput["corpus_pagerank_edges_per_sec"] = round(
-        8 * n_corpus_edges / timings["corpus_pagerank_8steps"], 1
-    )
-    cv.unpersist()
-    ce.unpersist()
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bench(
-        "minhash_lsh_dedup",
-        lambda: minhash_lsh_pairs(docs, num_hashes=12, bands=4, threshold=0.2).count(),
-    )
-
-    bench("simhash_packed", lambda: simhash(docs).count())
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bench("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())
-
-    bench(
-        "embedding_dups_lsh",
-        lambda: embedding_dup_pairs_lsh(emb, threshold=0.4).count(),
-    )
+    # nudge the ContextCleaner so the big broadcast blocks are dropped
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     import statistics
