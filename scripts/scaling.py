@@ -145,7 +145,9 @@ def run(code: str, *args: str) -> str:
         [sys.executable, "-c", code.replace("@@REPO@@", REPO), *map(str, args)],
         capture_output=True,
         text=True,
-        timeout=3600,
+        # level-1 runs everything twice single-core on the 48M-edge graph
+        # (~55 min with the round-5 deferred job added) — 1h was too tight
+        timeout=7200,
     )
     if r.returncode != 0:
         print(r.stdout[-3000:])
