@@ -52,10 +52,11 @@ CODEGEN_MAX_TERMS = 64
 # ~0.8 MB; a 10^7-degree hub would be one ~80 MB shuffle row).
 HUB_DEGREE_THRESHOLD = 100_000
 
-# factorize='auto': branch-factorize when the estimated pipeline frontier
-# (product of per-anchor branch counts) exceeds this multiple of the
-# factorized work (their sum) — the assembly's extra jobs cost ~2s of fixed
-# overhead locally, so only clearly product-dominated shapes should switch.
+# factorize='auto': branch-factorize when the simulated flat-pipeline
+# stream (_flat_stream_est — the same estimator the nested decision uses)
+# exceeds this multiple of the summed per-branch grouped-table streams —
+# the assembly's extra jobs cost ~2s of fixed overhead locally, so only
+# clearly product-dominated shapes should switch.
 FACTORIZE_RATIO = 64.0
 
 # Maximum NESTING depth of branch factorization: the top-level split plus
@@ -678,7 +679,9 @@ class SubgraphMatcher:
         additionally consults the label-fanout cost model
         (should_factorize): only product-dominated shapes switch."""
         if factorize == "auto":
-            factorize = self.should_factorize(query_v, query_e, order=order)
+            factorize = self.should_factorize(
+                query_v, query_e, order=order, prune=prune
+            )
         if factorize:
             nf = self.count_tree_factorized(query_v, query_e, order=order)
             if nf is not None:
@@ -839,22 +842,50 @@ class SubgraphMatcher:
         query_e: set[tuple[int, int]],
         order: str = "degree",
         ratio: float = FACTORIZE_RATIO,
+        prune: bool = True,
     ) -> bool:
-        """factorize='auto' cost model: estimate each branch's per-anchor
-        embedding count as the product of average label-pair fanouts along
-        a spanning walk (cycle edges are filters, ignored — biases the
-        estimate TOWARD factorizing on cyclic branches, which is the safe
-        direction since filters shrink the pipeline product too), then
-        factorize iff the pipeline's per-anchor frontier (the PRODUCT of
-        branch counts) exceeds `ratio` x the factorized work (their SUM).
-        On the uniform ring the ratio is ~1 (pipeline wins, measured); on
-        the bench hub graph it is ~10^4 (factorized wins 7.5x, measured)."""
+        """factorize='auto' cost model, SAME estimator as the nested
+        decision inside _grouped_count: simulate the flat pipeline's
+        streamed row count with _flat_stream_est (the prefix merge
+        factorizes implicitly, so a naive branch-product bound wildly
+        overstates the pipeline — the round-5 deep-chain measurement) and
+        compare against the sum of the per-branch grouped-table streams
+        the assembly would build (each branch keyed by the anchor plus its
+        conflict-pinned images). Factorize iff the flat stream exceeds
+        `ratio` x the factorized work.
+
+        prune: whether the flat alternative would run with prefix merging
+        (count() passes its own flag; embeddings() passes False since
+        materialization cannot merge). With prune=False the flat estimate
+        is the full un-merged product trace — the honest cost of the path
+        actually taken.
+
+        Validated picks (tests + bench): uniform ring/random -> pipeline
+        (stream ~ branch sum); bench hub (9e8-row frontier, same-label
+        witnesses pinned live so the merge cannot collapse it) ->
+        factorized, measured 7.5x; deep chain whose merge DOES collapse
+        the stream to ~3e8 rows -> pipeline (measured 11.2s vs 14.6s
+        assembly)."""
         dec = self._branch_decomposition(query_v, query_e, order)
         if dec is None:
             return False
-        root_u, branches, _spanning, _pairs, _cand = dec
+        root_u, branches, _spanning, pairs, _cand = dec
+        # a zero label-pair fanout on some spanning walk means the
+        # pipeline dies instantly on an empty join — never pay the
+        # assembly's fixed overhead for a provably-0 count
         ests = self._branch_fanout_ests(query_v, query_e, root_u, branches)
-        return self._product_dominated(ests, ratio)
+        if any(e_ == 0.0 for e_ in ests):
+            return False
+        keep = [] if prune else list(query_v)
+        flat_est = self._flat_stream_est(query_v, query_e, keep, order)
+        pinned_all = {u for p in pairs for u in p}
+        fact_sum = 0.0
+        for comp in branches:
+            b_v = {root_u: query_v[root_u]} | {u: query_v[u] for u in comp}
+            b_e = {(a, b) for (a, b) in query_e if a in b_v and b in b_v}
+            bg = [root_u] + sorted(pinned_all & comp)
+            fact_sum += self._flat_stream_est(b_v, b_e, bg, order)
+        return flat_est >= ratio * max(fact_sum, 1.0)
 
     def _branch_fanout_ests(
         self,
@@ -929,17 +960,6 @@ class SubgraphMatcher:
                 live.discard(p)
             width = max(width, 1.0)
         return total
-
-    @staticmethod
-    def _product_dominated(ests: list[float], ratio: float = FACTORIZE_RATIO) -> bool:
-        prod = 1.0
-        for e_ in ests:
-            prod *= e_
-        # a zero estimate (a label pair with no edges on some walk) means
-        # prod == 0: the pipeline dies instantly on the empty join — never
-        # pay the assembly's fixed overhead for a provably-0 count
-        s = sum(ests)
-        return s > 0 and prod >= ratio * s
 
     def _tree_factorized_df(
         self,
@@ -1178,7 +1198,7 @@ class SubgraphMatcher:
         product — factorized counting cannot help. When the cost model says
         the frontier is product-dominated (a hub-shaped graph), warn loudly
         that the user is in the cross-product regime before the job runs."""
-        if self.should_factorize(query_v, query_e, order=order):
+        if self.should_factorize(query_v, query_e, order=order, prune=False):
             warnings.warn(
                 "embeddings(): the branch cost model estimates a "
                 "product-dominated frontier (hub-shaped data graph) — "

@@ -677,11 +677,42 @@ def test_factorize_auto_cost_model(spark):
     e2 = spark.createDataFrame(sorted(hub_e), "src long, dst long")
     m2 = SubgraphMatcher(spark, v2, e2)
     try:
-        assert m2.should_factorize(qv, qe) is True
+        # UNPRUNED, the pipeline frontier IS the branch cross product:
+        # auto must switch to the assembly. PRUNED, the prefix merge
+        # releases the first branch's witnesses before the second extends
+        # (the round-5 implicit-factorization finding), so the simulated
+        # stream stays ~30x the branch sum — below FACTORIZE_RATIO at
+        # this tiny scale — and the pipeline keeps the job.
+        assert m2.should_factorize(qv, qe, prune=False) is True
+        assert m2.should_factorize(qv, qe, prune=True) is False
         want = match_count_oracle(hub_v, hub_e, qv, qe)
+        # default prune=False -> the factorized assembly runs
         assert m2.count(qv, qe, factorize="auto") == want
+        # pruned -> the pipeline runs; counts agree either way
+        assert m2.count(qv, qe, factorize="auto", prune=True) == want
     finally:
         m2.unpersist()
+
+    # bench-scale hub shape (1 anchor - 300 mids - 100 leaves each from a
+    # 2000-leaf shared pool): even PRUNED the merge cannot get the stream
+    # below ~200x the branch sum, and auto must pick the assembly — the
+    # measured 2.8x bench win (decision only; the count is benched)
+    bh_mid = spark.range(1, 301).selectExpr("0 as src", "id as dst")
+    bh_leaf = spark.range(1, 301).selectExpr(
+        "id as src", "explode(sequence(0, 99)) as j"
+    ).selectExpr("src", "100000 + (src * 37 + j * 13) % 2000 as dst")
+    bh_fwd = bh_mid.union(bh_leaf)
+    bh_e = bh_fwd.union(bh_fwd.selectExpr("dst as src", "src as dst")).distinct()
+    bh_v = (
+        spark.range(0, 1).selectExpr("id", "0 as label")
+        .union(spark.range(1, 301).selectExpr("id", "1 as label"))
+        .union(spark.range(100000, 102000).selectExpr("id", "2 as label"))
+    )
+    m2b = SubgraphMatcher(spark, bh_v, bh_e)
+    try:
+        assert m2b.should_factorize(qv, qe, prune=True) is True
+    finally:
+        m2b.unpersist()
 
     # a biconnected query can never factorize, whatever the stats say
     qv3 = {1: 0, 2: 1, 3: 2, 4: 1}
