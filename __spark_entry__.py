@@ -46,7 +46,9 @@ from subgraph_isomorphism_pregel_spark.operators.similarity import (
 from subgraph_isomorphism_pregel_spark.operators.textops import (
     fingerprint,
     langid,
+    repetition_score,
     text_stats,
+    tfidf_topk,
     token_count,
 )
 from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
@@ -316,6 +318,14 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_repetition_score(spark, sf_dir):
+    return repetition_score(_docs(spark, sf_dir))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -511,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "repetition_score": q_repetition_score,
+        "tfidf_topk": q_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
@@ -988,6 +1000,32 @@ SELECT doc_id,
                         i -> md5(substr(text, i, 8))),
          'min') AS fp
 FROM documents ORDER BY doc_id""",
+        "repetition_score": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+g AS (SELECT doc_id,
+        CASE WHEN len(words) >= 3
+             THEN list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             ELSE [] END AS ngs
+      FROM w)
+SELECT doc_id, len(ngs) AS n_ngrams, len(list_distinct(ngs)) AS n_distinct,
+       round(CASE WHEN len(ngs) > 0
+                  THEN 1.0 - len(list_distinct(ngs)) / len(ngs)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM g ORDER BY doc_id""",
+        "tfidf_topk": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, df,
+        round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+      FROM tf JOIN dfx USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, term ASC) AS rnk FROM s)
+SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
+ORDER BY doc_id, rnk""",
         "dedup_exact": """
 WITH g AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS group_size
            FROM documents GROUP BY md5(text))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.textops import repetition_score, tfidf_topk  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank  # noqa: E402
@@ -275,6 +276,9 @@ def main() -> None:
     )
 
     bench("simhash_packed", lambda: simhash(docs).count())
+
+    bench("repetition_score", lambda: repetition_score(docs).count())
+    bench("tfidf_topk", lambda: tfidf_topk(docs).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bench("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())

@@ -10,11 +10,14 @@ and every operator has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql:
                    tie-breaking
 - fingerprint      winnowing-style document fingerprint: min of the rolling
                    8-gram md5 hashes
+- repetition_score duplicate word-n-gram fraction (the Gopher-style
+                   repetition filter for LLM training corpora)
+- tfidf_topk       per-document top-k terms by tf * ln(N/df)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import LANG_MARKERS, LANG_PRIORITY, STOPWORDS, count_in, tokens
@@ -66,6 +69,65 @@ def langid(docs: DataFrame) -> DataFrame:
     return scored.select(
         "doc_id", pred.alias("pred_lang"), best.cast("long").alias("score")
     ).orderBy("doc_id")
+
+
+def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_ngrams, n_distinct, rep_ratio) — the duplicate word-n-gram
+    fraction used by LLM-corpus repetition filters (Gopher-style): rep_ratio
+    = 1 - distinct n-grams / total n-grams, 0 for documents with fewer than
+    `n` tokens. Per-row codegen only (no shuffle, no Python): the n-gram
+    list is a transform over token-slice windows, deduplicated with
+    array_distinct inside the row."""
+    t = tokens("text")
+    d = docs.select("doc_id", t.alias("toks"))
+    # guard the sequence: Spark's sequence(1, 0) counts DOWN, so only build
+    # windows when the document actually has >= n tokens
+    ng = F.expr(
+        f"transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+    )
+    d = d.withColumn(
+        "ngs",
+        F.when(F.size("toks") >= n, ng).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    rep = F.when(
+        F.size("ngs") > 0,
+        1.0 - F.size(F.array_distinct("ngs")) / F.size("ngs"),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size("ngs").alias("n_ngrams"),
+        F.size(F.array_distinct("ngs")).alias("n_distinct"),
+        F.round(rep, 6).alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, df, score, rnk) — per-document top-k terms by
+    tf * ln(N/df), ties broken by term ascending on the ROUNDED score so
+    the ranking is engine-independent.
+
+    Scale shape: one groupBy (doc_id, term) for tf (map-side combined),
+    one groupBy term for df (small — the vocabulary — so AQE broadcasts
+    the join back), one doc_id-partitioned window for the top-k. Nothing
+    touches Python."""
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfx, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

@@ -28,7 +28,9 @@ from subgraph_isomorphism_pregel_spark.operators.similarity import (
 from subgraph_isomorphism_pregel_spark.operators.textops import (
     fingerprint,
     langid,
+    repetition_score,
     text_stats,
+    tfidf_topk,
     token_count,
 )
 
@@ -89,6 +91,70 @@ def test_fingerprint(spark, docs):
         n = max(len(text) - 7, 1)
         want = min(hashlib.md5(text[i : i + 8].encode()).hexdigest() for i in range(n))
         assert got[r["doc_id"]] == want
+
+
+def test_repetition_score(spark, docs):
+    """rep_ratio equals a pure-Python recomputation over the whole corpus,
+    plus hand-built edge cases: a fully repeated doc, an all-distinct doc,
+    and docs shorter than the n-gram width (ratio 0, zero n-grams)."""
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    for r in docs.collect():
+        toks = py_tokens(r["text"])
+        ngs = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)] if len(toks) >= 3 else []
+        g = got[r["doc_id"]]
+        assert g["n_ngrams"] == len(ngs)
+        assert g["n_distinct"] == len(set(ngs))
+        want = round(1.0 - len(set(ngs)) / len(ngs), 6) if ngs else 0.0
+        assert abs(g["rep_ratio"] - want) < 1e-9, r["doc_id"]
+
+    hand = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),   # one distinct 3-gram, 4 total
+            (1, "a b c d e f"),                      # all distinct
+            (2, "x y"),                              # shorter than n
+            (3, ""),                                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_score(hand).collect()}
+    assert rows[0]["n_ngrams"] == 4 and rows[0]["n_distinct"] == 1
+    assert rows[0]["rep_ratio"] == 0.75
+    assert rows[1]["rep_ratio"] == 0.0 and rows[1]["n_distinct"] == 4
+    assert rows[2]["n_ngrams"] == 0 and rows[2]["rep_ratio"] == 0.0
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["rep_ratio"] == 0.0
+
+
+def test_tfidf_topk(spark, docs):
+    """Top-k terms per document equal a pure-Python TF-IDF recomputation
+    (same rounded score, same deterministic term tie-break)."""
+    corpus = {r["doc_id"]: py_tokens(r["text"]) for r in docs.collect()}
+    n = len(corpus)
+    df_ = {}
+    for toks in corpus.values():
+        for t in set(toks):
+            df_[t] = df_.get(t, 0) + 1
+    want = {}
+    for d, toks in corpus.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((round(c * math.log(n / df_[t]), 6), t, c) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        want[d] = [(t, c, s) for s, t, c in scored]
+    got = {}
+    for r in tfidf_topk(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["score"], r["rnk"], r["df"])
+        )
+    for d, exp in want.items():
+        g = sorted(got[d], key=lambda x: x[3])
+        assert [x[3] for x in g] == list(range(1, len(g) + 1))
+        for (term, tf_c, score), (gt, gtf, gs, _rnk, gdf) in zip(exp, g):
+            assert (term, tf_c) == (gt, gtf), d
+            assert abs(score - gs) < 1e-9, (d, term)
+            assert gdf == df_[term]
 
 
 def test_dedup_exact(spark):
