@@ -482,6 +482,16 @@ def q_match_embeddings_path3_ring(spark: SparkSession, sf_dir: str) -> DataFrame
     return m.embeddings({1: 0, 2: 1, 3: 2}, {(1, 2), (2, 1), (2, 3), (3, 2)})
 
 
+def q_match_embeddings_factorized_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed (branch-factorized) materialization expanded back to flat
+    rows — a path whose ENDPOINTS share a label, so the expansion's
+    cross-branch inequality filter (u_1 <> u_3) is load-bearing."""
+    m = _ring_matcher(spark, sf_dir)
+    fe = m.embeddings_factorized({1: 0, 2: 1, 3: 0}, {(1, 2), (2, 1), (2, 3), (3, 2)})
+    assert fe is not None  # the path splits at its middle vertex
+    return fe.expand().select("u_1", "u_2", "u_3")
+
+
 def q_windowed_events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_counts(ev).orderBy("window_start", "event_type")
@@ -541,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "sessionize_native": q_sessionize_native,
         "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
+        "match_embeddings_factorized_ring": q_match_embeddings_factorized_ring,
     }
 
 
@@ -1215,5 +1226,13 @@ FROM rv v1
 JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
 JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
 WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 2 AND v1.id <> v3.id
+ORDER BY u_1, u_2, u_3""",
+        "match_embeddings_factorized_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')}
+SELECT v1.id AS u_1, v2.id AS u_2, v3.id AS u_3
+FROM rv v1
+JOIN edges e1 ON v1.id = e1.src JOIN rv v2 ON e1.dst = v2.id
+JOIN edges e2 ON v2.id = e2.src JOIN rv v3 ON e2.dst = v3.id
+WHERE v1.label = 0 AND v2.label = 1 AND v3.label = 0 AND v1.id <> v3.id
 ORDER BY u_1, u_2, u_3""",
     }

@@ -1217,6 +1217,47 @@ class SubgraphMatcher:
         ]
         return f.select(*cols)
 
+    def embeddings_factorized(
+        self,
+        query_v: dict[int, int],
+        query_e: set[tuple[int, int]],
+        order: str = "degree",
+    ) -> "FactorizedEmbeddings | None":
+        """Compressed materialization: per-branch embedding tables sharing
+        the split vertex's image column, instead of the flat cross-product
+        rows — the Spark form of the reference's branch-tree embedding
+        representation (`SIBranch.h` keeps per-branch mapping vectors and
+        only conceptually crosses them). On a hub-shaped graph the flat
+        result is the 10^8+-row branch cross product; the compressed form
+        is the SUM of branch sizes and expands lazily (see
+        FactorizedEmbeddings.expand).
+
+        Returns None when the query has no articulation split (then
+        embeddings() is the only materialization). Unlike counting there
+        is no 2^|P| assembly here — cross-branch same-label pairs are
+        plain inequality filters at expansion — so any number of pairs is
+        accepted."""
+        dec = self._branch_decomposition(
+            query_v, query_e, order, max_pairs=len(query_v) ** 2
+        )
+        if dec is None:
+            return None
+        root_u, branches, _spanning, pairs, cand = dec
+        tabs: list[DataFrame] = []
+        for comp in branches:
+            b_v = {root_u: query_v[root_u]} | {u: query_v[u] for u in comp}
+            b_e = {(a, b) for (a, b) in query_e if a in b_v and b in b_v}
+            plan = build_plan(
+                b_v, b_e, order=order, pseudo=False,
+                cand_counts=cand, force_root=root_u,
+            )
+            cols = [
+                F.element_at(F.col("m"), nd.pos + 1).alias(f"u_{nd.u}")
+                for nd in plan.nodes
+            ]
+            tabs.append(self.frontier(plan).select(*cols))
+        return FactorizedEmbeddings(root_u, tabs, pairs)
+
     def unpersist(self) -> None:
         self.vertices.unpersist()
         self.adj.unpersist()
@@ -1226,6 +1267,35 @@ class SubgraphMatcher:
         for t in self._temps:
             t.unpersist()
         self._temps.clear()
+
+
+class FactorizedEmbeddings:
+    """Compressed materialized match result: one full-enumeration DataFrame
+    per root branch (columns ``u_<qid>``, each including the split vertex's
+    image ``u_<root_u>``), plus the cross-branch same-label pairs that an
+    expansion must keep injective. Store or ship the branch tables at
+    sum-of-branches size; `expand()` reconstitutes the exact flat embedding
+    set (equal to SubgraphMatcher.embeddings row-for-row) by joining the
+    branch tables on the anchor image and filtering the pair inequalities —
+    the product only ever materializes where the consumer asks for it."""
+
+    def __init__(
+        self,
+        root_u: int,
+        branch_tables: list[DataFrame],
+        pairs: list[tuple[int, int]],
+    ) -> None:
+        self.root_u = root_u
+        self.branch_tables = branch_tables
+        self.pairs = pairs
+
+    def expand(self) -> DataFrame:
+        out: DataFrame | None = None
+        for t in self.branch_tables:
+            out = t if out is None else out.join(t, f"u_{self.root_u}")
+        for x, y in self.pairs:
+            out = out.where(F.col(f"u_{x}") != F.col(f"u_{y}"))
+        return out
 
 
 def match_count(

@@ -826,6 +826,60 @@ def test_deferred_tuple_broadcast_in_plan(spark):
         m.unpersist()
 
 
+def test_embeddings_factorized_expand_parity(spark):
+    """embeddings_factorized(): the compressed branch tables expanded back
+    must equal the flat enumeration as a row multiset — including queries
+    with cross-branch same-label pairs (inequality filters at expansion) —
+    and the API declines on biconnected queries."""
+    from subgraph_isomorphism_pregel_spark.operators.match import (
+        FactorizedEmbeddings,
+    )
+
+    # star with two same-label chains: pairs (2,4) label 1 and (3,5) label 2
+    qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
+    qe = {(1, 2), (2, 1), (2, 3), (3, 2), (1, 4), (4, 1), (4, 5), (5, 4)}
+    for seed in (3, 7):
+        vs, es, v, e = _random_graph(spark, seed=seed, n=22, p=0.24)
+        m = SubgraphMatcher(spark, v, e)
+        try:
+            fe = m.embeddings_factorized(qv, qe)
+            assert isinstance(fe, FactorizedEmbeddings) and len(fe.pairs) == 2
+            cols = [f"u_{u}" for u in sorted(qv)]
+            got = sorted(
+                tuple(r[c] for c in cols) for r in fe.expand().collect()
+            )
+            want = sorted(
+                tuple(r[c] for c in cols)
+                for r in m.embeddings(qv, qe).collect()
+            )
+            assert got == want, seed
+            assert len(got) == m.count(qv, qe, pseudo=False)
+        finally:
+            m.unpersist()
+
+    vs, es, v, e = _random_graph(spark, seed=11, n=20, p=0.3)
+    m = SubgraphMatcher(spark, v, e)
+    try:
+        # 5 same-label leaves -> 10 cross-branch pairs: counting's assembly
+        # declines past max_pairs (2^10 terms) but the compressed
+        # materialization accepts any number (pairs are plain filters)
+        qv5 = {1: 0, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1}
+        qe5 = set()
+        for leaf in range(2, 7):
+            qe5 |= {(1, leaf), (leaf, 1)}
+        assert m.count_tree_factorized(qv5, qe5) is None
+        fe = m.embeddings_factorized(qv5, qe5)
+        assert fe is not None and len(fe.pairs) == 10
+        assert fe.expand().count() == m.count(qv5, qe5, pseudo=False)
+
+        # biconnected: no articulation split -> None
+        qv2 = {1: 0, 2: 1, 3: 2, 4: 1}
+        qe2 = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 1), (1, 4)}
+        assert m.embeddings_factorized(qv2, qe2) is None
+    finally:
+        m.unpersist()
+
+
 def test_embeddings_warns_on_product_dominated_frontier(spark):
     """embeddings() cannot factorize (each output row IS one embedding of
     the branch cross product) — on a hub-shaped graph where the cost model
