@@ -101,6 +101,20 @@ def q_sssp_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("id")
 
 
+KCORE_K = 32  # on the sf0.01 supply graph: a 290-vertex core after one peel wave
+
+
+def q_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 32-core — iterative peeling on the BSP kernel; the
+    oracle unrolls the same peel as MATERIALIZED within-survivor degree
+    recounts (6 rounds, idempotent past the fixed point)."""
+    from subgraph_isomorphism_pregel_spark.operators.kcore import kcore
+
+    v, e = supply_graph(spark, sf_dir)
+    core, _ = kcore(spark, v, e, k=KCORE_K, num_partitions=16)
+    return core.orderBy("id")
+
+
 def q_degree_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, e = supply_graph(spark, sf_dir)
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
@@ -511,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
+        "kcore_supply": q_kcore_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
         "match_path3_ring": q_match_path3_ring,
@@ -626,6 +641,25 @@ def _pagerank_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
     )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = 6) -> str:
+    """Unrolled k-core peeling: each round keeps the vertices with >= k
+    neighbors among the previous round's survivors. `rounds` exceeds the
+    measured peel depth on the gated fixture; extra rounds are idempotent
+    at the fixed point."""
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "a0 AS MATERIALIZED (SELECT id FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT e.src AS id FROM edges e
+  JOIN a{t - 1} u ON e.src = u.id JOIN a{t - 1} w ON e.dst = w.id
+  GROUP BY e.src HAVING count(*) >= {k})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds} ORDER BY id"
 
 
 def _cc_sql() -> str:
@@ -807,6 +841,7 @@ reach AS (
   FROM reach r JOIN edges e ON r.id = e.src
   WHERE r.dist < 64)
 SELECT id, min(dist) AS dist FROM reach GROUP BY id ORDER BY id""",
+        "kcore_supply": _kcore_sql(),
         "degree_distribution_supply": f"""
 WITH {SUPPLY_EDGES.strip().rstrip(',')}
 SELECT degree, count(*) AS n_vertices FROM (

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.kcore import kcore  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.textops import repetition_score, tfidf_topk  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
@@ -120,6 +121,12 @@ def main() -> None:
         return lab.agg(F.countDistinct("lp_label")).collect()
 
     bench("label_propagation_k3", run_lp)
+
+    def run_kcore():
+        core, _ = kcore(spark, sv, se, k=32, num_partitions=None)
+        return core.count()
+
+    throughput["kcore32_size"] = bench("kcore_32", run_kcore)
 
     rv = re_ = None
 

@@ -1,12 +1,12 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,cc,lp,sssp,triangles,match} \
+        --algo {pagerank,cc,lp,sssp,triangles,kcore,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
         [--backward auto|adjlist|semijoin] [--factorize on|off|auto] \
-        [--partitions 32] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
+        [--partitions 32] [--k 3] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
 
 Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/
 global.h:265-327) with table inputs instead of HDFS text files. The query file
@@ -21,7 +21,8 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
-    p.add_argument("--algo", required=True, choices=["pagerank", "cc", "lp", "sssp", "triangles", "match"])
+    p.add_argument("--algo", required=True,
+                   choices=["pagerank", "cc", "lp", "sssp", "triangles", "kcore", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -47,6 +48,7 @@ def parse_args(argv):
     p.add_argument("--source", type=int, default=None,
                    help="source vertex for --algo sssp (default: min id)")
     p.add_argument("--max-hops", type=int, default=64, help="sssp superstep bound")
+    p.add_argument("--k", type=int, default=3, help="core order for --algo kcore")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--checkpoint-dir")
@@ -147,6 +149,15 @@ def main(argv=None):
         from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
 
         result = triangles_per_vertex(spark, vertices, edges)
+    elif args.algo == "kcore":
+        from subgraph_isomorphism_pregel_spark.operators.kcore import kcore
+
+        result, metrics = kcore(
+            spark, vertices, edges, k=args.k,
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
     else:  # match
         if not args.query:
             raise SystemExit("--algo match requires --query")

@@ -142,3 +142,16 @@ def match_count_oracle(data_v, data_e, query_v, query_e):
 
     extend(0, {})
     return count
+
+
+def kcore_oracle(vertices, edges, k):
+    """Pure-Python peeling: the set of vertex ids in the k-core."""
+    nbrs = {v: set() for v in vertices}
+    for a, b in edges:
+        nbrs[a].add(b)
+    alive = set(vertices)
+    while True:
+        drop = {v for v in alive if sum(1 for w in nbrs[v] if w in alive) < k}
+        if not drop:
+            return alive
+        alive -= drop

@@ -131,3 +131,31 @@ def test_sssp_matches_bfs_oracle(spark, graph):
     assert got == want  # unreached vertices carry no row on either side
     # converged (frontier emptied) well before the 64-step bound
     assert max(m["superstep"] for m in metrics) <= max(want.values()) + 1
+
+
+def test_kcore_matches_peeling_oracle(spark, graph):
+    from subgraph_isomorphism_pregel_spark.operators.kcore import kcore
+
+    from .oracles import kcore_oracle
+
+    v, e, vs, es = graph
+    for k in (2, 3, 4):
+        core_df, metrics = kcore(spark, v, e, k=k, num_partitions=8)
+        got = {r["id"] for r in core_df.collect()}
+        want = kcore_oracle(vs, es, k)
+        assert got == want, (k, sorted(got ^ want))
+    # a large k empties every fixture graph
+    core_df, _ = kcore(spark, v, e, k=10**6, num_partitions=8)
+    assert core_df.count() == 0
+
+
+def test_kcore_partitioning_invariance(spark):
+    from subgraph_isomorphism_pregel_spark.operators.kcore import kcore
+
+    vs, es = random_graph(n=40, seed=3)
+    v, e = to_dfs(spark, vs, es)
+    results = []
+    for P in (1, 4, 8):
+        core_df, _ = kcore(spark, v, e, k=3, num_partitions=P)
+        results.append({r["id"] for r in core_df.collect()})
+    assert results[0] == results[1] == results[2]
