@@ -430,6 +430,37 @@ def q_media_meta_png(spark, sf_dir):
     )
 
 
+def q_media_meta_jpeg(spark, sf_dir):
+    """REAL JPEG frame-header decode: deterministic minimal JPEGs (SOI +
+    JFIF APP0 + SOF0 + EOI) synthesized from doc_id, then width/height
+    parsed back from the BYTES via a marker-segment walk — the oracle
+    recomputes the dims from the generator formula instead, so a parse bug
+    cannot cancel out."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_media_meta,
+        synth_jpeg,
+    )
+
+    return (
+        extract_media_meta(synth_jpeg(_docs(spark, sf_dir)))
+        .select("media_id", "n_bytes", "width", "height", "format")
+        .orderBy("media_id")
+    )
+
+
+def q_audio_meta_wav(spark, sf_dir):
+    """REAL WAV header decode: deterministic minimal PCM RIFF/WAVE files
+    synthesized from doc_id, then channels / sample_rate / bit depth /
+    sample count parsed back from the chunk structure — the oracle
+    recomputes every field from the generator formula instead."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_audio_meta,
+        synth_wav,
+    )
+
+    return extract_audio_meta(synth_wav(_docs(spark, sf_dir))).orderBy("media_id")
+
+
 def q_sessionize_events(spark, sf_dir):
     from subgraph_isomorphism_pregel_spark.operators.sessions import sessionize
 
@@ -561,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_meta": q_media_meta,
         "media_meta_png": q_media_meta_png,
+        "media_meta_jpeg": q_media_meta_jpeg,
+        "audio_meta_wav": q_audio_meta_wav,
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
@@ -1205,6 +1238,30 @@ SELECT doc_id AS media_id,
        CAST(1 + (doc_id * 7) % 512 AS INT) AS height,
        'png' AS format
 FROM documents ORDER BY media_id""",
+        # real SOF0 parse vs the independent generator formula (35-byte
+        # minimal JPEG: SOI 2 + APP0 18 + SOF0 13 + EOI 2)
+        "media_meta_jpeg": """
+SELECT doc_id AS media_id,
+       CAST(35 AS BIGINT) AS n_bytes,
+       CAST(1 + (doc_id * 3) % 1024 AS INT) AS width,
+       CAST(1 + (doc_id * 5) % 1024 AS INT) AS height,
+       'jpg' AS format
+FROM documents ORDER BY media_id""",
+        # real RIFF/fmt/data chunk walk vs the generator formula (44-byte
+        # header + 2-byte samples x channels); duration is the same IEEE
+        # double expression n_samples * 1000.0 / rate on both sides
+        "audio_meta_wav": """
+WITH w AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(8000 * (1 + doc_id % 4) AS INT) AS sample_rate,
+         CAST(16 + doc_id % 241 AS BIGINT) AS n_samples
+  FROM documents)
+SELECT media_id,
+       CAST(44 + n_samples * channels * 2 AS BIGINT) AS n_bytes,
+       channels, sample_rate, CAST(16 AS INT) AS bits_per_sample, n_samples,
+       CAST(n_samples AS DOUBLE) * 1000.0 / sample_rate AS duration_ms
+FROM w ORDER BY media_id""",
         "icetable_docs": """
 SELECT 'snap1' AS snap, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

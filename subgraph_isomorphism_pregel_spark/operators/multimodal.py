@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# SOFn markers that carry frame dimensions (JPEG spec B.2.2). C4/C8/CC are
+# DHT/JPG/DAC — same 0xC range but NOT frame headers.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
 
 def _parse_png_ihdr(b: bytes) -> tuple[int, int] | None:
     """(width, height) from a structurally valid PNG IHDR, else None.
@@ -42,6 +46,67 @@ def _parse_png_ihdr(b: bytes) -> tuple[int, int] | None:
         return None
     width, height = struct.unpack(">II", b[16:24])
     return width, height
+
+
+def _parse_jpeg_sof(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG SOFn frame header, else None.
+
+    Walks the marker-segment stream from SOI: each segment is 0xFF <code>
+    <len:2 incl itself> <payload>; the first SOFn payload carries
+    precision(1) height(2) width(2) big-endian (JPEG spec B.2.2). Stops at
+    SOS/EOI or any structural violation — a truncated or non-JPEG buffer
+    falls back to the caller's fake dims rather than returning garbage."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        code = b[i + 1]
+        if code == 0xD9 or code == 0xDA:  # EOI / SOS: no frame header seen
+            return None
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > len(b):
+            return None
+        if code in _JPEG_SOF_MARKERS:
+            if seg_len < 7:
+                return None
+            height, width = struct.unpack(">HH", b[i + 5 : i + 9])
+            return width, height
+        i += 2 + seg_len
+    return None
+
+
+def _parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_samples) from a RIFF/WAVE
+    buffer, else None.
+
+    Walks the RIFF chunk list: validates 'RIFF'<size>'WAVE', then scans
+    chunks (<id:4><size:4 LE><payload>) for 'fmt ' (PCM layout: format,
+    channels, rate, byte-rate, block-align, bits — RIFF spec / WAVEFORMATEX)
+    and 'data' (n_samples = data size / block align). Both chunks must be
+    present and structurally sound."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if i + 8 + size > len(b):
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    _, channels, sample_rate, _, block_align, bits = fmt
+    if channels == 0 or block_align == 0:
+        return None
+    return channels, sample_rate, bits, data_size // block_align
 
 
 def synth_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -72,9 +137,110 @@ def synth_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
 
+def synth_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal JPEGs (SOI + JFIF APP0 + 1-component SOF0 +
+    EOI, 35 bytes) with width = 1 + 3*id % 1024, height = 1 + 5*id % 1024 —
+    the SOF0 frame header is REAL (well-formed marker segments) so the
+    dimension parse is exercised without an imaging library."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+            ">HH", 1, 1
+        ) + b"\x00\x00"
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].values:
+                mid = int(mid)
+                w, h = 1 + (3 * mid) % 1024, 1 + (5 * mid) % 1024
+                sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+                rows.append(
+                    {"media_id": mid, "payload": b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
+def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal PCM WAVs (44-byte RIFF header + silent data)
+    with channels = 1 + id % 2, sample_rate = 8000 * (1 + id % 4), 16-bit,
+    n_samples = 16 + id % 241 — the RIFF/fmt/data chunk structure is REAL
+    so the header walk is exercised without an audio library."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].values:
+                mid = int(mid)
+                channels = 1 + mid % 2
+                rate = 8000 * (1 + mid % 4)
+                n_samples = 16 + mid % 241
+                block_align = channels * 2
+                data = b"\x00" * (n_samples * block_align)
+                fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+                body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
+                    "<I", len(data)
+                ) + data
+                rows.append(
+                    {"media_id": mid, "payload": b"RIFF" + struct.pack("<I", len(body)) + body}
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
 MEDIA_META_SCHEMA = (
     "media_id long, n_bytes long, sha256 string, width int, height int, format string"
 )
+
+AUDIO_META_SCHEMA = (
+    "media_id long, n_bytes long, channels int, sample_rate int, "
+    "bits_per_sample int, n_samples long, duration_ms double"
+)
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """payload binary -> audio metadata via Arrow-batched mapInPandas.
+
+    RIFF/WAVE payloads get their REAL channel count / sample rate / bit
+    depth / sample count parsed from the chunk structure with stdlib
+    struct (no audio library); non-WAV payloads yield nulls for the typed
+    fields. duration_ms = n_samples * 1000.0 / sample_rate (IEEE double)."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                b = bytes(payload)
+                parsed = _parse_wav_header(b)
+                if parsed is None:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_bytes": len(b),
+                            "channels": None,
+                            "sample_rate": None,
+                            "bits_per_sample": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                        }
+                    )
+                else:
+                    channels, rate, bits, n_samples = parsed
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_bytes": len(b),
+                            "channels": channels,
+                            "sample_rate": rate,
+                            "bits_per_sample": bits,
+                            "n_samples": n_samples,
+                            "duration_ms": n_samples * 1000.0 / rate,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(meta, AUDIO_META_SCHEMA)
 
 
 def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -88,12 +254,14 @@ def extract_media_meta(media: DataFrame, real_decode: bool = False) -> DataFrame
     """payload binary -> typed metadata via Arrow-batched mapInPandas.
 
     PNG payloads with a structurally valid header get their REAL
-    width/height parsed from the IHDR chunk (stdlib struct + CRC check, no
-    imaging library). Other formats fall back to the deterministic fake
-    (width/height from the first two bytes of sha256(payload)); format
-    comes from a magic-byte sniff either way. real_decode=True is the hook
-    where PIL/ffmpeg pixel decode would go — those libs are not available
-    here, so it raises for any non-PNG payload."""
+    width/height parsed from the IHDR chunk (stdlib struct + CRC check),
+    and JPEG payloads from the SOFn frame header (marker-segment walk) —
+    no imaging library either way. Other formats fall back to the
+    deterministic fake (width/height from the first two bytes of
+    sha256(payload)); format comes from a magic-byte sniff either way.
+    real_decode=True is the hook where PIL/ffmpeg pixel decode would go —
+    those libs are not available here, so it raises for any payload whose
+    header does not parse natively."""
 
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,12 +270,17 @@ def extract_media_meta(media: DataFrame, real_decode: bool = False) -> DataFrame
                 b = bytes(payload)
                 digest = hashlib.sha256(b).digest()
                 fmt = "png" if b[:4] == b"\x89PNG" else ("jpg" if b[:2] == b"\xff\xd8" else "raw")
-                dims = _parse_png_ihdr(b) if fmt == "png" else None
+                if fmt == "png":
+                    dims = _parse_png_ihdr(b)
+                elif fmt == "jpg":
+                    dims = _parse_jpeg_sof(b)
+                else:
+                    dims = None
                 if dims is None:
                     if real_decode:
                         raise NotImplementedError(
                             "real pixel decode requires PIL/ffmpeg, not present "
-                            "in this env (only PNG headers parse natively)"
+                            "in this env (only PNG/JPEG headers parse natively)"
                         )
                     dims = (1 + digest[0], 1 + digest[1])
                 rows.append(

@@ -357,6 +357,77 @@ def test_png_header_decode_is_real(spark, docs):
     assert (row["width"], row["height"]) == (1 + digest[0], 1 + digest[1])
 
 
+def test_jpeg_header_decode_is_real(spark, docs):
+    """synth_jpeg builds well-formed marker segments; extract_media_meta
+    must parse width/height from the SOF0 BYTES, not the sha256 fake — and
+    a stream whose SOF0 is missing must fall back to the fake dims."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        _parse_jpeg_sof,
+        synth_jpeg,
+    )
+
+    media = synth_jpeg(docs.limit(16))
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert len(meta) == 16
+    for mid, m in meta.items():
+        assert m["format"] == "jpg" and m["n_bytes"] == 35
+        assert m["width"] == 1 + (3 * mid) % 1024
+        assert m["height"] == 1 + (5 * mid) % 1024
+    # JPEG headers parse under real_decode=True too
+    assert extract_media_meta(media, real_decode=True).count() == 16
+
+    (payload,) = [bytes(r["payload"]) for r in media.limit(1).collect()]
+    assert _parse_jpeg_sof(payload) is not None
+    # DHT (0xC4) shares the 0xC marker range but is NOT a frame header
+    dht = payload.replace(b"\xff\xc0", b"\xff\xc4", 1)
+    assert _parse_jpeg_sof(dht) is None
+    assert _parse_jpeg_sof(payload[:10]) is None  # truncated mid-segment
+    assert _parse_jpeg_sof(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+    # fallback to the sha256 fake when SOF is absent
+    df = spark.createDataFrame([(1, dht)], "media_id long, payload binary")
+    (row,) = extract_media_meta(df).collect()
+    digest = hashlib.sha256(dht).digest()
+    assert row["format"] == "jpg"
+    assert (row["width"], row["height"]) == (1 + digest[0], 1 + digest[1])
+
+
+def test_wav_header_decode_is_real(spark, docs):
+    """synth_wav builds real RIFF chunk lists; extract_audio_meta must walk
+    fmt/data chunks for every field, and malformed buffers yield nulls."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        _parse_wav_header,
+        extract_audio_meta,
+        synth_wav,
+    )
+
+    media = synth_wav(docs.limit(16))
+    meta = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
+    assert len(meta) == 16
+    for mid, m in meta.items():
+        channels = 1 + mid % 2
+        rate = 8000 * (1 + mid % 4)
+        n_samples = 16 + mid % 241
+        assert m["channels"] == channels
+        assert m["sample_rate"] == rate
+        assert m["bits_per_sample"] == 16
+        assert m["n_samples"] == n_samples
+        assert m["n_bytes"] == 44 + n_samples * channels * 2
+        assert m["duration_ms"] == n_samples * 1000.0 / rate
+
+    (payload,) = [bytes(r["payload"]) for r in media.limit(1).collect()]
+    assert _parse_wav_header(payload) is not None
+    assert _parse_wav_header(payload[:20]) is None  # truncated
+    assert _parse_wav_header(b"RIFX" + payload[4:]) is None  # bad magic
+    # a WAVE with no data chunk is rejected, and non-WAV rows yield nulls
+    no_data = payload[:36]  # RIFF header + fmt chunk only
+    fixed = b"RIFF" + __import__("struct").pack("<I", len(no_data) - 8) + no_data[8:]
+    assert _parse_wav_header(fixed) is None
+    df = spark.createDataFrame([(7, b"not audio")], "media_id long, payload binary")
+    (row,) = extract_audio_meta(df).collect()
+    assert row["channels"] is None and row["duration_ms"] is None
+    assert row["n_bytes"] == 9
+
+
 def test_rademacher_dots_packed_equals_sql(spark, emb):
     """The zero-shuffle numpy GEMM projection must be BIT-IDENTICAL to the
     explode+groupBy SQL-expression variant (same quantization, same md5
