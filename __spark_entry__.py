@@ -461,6 +461,37 @@ def q_audio_meta_wav(spark, sf_dir):
     return extract_audio_meta(synth_wav(_docs(spark, sf_dir))).orderBy("media_id")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: chunk each binary payload into
+    fixed 32-byte frames JVM-side (array-expression explode, no Python in
+    the hot path) and keep every 2nd frame; content is verified by hex,
+    not just shape. The synthetic corpus is pure ASCII (bytes == chars),
+    so the oracle's character-slice equals the byte slice."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        attach_binary,
+        frame_sample,
+    )
+
+    fr = frame_sample(attach_binary(_docs(spark, sf_dir)), frame_bytes=32, stride=2)
+    return fr.select(
+        "media_id",
+        "frame_no",
+        F.length("frame").alias("n_bytes"),
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("media_id", "frame_no")
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Ingestion dedup on (user_id, event_type, hour bucket): the batch
+    twin of streaming dropDuplicatesWithinWatermark (bounded state under a
+    watermark — the streaming path is exercised in pytest with a replayed
+    source). Non-vacuous: the events table collapses under this key."""
+    from subgraph_isomorphism_pregel_spark.streaming.dedup_stream import dedup_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dedup_events(ev).orderBy("user_id", "event_type", "bucket_ts")
+
+
 def q_sessionize_events(spark, sf_dir):
     from subgraph_isomorphism_pregel_spark.operators.sessions import sessionize
 
@@ -594,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_png": q_media_meta_png,
         "media_meta_jpeg": q_media_meta_jpeg,
         "audio_meta_wav": q_audio_meta_wav,
+        "frame_sample": q_frame_sample,
+        "stream_dedup": q_stream_dedup,
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
         "sessionize_events": q_sessionize_events,
@@ -1262,6 +1295,23 @@ SELECT media_id,
        channels, sample_rate, CAST(16 AS INT) AS bits_per_sample, n_samples,
        CAST(n_samples AS DOUBLE) * 1000.0 / sample_rate AS duration_ms
 FROM w ORDER BY media_id""",
+        # byte-sliced frames vs a character-sliced oracle — equal because
+        # the synthetic corpus is pure ASCII (asserted: octet_length ==
+        # length on every row); hex is uppercase on both engines
+        "frame_sample": """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest(range(0, CAST(greatest(ceil(octet_length(encode(text))/32.0), 1) AS BIGINT))) AS i,
+         text
+  FROM documents)
+SELECT media_id, CAST(i AS INT) AS frame_no,
+       CAST(octet_length(encode(substring(text, CAST(i*32+1 AS BIGINT), 32))) AS INT) AS n_bytes,
+       hex(encode(substring(text, CAST(i*32+1 AS BIGINT), 32))) AS frame_hex
+FROM f WHERE i % 2 = 0
+ORDER BY media_id, frame_no""",
+        "stream_dedup": """
+SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS bucket_ts
+FROM events ORDER BY user_id, event_type, bucket_ts""",
         "icetable_docs": """
 SELECT 'snap1' AS snap, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

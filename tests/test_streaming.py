@@ -158,3 +158,36 @@ def test_idle_state_ttl_removes_state(spark, tmp_path):
     assert drain("ttl", ttl=10) == [(1, 0), (1, 300)]
     # default retention: numbering continues across the idle gap
     assert drain("nottl", ttl=None) == [(1, 0), (2, 300)]
+
+
+def test_stream_dedup_replayed_source(spark, tmp_path):
+    """A replayed (at-least-once) source: the same events parquet delivered
+    TWICE as two files. dropDuplicatesWithinWatermark must collapse the
+    replay so the streamed result equals the batch distinct of ONE copy."""
+    from subgraph_isomorphism_pregel_spark.streaming.dedup_stream import (
+        dedup_events,
+        run_dedup_availablenow,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events_dir = str(tmp_path / "events_replayed")
+    os.makedirs(events_dir)
+    sub = str(tmp_path / "onefile")
+    ev.coalesce(1).write.parquet(sub)
+    (pf,) = [f for f in os.listdir(sub) if f.endswith(".parquet")]
+    for i in range(2):  # original delivery + replay
+        dst = os.path.join(events_dir, f"copy{i}.parquet")
+        shutil.copy(os.path.join(sub, pf), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    want = {
+        (r["user_id"], r["event_type"], r["bucket_ts"])
+        for r in dedup_events(ev).collect()
+    }
+    got_df = run_dedup_availablenow(spark, events_dir, out_table="t_stream_dedup")
+    got = [
+        (r["user_id"], r["event_type"], r["bucket_ts"]) for r in got_df.collect()
+    ]
+    assert len(got) == len(set(got))  # replay fully collapsed
+    assert set(got) == want
+    assert 0 < len(got) < 2 * ev.count()
