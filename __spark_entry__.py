@@ -77,6 +77,25 @@ def q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
 
 
+PPR_SEEDS = 10  # seed set for the personalized-PageRank gate: smallest ids
+
+
+def q_ppr_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 10 smallest vertex ids — teleport
+    uniform over the seed set, dangling mass returned to the seeds (0 on
+    this symmetrized fixture, mirrored faithfully by the oracle)."""
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    v, e = supply_graph(spark, sf_dir)
+    seeds = [int(r[0]) for r in v.orderBy("id").limit(PPR_SEEDS).collect()]
+    scores, _ = personalized_pagerank(
+        spark, v, e, seeds, num_partitions=16, fixed_steps=PR_STEPS
+    )
+    return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
+
+
 def q_components_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, e = supply_graph(spark, sf_dir)
     comp, _ = connected_components(spark, v, e, num_partitions=16)
@@ -584,6 +603,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_supply": q_pagerank_supply,
+        "ppr_supply": q_ppr_supply,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -698,6 +718,42 @@ def _pagerank_sql() -> str:
   SELECT v.id,
          {1 - d} / (SELECT n FROM nv) + {d} * coalesce(s.contrib, 0) AS score
   FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.score / dg.outdeg) AS contrib
+    FROM r{t - 1} r JOIN edges e ON r.id = e.src JOIN deg dg ON dg.id = e.src
+    GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _ppr_sql() -> str:
+    """Personalized PageRank oracle: teleport uniform over the PPR_SEEDS
+    smallest ids, dangling mass returned to the seeds — the same recurrence
+    as ppr_program, iterated the same fixed PR_STEPS times."""
+    d, steps, s = 0.85, PR_STEPS, PPR_SEEDS
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"seeds AS (SELECT id FROM verts ORDER BY id LIMIT {s})",
+        f"""tele AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN (SELECT id FROM seeds)
+              THEN CAST({1.0 / s!r} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+  FROM verts v)""",
+        "r0 AS MATERIALIZED (SELECT id, t AS score FROM tele)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT v.id,
+         ({1 - d} + {d} * dang.m) * v.t + {d} * coalesce(s.contrib, 0) AS score
+  FROM tele v
+  CROSS JOIN (SELECT coalesce(sum(r2.score), 0) AS m FROM r{t - 1} r2
+              WHERE r2.id NOT IN (SELECT id FROM deg)) dang
+  LEFT JOIN (
     SELECT e.dst AS id, sum(r.score / dg.outdeg) AS contrib
     FROM r{t - 1} r JOIN edges e ON r.id = e.src JOIN deg dg ON dg.id = e.src
     GROUP BY e.dst) s ON v.id = s.id)"""
@@ -896,6 +952,7 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
+        "ppr_supply": _ppr_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

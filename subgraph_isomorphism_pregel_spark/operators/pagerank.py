@@ -127,6 +127,133 @@ def pagerank_program(n_vertices: int, P: int, tol: float = 1e-6, fixed_steps: in
     )
 
 
+def ppr_program(
+    seeds: list[int], P: int, tol: float = 1e-6, fixed_steps: int | None = None
+) -> VertexProgram:
+    """Personalized PageRank: the teleport vector is uniform over the seed
+    set instead of over all vertices, and dangling mass is returned to the
+    seeds (the standard PPR convention):
+
+        rank_0(v)    = e_S(v)
+        rank_t+1(v)  = (1-d) * e_S(v) + d * ( sum_{u->v} rank_t(u)/outdeg(u)
+                                              + dangling_mass_t * e_S(v) )
+        e_S(v) = 1/|S| if v in S else 0
+
+    Shares the packed-multicast scatter with the global program; only init
+    and the rank update differ (teleport is a sparse per-partition vector
+    reconstructed from seed positions stored in state, so checkpoints carry
+    positions, not a dense copy)."""
+    d = DAMPING
+    n_seeds = float(len(seeds))
+    seeds_arr = np.asarray(sorted(set(seeds)), dtype=np.int64)
+    base = pagerank_program(1, P, tol=tol, fixed_steps=fixed_steps)
+
+    def teleport(nv: int, seed_pos: np.ndarray) -> np.ndarray:
+        tele = np.zeros(nv)
+        tele[seed_pos] = 1.0 / n_seeds
+        return tele
+
+    def init(part):
+        nv = len(part["ids"])
+        seed_pos = np.nonzero(np.isin(part["ids"], seeds_arr))[0].astype(np.int64)
+        rank = teleport(nv, seed_pos)
+        outdeg = np.diff(part["indptr"]).astype(np.int64)
+        dang_pos = np.nonzero(outdeg == 0)[0].astype(np.int64)
+        return {
+            "rank": rank,
+            "dang_pos": dang_pos,
+            "seed_pos": seed_pos,
+            "max_delta": 1.0,
+            "dangling_partial": float(rank[dang_pos].sum()),
+            "msgs_in": 0,
+            "active": nv,
+        }
+
+    def update(part, inbox: pd.DataFrame, step, carry):
+        rank = part["rank"]
+        dang_pos = part["dang_pos"]
+        seed_pos = np.asarray(part["seed_pos"], dtype=np.int64)
+        contrib = np.zeros(len(rank))
+        n_msgs = 0
+        if len(inbox):
+            pos = np.concatenate([np.asarray(x) for x in inbox["dpos"].values]).astype(np.int64)
+            val = np.concatenate([np.asarray(x) for x in inbox["contrib"].values])
+            n_msgs = len(pos)
+            np.add.at(contrib, pos, val)
+        dangling = float(carry.get("dangling", 0.0))
+        tele = teleport(len(rank), seed_pos)
+        new_rank = (1.0 - d) * tele + d * (contrib + dangling * tele)
+        delta = np.abs(new_rank - rank)
+        return {
+            "rank": new_rank,
+            "dang_pos": dang_pos,
+            "seed_pos": seed_pos,
+            "max_delta": float(delta.max(initial=0.0)),
+            "dangling_partial": float(new_rank[dang_pos].sum()),
+            "msgs_in": int(n_msgs),
+            "active": int((delta >= tol).sum()),
+        }
+
+    return VertexProgram(
+        name="ppr",
+        state_schema=(
+            "rank array<double>, dang_pos array<long>, seed_pos array<long>, "
+            "max_delta double, dangling_partial double, msgs_in long, active long"
+        ),
+        msg_schema=base.msg_schema,
+        init=init,
+        scatter=base.scatter,
+        update=update,
+        stats=base.stats,
+        carry_fn=base.carry_fn,
+        converged=base.converged,
+        struct_cols=base.struct_cols,
+    )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: list[int],
+    num_partitions: int | None = 32,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    fixed_steps: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    checkpoint_every: int = 1,
+) -> tuple[DataFrame, list[dict]]:
+    """Personalized PageRank from a seed set -> ((id, score), metrics)."""
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
+    seed_set = set(int(s) for s in seeds)
+    # dangling seeds determine the step-1 carry: rank_0 = e_S, so the
+    # initial dangling mass is |dangling seeds| / |S|
+    with_out = {
+        int(r[0])
+        for r in edges.select("src")
+        .where(F.col("src").isin(list(seed_set)))
+        .distinct()
+        .collect()
+    }
+    n_dang_seeds = len(seed_set - with_out)
+    parts = build_parts(spark, vertices, edges, num_partitions)
+    prog = ppr_program(sorted(seed_set), num_partitions, tol=tol, fixed_steps=fixed_steps)
+    kern = Pregel(spark, parts, num_partitions)
+    final, metrics = kern.run(
+        prog,
+        max_steps=fixed_steps or max_steps,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        checkpoint_every=checkpoint_every,
+        carry0={"dangling": n_dang_seeds / len(seed_set)},
+    )
+    return scores_df(final), metrics
+
+
 def scores_df(parts: DataFrame) -> DataFrame:
     """parts -> (id, score), JVM-side explode of the aligned arrays."""
     z = F.explode(F.arrays_zip("ids", "rank")).alias("z")

@@ -43,6 +43,41 @@ def pagerank_oracle(vertices, edges, d=0.85, tol=1e-6, max_steps=100, fixed_step
     return {v: rank[idx[v]] for v in ids}
 
 
+def ppr_oracle(vertices, edges, seeds, d=0.85, tol=1e-6, max_steps=100, fixed_steps=None):
+    """Personalized PageRank: teleport uniform over the seed set, dangling
+    mass returned to the seeds. -> dict id->score."""
+    ids = sorted(vertices)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = defaultdict(list)
+    for s, t in edges:
+        out[s].append(t)
+    seed_set = sorted(set(seeds))
+    tele = np.zeros(n)
+    for s in seed_set:
+        tele[idx[s]] = 1.0 / len(seed_set)
+    rank = tele.copy()
+    steps = fixed_steps if fixed_steps is not None else max_steps
+    for _ in range(steps):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for v in ids:
+            i = idx[v]
+            nbrs = out.get(v)
+            if nbrs:
+                share = rank[i] / len(nbrs)
+                for t in nbrs:
+                    contrib[idx[t]] += share
+            else:
+                dangling += rank[i]
+        new = (1 - d) * tele + d * (contrib + dangling * tele)
+        delta = np.abs(new - rank).max()
+        rank = new
+        if fixed_steps is None and delta < tol:
+            break
+    return {v: rank[idx[v]] for v in ids}
+
+
 def components_oracle(vertices, edges):
     """Min-id connected components via union-find. -> dict id->component(min id)."""
     parent = {v: v for v in vertices}

@@ -8,7 +8,10 @@ import pytest
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
-from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
+from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+    pagerank,
+    personalized_pagerank,
+)
 from subgraph_isomorphism_pregel_spark.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
@@ -19,6 +22,7 @@ from .oracles import (
     components_oracle,
     lp_oracle,
     pagerank_oracle,
+    ppr_oracle,
     triangles_oracle,
 )
 
@@ -65,6 +69,36 @@ def test_pagerank_matches_oracle(spark, graph):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     assert len(metrics) > 0
     assert {m["superstep"] for m in metrics}  # metrics rows per superstep/partition
+
+
+def test_ppr_matches_oracle(spark, graph):
+    """Personalized PageRank vs the numpy oracle; the random graph's seed set
+    includes an ISOLATED vertex so the dangling-seed carry0 path (initial
+    dangling mass = |dangling seeds|/|S|) is exercised, and isolated
+    non-seed vertices stay at exactly 0."""
+    v, e, vs, es = graph
+    srcs = {s for s, _ in es}
+    isolated = [x for x in sorted(vs) if x not in srcs]
+    seeds = sorted(vs)[:3] + isolated[:1]
+    scores, metrics = personalized_pagerank(
+        spark, v, e, seeds, num_partitions=8, tol=1e-9
+    )
+    got = {r["id"]: r["score"] for r in scores.collect()}
+    want = ppr_oracle(vs, es, seeds, tol=1e-9)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, k
+    # PPR mass is a probability distribution concentrated near the seeds
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for x in isolated[1:]:
+        assert got[x] == 0.0
+    assert len(metrics) > 0
+
+
+def test_ppr_empty_seeds_raises(spark):
+    v, e = to_dfs(spark, [0, 1], [(0, 1), (1, 0)])
+    with pytest.raises(ValueError):
+        personalized_pagerank(spark, v, e, [])
 
 
 def test_connected_components_matches_oracle(spark, graph):
