@@ -96,6 +96,27 @@ def q_ppr_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
 
 
+HITS_STEPS = 4  # fixed HITS iterations for the SQL-oracle variant
+
+
+def q_hits_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the DIRECTED part->supplier bipartite
+    graph (parts are hubs, suppliers authorities) — the one supply-graph
+    query that uses edge direction instead of the symmetrized fixture."""
+    from subgraph_isomorphism_pregel_spark.operators.hits import hits
+    from subgraph_isomorphism_pregel_spark.sources.graph import SUPPLIER_ID_OFFSET
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPPLIER_ID_OFFSET)).alias("dst"),
+    ).distinct()
+    scored, _ = hits(spark, pairs, steps=HITS_STEPS, num_partitions=16)
+    return scored.select(
+        "id", "role", F.round("score", 8).alias("score_r")
+    ).orderBy("id", "role")
+
+
 def q_components_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, e = supply_graph(spark, sf_dir)
     comp, _ = connected_components(spark, v, e, num_partitions=16)
@@ -604,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_supply": q_pagerank_supply,
         "ppr_supply": q_ppr_supply,
+        "hits_supply": q_hits_supply,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -762,6 +784,43 @@ def _ppr_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _hits_sql() -> str:
+    """HITS oracle: simultaneous normalized power iteration on the DIRECTED
+    part->supplier edges, unrolled HITS_STEPS times, each role L2-normalized
+    at the end — the recurrence in operators/hits.py verbatim."""
+    steps = HITS_STEPS
+    ctes = [
+        "base AS MATERIALIZED (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(1 AS DOUBLE) AS score FROM base)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT dst AS id, CAST(1 AS DOUBLE) AS score FROM base)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT b.dst AS id,
+         sum(h.score) / (SELECT sqrt(sum(score * score)) FROM h{t - 1}) AS score
+  FROM base b JOIN h{t - 1} h ON h.id = b.src GROUP BY b.dst)"""
+        )
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT b.src AS id,
+         sum(a.score) / (SELECT sqrt(sum(score * score)) FROM a{t - 1}) AS score
+  FROM base b JOIN a{t - 1} a ON a.id = b.dst GROUP BY b.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, role, round(s, 8) AS score_r FROM (
+  SELECT id, 'hub' AS role,
+         score / (SELECT sqrt(sum(score * score)) FROM h{steps}) AS s FROM h{steps}
+  UNION ALL
+  SELECT id, 'auth' AS role,
+         score / (SELECT sqrt(sum(score * score)) FROM a{steps}) AS s FROM a{steps})
+ORDER BY id, role"""
     )
 
 
@@ -953,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
         "ppr_supply": _ppr_sql(),
+        "hits_supply": _hits_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

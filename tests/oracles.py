@@ -78,6 +78,31 @@ def ppr_oracle(vertices, edges, seeds, d=0.85, tol=1e-6, max_steps=100, fixed_st
     return {v: rank[idx[v]] for v in ids}
 
 
+def hits_oracle(edges, steps=5):
+    """HITS, simultaneous normalized power iteration (see operators/hits.py).
+    -> dict (id, role)->score with role in {'hub','auth'}, each role
+    L2-normalized at the end."""
+    edges = sorted(set(edges))
+    out = defaultdict(list)
+    inn = defaultdict(list)
+    for s, t in edges:
+        out[s].append(t)
+        inn[t].append(s)
+    h = {u: 1.0 for u in out}
+    a = {v: 1.0 for v in inn}
+    for _ in range(steps):
+        hn = np.sqrt(sum(x * x for x in h.values()))
+        an = np.sqrt(sum(x * x for x in a.values()))
+        na = {v: sum(h[u] / hn for u in inn[v]) for v in a}
+        nh = {u: sum(a[v] / an for v in out[u]) for u in h}
+        h, a = nh, na
+    hn = np.sqrt(sum(x * x for x in h.values())) or 1.0
+    an = np.sqrt(sum(x * x for x in a.values())) or 1.0
+    res = {(u, "hub"): x / hn for u, x in h.items()}
+    res.update({(v, "auth"): x / an for v, x in a.items()})
+    return res
+
+
 def components_oracle(vertices, edges):
     """Min-id connected components via union-find. -> dict id->component(min id)."""
     parent = {v: v for v in vertices}

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components
+from subgraph_isomorphism_pregel_spark.operators.hits import hits
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
 from subgraph_isomorphism_pregel_spark.operators.pagerank import (
     pagerank,
@@ -20,6 +21,7 @@ from subgraph_isomorphism_pregel_spark.sources.graph import toy_graph
 
 from .oracles import (
     components_oracle,
+    hits_oracle,
     lp_oracle,
     pagerank_oracle,
     ppr_oracle,
@@ -99,6 +101,40 @@ def test_ppr_empty_seeds_raises(spark):
     v, e = to_dfs(spark, [0, 1], [(0, 1), (1, 0)])
     with pytest.raises(ValueError):
         personalized_pagerank(spark, v, e, [])
+
+
+def test_hits_matches_oracle(spark, graph):
+    """HITS on the DIRECTED edge list (roles are asymmetric even though the
+    fixture is symmetrized — every vertex carries both) vs the numpy oracle."""
+    v, e, vs, es = graph
+    scored, metrics = hits(spark, e, steps=4, num_partitions=8)
+    got = {(r["id"], r["role"]): r["score"] for r in scored.collect()}
+    want = hits_oracle(es, steps=4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # each role is a unit vector
+    for role in ("hub", "auth"):
+        ss = sum(s * s for (i, r), s in got.items() if r == role)
+        assert abs(ss - 1.0) < 1e-9
+    assert len(metrics) > 0
+
+
+def test_hits_bipartite_asymmetric(spark):
+    """On a truly directed bipartite graph the hub and auth supports are
+    disjoint and the strongest authority is the most-cited one."""
+    es = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12)]
+    e = spark.createDataFrame(es, "src long, dst long")
+    scored, _ = hits(spark, e, steps=5, num_partitions=4)
+    got = {(r["id"], r["role"]): r["score"] for r in scored.collect()}
+    want = hits_oracle(es, steps=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    auths = {i: s for (i, r), s in got.items() if r == "auth"}
+    assert max(auths, key=auths.get) == 10
+    hubs = {i for (i, r) in got if r == "hub"}
+    assert hubs == {1, 2, 3}
 
 
 def test_connected_components_matches_oracle(spark, graph):
