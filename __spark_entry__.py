@@ -96,6 +96,60 @@ def q_ppr_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
 
 
+SPLIT_SALT = "v1"
+STRATA_FRACS = {"en": 0.5, "zh": 1.0, "fr": 0.1}
+STRATA_DEFAULT = 0.25
+TOPK_PER_SOURCE = 10
+
+
+def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-bucket on doc_id —
+    same row lands in the same split on any partitioning or engine."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), "doc_id", salt=SPLIT_SALT)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic down-sampling (keep 50% en, all zh, 10%
+    fr, 25% of everything else) — the curation rebalancing primitive."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return (
+        stratified_sample(
+            _docs(spark, sf_dir),
+            "lang",
+            STRATA_FRACS,
+            "doc_id",
+            default_fraction=STRATA_DEFAULT,
+            salt=SPLIT_SALT,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota (hash-ordered deterministic 'reservoir')."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        hash_topk_per_group,
+    )
+
+    return (
+        hash_topk_per_group(
+            _docs(spark, sf_dir), "source", "doc_id", TOPK_PER_SOURCE, salt=SPLIT_SALT
+        )
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
 HITS_STEPS = 4  # fixed HITS iterations for the SQL-oracle variant
 
 
@@ -626,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_supply": q_pagerank_supply,
         "ppr_supply": q_ppr_supply,
         "hits_supply": q_hits_supply,
+        "docs_split": q_docs_split,
+        "docs_stratified": q_docs_stratified,
+        "docs_hash_topk": q_docs_hash_topk,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -785,6 +842,43 @@ def _ppr_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
     )
+
+
+def _docs_split_sql() -> str:
+    from subgraph_isomorphism_pregel_spark.operators.sampling import frac_threshold
+
+    t_train, t_val = frac_threshold(0.9), frac_threshold(0.95)
+    return f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8) < '{t_train}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8) < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+
+
+def _docs_stratified_sql() -> str:
+    from subgraph_isomorphism_pregel_spark.operators.sampling import frac_threshold
+
+    whens = " ".join(
+        f"WHEN '{v}' THEN '{frac_threshold(f)}'" for v, f in STRATA_FRACS.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8)
+      < CASE lang {whens} ELSE '{frac_threshold(STRATA_DEFAULT)}' END
+ORDER BY doc_id"""
+
+
+def _docs_hash_topk_sql() -> str:
+    return f"""
+SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8), doc_id
+         ) AS rk
+  FROM documents)
+WHERE rk <= {TOPK_PER_SOURCE} ORDER BY source, rk"""
 
 
 def _hits_sql() -> str:
@@ -1013,6 +1107,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_supply": _pagerank_sql(),
         "ppr_supply": _ppr_sql(),
         "hits_supply": _hits_sql(),
+        "docs_split": _docs_split_sql(),
+        "docs_stratified": _docs_stratified_sql(),
+        "docs_hash_topk": _docs_hash_topk_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

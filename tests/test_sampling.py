@@ -1,0 +1,88 @@
+"""Deterministic sampling operators: stability under repartitioning is the
+defining property — the same row must land in the same split/sample on any
+cluster layout."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_isomorphism_pregel_spark.operators.sampling import (
+    frac_threshold,
+    hash_split,
+    hash_topk_per_group,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3], f"s{i % 4}") for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+
+def py_bucket(key, salt="v1"):
+    return hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8]
+
+
+def test_hash_split_matches_python_and_proportions(docs):
+    out = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="v1").collect()}
+    t_train, t_val = frac_threshold(0.9), frac_threshold(0.95)
+    for i in range(600):
+        b = py_bucket(i)
+        want = "train" if b < t_train else ("val" if b < t_val else "test")
+        assert out[i] == want, i
+    n_train = sum(1 for v in out.values() if v == "train")
+    assert 0.85 * 600 < n_train < 0.95 * 600
+
+
+def test_hash_split_stable_under_repartition(docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="x").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(13, "lang"), "doc_id", salt="x").collect()
+    }
+    assert a == b
+    # a different salt reshuffles assignments
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", salt="y").collect()}
+    assert a != c
+
+
+def test_stratified_sample_edges(docs):
+    kept = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, "doc_id", default_fraction=0.5, salt="v1"
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == 200  # f=1.0 keeps every row
+    assert "de" not in by_lang  # f=0.0 keeps none
+    assert 0.3 * 200 < by_lang.get("fr", 0) < 0.7 * 200  # default 0.5
+
+
+def test_hash_topk_exact_quota_and_determinism(docs):
+    out = hash_topk_per_group(docs, "source", "doc_id", 25, salt="v1")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {f"s{i}": 25 for i in range(4)}
+    again = hash_topk_per_group(
+        docs.repartition(7), "source", "doc_id", 25, salt="v1"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # quota larger than the group returns the whole group
+    small = hash_topk_per_group(docs.where("doc_id < 8"), "source", "doc_id", 99)
+    assert small.count() == 8
+
+
+def test_bad_inputs(docs):
+    with pytest.raises(ValueError):
+        frac_threshold(1.5)
+    with pytest.raises(ValueError):
+        hash_topk_per_group(docs, "source", "doc_id", 0)
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", weights={"a": 0.0})
