@@ -150,6 +150,20 @@ def q_docs_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point k-means over the embeddings table (k smallest vec_ids
+    seed; 3 Lloyd rounds; output = assignment against the final centroids).
+    Hash-gateable because every step is exact int64 on the 2^20 grid."""
+    from subgraph_isomorphism_pregel_spark.operators.clustering import kmeans
+
+    assigned, _, _ = kmeans(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+    return assigned.orderBy("vec_id")
+
+
 HITS_STEPS = 4  # fixed HITS iterations for the SQL-oracle variant
 
 
@@ -683,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split": q_docs_split,
         "docs_stratified": q_docs_stratified,
         "docs_hash_topk": q_docs_hash_topk,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -841,6 +856,47 @@ def _ppr_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Fixed-point Lloyd's, unrolled: quantize -> (assign, floor-mean) x T
+    -> final assign. Integer arithmetic end-to-end, so this reproduces the
+    Spark operator bit-for-bit (see operators/clustering.py)."""
+    k, T = KMEANS_K, KMEANS_ITERS
+    ctes = [
+        EMB_PAIRS.strip().rstrip(","),
+        "qq AS MATERIALIZED (SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p)",
+        f"""seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))""",
+        "c0 AS MATERIALIZED (SELECT s.cid, q.pos, q.qv AS cv FROM seed s JOIN qq q ON q.vec_id = s.vec_id)",
+    ]
+    for t in range(1, T + 2):  # T Lloyd rounds + the final predict pass
+        ctes.append(
+            f"""d{t} AS (
+  SELECT q.vec_id, c.cid, sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+  FROM qq q JOIN c{t - 1} c ON c.pos = q.pos GROUP BY q.vec_id, c.cid)"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1)"""
+        )
+        if t <= T:
+            ctes.append(
+                f"""c{t} AS MATERIALIZED (
+  SELECT a.cid, q.pos,
+         CAST(floor(CAST(sum(q.qv) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM a{t} a JOIN qq q ON q.vec_id = a.vec_id GROUP BY a.cid, q.pos
+  UNION ALL
+  SELECT c.cid, c.pos, c.cv FROM c{t - 1} c
+  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM a{t}))"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster FROM a{T + 1} ORDER BY vec_id"
     )
 
 
@@ -1110,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": _docs_split_sql(),
         "docs_stratified": _docs_stratified_sql(),
         "docs_hash_topk": _docs_hash_topk_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
