@@ -150,6 +150,18 @@ def q_docs_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AA_TOPK = 20
+
+
+def q_adamic_adar_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the supply graph by Adamic-Adar (two parts
+    sharing many low-degree suppliers are likely substitutes)."""
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import adamic_adar_topk
+
+    _, e = supply_graph(spark, sf_dir)
+    return adamic_adar_topk(e, k=AA_TOPK).orderBy("rank")
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -698,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified": q_docs_stratified,
         "docs_hash_topk": q_docs_hash_topk,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "adamic_adar_supply": q_adamic_adar_supply,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -857,6 +870,26 @@ def _ppr_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
     )
+
+
+def _adamic_adar_sql() -> str:
+    """Wedge self-join + degree weights; scores rounded to 6dp before the
+    global rank, ties on (u, v) — operators/linkpred.py verbatim."""
+    return f"""
+WITH {SUPPLY_EDGES.strip().rstrip(',')},
+deg AS (SELECT src AS z, count(*) AS deg FROM edges GROUP BY src),
+wed AS (
+  SELECT e1.dst AS u, e2.dst AS v, count(*) AS cn,
+         round(sum(1.0 / ln(CAST(d.deg AS DOUBLE))), 6) AS aa_r
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN deg d ON d.z = e1.src
+  GROUP BY e1.dst, e2.dst),
+cand AS (
+  SELECT w.* FROM wed w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.u AND e.dst = w.v))
+SELECT u, v, cn, aa_r,
+       CAST(row_number() OVER (ORDER BY aa_r DESC, u, v) AS INT) AS rank
+FROM cand ORDER BY aa_r DESC, u, v LIMIT {AA_TOPK}"""
 
 
 def _kmeans_sql() -> str:
@@ -1167,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified": _docs_stratified_sql(),
         "docs_hash_topk": _docs_hash_topk_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "adamic_adar_supply": _adamic_adar_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

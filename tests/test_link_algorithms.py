@@ -9,6 +9,7 @@ import pytest
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components
 from subgraph_isomorphism_pregel_spark.operators.hits import hits
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation
+from subgraph_isomorphism_pregel_spark.operators.linkpred import adamic_adar_topk
 from subgraph_isomorphism_pregel_spark.operators.pagerank import (
     pagerank,
     personalized_pagerank,
@@ -135,6 +136,53 @@ def test_hits_bipartite_asymmetric(spark):
     assert max(auths, key=auths.get) == 10
     hubs = {i for (i, r) in got if r == "hub"}
     assert hubs == {1, 2, 3}
+
+
+def adamic_adar_brute(es, k):
+    import math
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for s, t in es:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    rows = []
+    ids = sorted(nbrs)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            if v in nbrs[u]:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if not common:
+                continue
+            aa = round(sum(1.0 / math.log(len(nbrs[z])) for z in common), 6)
+            rows.append((u, v, len(common), aa))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return [(u, v, cn, aa, i + 1) for i, (u, v, cn, aa) in enumerate(rows[:k])]
+
+
+def test_adamic_adar_matches_brute_force(spark, graph):
+    v, e, vs, es = graph
+    got = [
+        (r["u"], r["v"], r["cn"], r["aa_r"], r["rank"])
+        for r in adamic_adar_topk(e, k=15).orderBy("rank").collect()
+    ]
+    assert got == adamic_adar_brute(es, 15)
+
+
+def test_adamic_adar_hub_filter(spark):
+    """A hub center above max_center_degree contributes no wedges."""
+    es = [(0, i) for i in range(1, 8)] + [(1, 9), (2, 9)]
+    sym = es + [(b, a) for a, b in es]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    full = adamic_adar_topk(e, k=100).collect()
+    filt = adamic_adar_topk(e, k=100, max_center_degree=5).orderBy("rank").collect()
+    # unfiltered: the 21 pairs among 1..7 scored through hub 0 (plus more);
+    # filtered: hub 0 is excluded as a center, leaving (0,9) through the
+    # deg-2 centers 1 and 2, and (1,2) through center 9
+    assert len(full) > 21
+    assert [(r["u"], r["v"], r["cn"]) for r in filt] == [(0, 9, 2), (1, 2, 1)]
 
 
 def test_connected_components_matches_oracle(spark, graph):
