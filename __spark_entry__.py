@@ -150,6 +150,26 @@ def q_docs_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WALK_LEN = 4
+WALKS_PER_VERTEX = 2
+WALK_SALT = "w1"
+
+
+def q_walks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (hash-argmin next-hop) from every ring
+    vertex — the graph-embedding corpus generator."""
+    from subgraph_isomorphism_pregel_spark.operators.walks import random_walks
+
+    v, e = ring_graph(spark, sf_dir)
+    return random_walks(
+        e,
+        walk_len=WALK_LEN,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        starts=v.select("id"),
+        salt=WALK_SALT,
+    ).orderBy("origin", "walk_no", "step")
+
+
 AA_TOPK = 20
 
 
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_topk": q_docs_hash_topk,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
+        "walks_ring": q_walks_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -869,6 +890,39 @@ def _ppr_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _walks_sql() -> str:
+    """Unrolled hash-argmin walk: step t keeps the candidate with the
+    smallest md5('origin:walk:t:dst:salt'), ties to the smallest dst —
+    operators/walks.py verbatim."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        f"""w0 AS MATERIALIZED (
+  SELECT rv.id AS origin, CAST(ws.wn AS INT) AS walk_no, rv.id AS node
+  FROM rv, (SELECT unnest(range(0, {WALKS_PER_VERTEX})) AS wn) ws)""",
+    ]
+    for t in range(1, WALK_LEN + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT origin, walk_no, dst AS node FROM (
+    SELECT f.origin, f.walk_no, e.dst,
+           row_number() OVER (
+             PARTITION BY f.origin, f.walk_no
+             ORDER BY md5(CAST(f.origin AS VARCHAR) || ':' || CAST(f.walk_no AS VARCHAR)
+                          || ':' || '{t}' || ':' || CAST(e.dst AS VARCHAR) || ':' || '{WALK_SALT}'),
+                      e.dst) AS rn
+    FROM w{t - 1} f JOIN edges e ON e.src = f.node) WHERE rn = 1)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT origin, walk_no, CAST({t} AS INT) AS step, node FROM w{t}"
+        for t in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({steps}) ORDER BY origin, walk_no, step"
     )
 
 
@@ -1201,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_topk": _docs_hash_topk_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),
+        "walks_ring": _walks_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
