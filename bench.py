@@ -40,7 +40,10 @@ from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs,
 from subgraph_isomorphism_pregel_spark.operators.textops import repetition_score, tfidf_topk  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.clustering import kmeans  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.hits import hits  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.walks import random_walks  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     embedding_dup_pairs_lsh,
@@ -294,6 +297,27 @@ def main() -> None:
         "embedding_dups_lsh",
         lambda: embedding_dup_pairs_lsh(emb, threshold=0.4).count(),
     )
+
+    bench("kmeans_k8_it3", lambda: kmeans(emb, k=8, iters=3)[0].count())
+
+    def run_hits():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pairs = li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        ).distinct()
+        scored, _ = hits(spark, pairs, steps=4, num_partitions=cpus)
+        return scored.count()
+
+    bench("hits_4steps", run_hits)
+
+    def run_walks():
+        wv, we = ring_graph(spark, sf_dir)
+        return random_walks(
+            we, walk_len=4, walks_per_vertex=2, starts=wv.select("id"), salt="w1"
+        ).count()
+
+    bench("walks_len4_x2", run_walks)
 
     # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
     # multi-hundred-MB grouped tables linger in the JVM heap until GC and
