@@ -150,6 +150,16 @@ def q_docs_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the ring graph."""
+    from subgraph_isomorphism_pregel_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    return clustering_coefficient(spark, v, e).orderBy("id")
+
+
 WALK_LEN = 4
 WALKS_PER_VERTEX = 2
 WALK_SALT = "w1"
@@ -732,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
         "walks_ring": q_walks_ring,
+        "clustering_coeff_ring": q_clustering_coeff_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -891,6 +902,29 @@ def _ppr_sql() -> str:
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
     )
+
+
+def _clustering_coeff_sql() -> str:
+    """Triangle corners (the triangles_ring oracle) + degree + the
+    C(deg,2) division — operators/triangles.py::clustering_coefficient."""
+    return f"""
+WITH {{RING}},
+tri AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM edges a JOIN edges b ON a.dst = b.src JOIN edges c ON b.dst = c.src AND c.dst = a.src
+  WHERE a.src < a.dst AND a.dst < b.dst),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+tcount AS (SELECT id, count(*) AS c FROM corners GROUP BY id),
+deg AS (SELECT src AS id, count(*) AS deg FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst) GROUP BY src)
+SELECT v.id,
+       coalesce(d.deg, 0) AS deg,
+       coalesce(t.c, 0) AS tri,
+       CASE WHEN coalesce(d.deg, 0) >= 2
+            THEN round(coalesce(t.c, 0) / (d.deg * (d.deg - 1) / 2.0), 6)
+            ELSE 0.0 END AS coeff_r
+FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
+ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
 
 
 def _walks_sql() -> str:
@@ -1256,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),
         "walks_ring": _walks_sql(),
+        "clustering_coeff_ring": _clustering_coeff_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

@@ -63,6 +63,39 @@ def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
     return int(row["n"] or 0)
 
 
+def clustering_coefficient(
+    spark: SparkSession, vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """(id, deg, tri, coeff_r) — local clustering coefficient per vertex:
+    tri(v) / C(deg(v), 2), rounded to 6dp; 0.0 for deg < 2. The per-vertex
+    GNN/feature-table companion of triangle counting: the triangle pass is
+    the oriented-intersection plan above, the degree a single groupBy, and
+    the division pure codegen."""
+    tri = triangles_per_vertex(spark, vertices, edges)
+    deg = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("src", "id")
+    )
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            "tri",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(F.col("tri") / (F.col("deg") * (F.col("deg") - 1) / 2.0), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff_r"),
+        )
+    )
+
+
 def triangles_per_vertex(spark: SparkSession, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """(id, tri) — number of triangles each vertex participates in (0 included)."""
     te = triangle_edges(edges)

@@ -15,6 +15,7 @@ from subgraph_isomorphism_pregel_spark.operators.pagerank import (
     personalized_pagerank,
 )
 from subgraph_isomorphism_pregel_spark.operators.triangles import (
+    clustering_coefficient,
     triangle_count,
     triangles_per_vertex,
 )
@@ -209,6 +210,30 @@ def test_triangles_match_oracle(spark, graph):
     assert got == per
     # triangle identity: 3 * triangles == closed wedges
     assert sum(got.values()) == 3 * total
+
+
+def test_clustering_coefficient(spark, graph):
+    """coeff = tri / C(deg,2) against a brute-force recomputation; isolated
+    vertices (deg < 2) report exactly 0.0."""
+    from collections import defaultdict
+
+    v, e, vs, es = graph
+    _, per = triangles_oracle(vs, es)
+    nbrs = defaultdict(set)
+    for s, t in es:
+        if s != t:
+            nbrs[s].add(t)
+    got = {
+        r["id"]: (r["deg"], r["tri"], r["coeff_r"])
+        for r in clustering_coefficient(spark, v, e).collect()
+    }
+    assert set(got) == set(vs)
+    for x in vs:
+        d = len(nbrs.get(x, ()))
+        want = round(per[x] / (d * (d - 1) / 2.0), 6) if d >= 2 else 0.0
+        assert got[x] == (d, per[x], want), x
+    # coefficients live in [0, 1]
+    assert all(0.0 <= c <= 1.0 for _, _, c in got.values())
 
 
 def test_partitioning_invariance(spark):
