@@ -160,6 +160,29 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+KHOP_K = 2
+KHOP_FANOUT = 3
+KHOP_SALT = "n1"
+KHOP_STARTS = 100  # origins: ring ids below this
+
+
+def q_khop_sample_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic 2-hop neighbor sampling (fanout 3)
+    from the first 100 ring vertices."""
+    from subgraph_isomorphism_pregel_spark.operators.neighborhood import (
+        khop_neighbors,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    return khop_neighbors(
+        e,
+        k=KHOP_K,
+        starts=v.select("id").where(F.col("id") < KHOP_STARTS),
+        fanout=KHOP_FANOUT,
+        salt=KHOP_SALT,
+    ).orderBy("origin", "dist", "node")
+
+
 WALK_LEN = 4
 WALKS_PER_VERTEX = 2
 WALK_SALT = "w1"
@@ -743,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_supply": q_adamic_adar_supply,
         "walks_ring": q_walks_ring,
         "clustering_coeff_ring": q_clustering_coeff_ring,
+        "khop_sample_ring": q_khop_sample_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -925,6 +949,45 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _khop_sql() -> str:
+    """Unrolled sampled BFS: per hop, each (origin, frontier-node) expansion
+    keeps its KHOP_FANOUT smallest-md5 neighbors, then dedups against the
+    seen set — operators/neighborhood.py verbatim."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        f"h0 AS MATERIALIZED (SELECT id AS origin, id AS node FROM rv WHERE id < {KHOP_STARTS})",
+        "s0 AS (SELECT origin, node FROM h0)",
+    ]
+    for t in range(1, KHOP_K + 1):
+        ctes.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT c.origin, c.node FROM (
+    SELECT DISTINCT origin, dst AS node FROM (
+      SELECT f.origin, f.node AS cur, e.dst,
+             row_number() OVER (
+               PARTITION BY f.origin, f.node
+               ORDER BY md5(CAST(f.origin AS VARCHAR) || ':' || '{t}' || ':'
+                            || CAST(f.node AS VARCHAR) || ':' || CAST(e.dst AS VARCHAR)
+                            || ':' || '{KHOP_SALT}'),
+                        e.dst) AS rn
+      FROM h{t - 1} f JOIN edges e ON e.src = f.node) WHERE rn <= {KHOP_FANOUT}) c
+  WHERE NOT EXISTS (SELECT 1 FROM s{t - 1} p WHERE p.origin = c.origin AND p.node = c.node))"""
+        )
+        ctes.append(f"h{t} AS (SELECT origin, node FROM f{t})")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT origin, node FROM s{t - 1} UNION ALL SELECT origin, node FROM f{t})"
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT origin, node, CAST({t} AS INT) AS dist FROM {'h0' if t == 0 else f'f{t}'}"
+        for t in range(KHOP_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({steps}) ORDER BY origin, dist, node"
+    )
 
 
 def _walks_sql() -> str:
@@ -1291,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar_supply": _adamic_adar_sql(),
         "walks_ring": _walks_sql(),
         "clustering_coeff_ring": _clustering_coeff_sql(),
+        "khop_sample_ring": _khop_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
