@@ -160,6 +160,22 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+MIS_ROUNDS = 6
+MIS_SALT = "m1"
+
+
+def q_mis_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set on the ring graph — exactly MIS_ROUNDS
+    hash-derandomized rounds (the fixed-round form is exact regardless of
+    whether the set is complete by then)."""
+    from subgraph_isomorphism_pregel_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    return maximal_independent_set(v, e, rounds=MIS_ROUNDS, salt=MIS_SALT).orderBy("id")
+
+
 KHOP_K = 2
 KHOP_FANOUT = 3
 KHOP_SALT = "n1"
@@ -767,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_ring": q_walks_ring,
         "clustering_coeff_ring": q_clustering_coeff_ring,
         "khop_sample_ring": q_khop_sample_ring,
+        "mis_ring": q_mis_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -949,6 +966,54 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _mis_sql() -> str:
+    """Unrolled Luby rounds: winners by (md5 priority, id) row-compare
+    against the min undecided neighbor — operators/mis.py verbatim."""
+
+    def pr(col, r):
+        return f"md5(CAST({col} AS VARCHAR) || ':' || '{r}' || ':' || '{MIS_SALT}')"
+
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "u0 AS MATERIALIZED (SELECT DISTINCT id FROM rv)",
+    ]
+    for r in range(1, MIS_ROUNDS + 1):
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT u.id FROM u{r - 1} u LEFT JOIN (
+    SELECT dst AS id, p, i FROM (
+      SELECT e.dst, {pr('e.src', r)} AS p, e.src AS i,
+             row_number() OVER (PARTITION BY e.dst ORDER BY {pr('e.src', r)}, e.src) AS rn
+      FROM edges e
+      JOIN u{r - 1} a ON e.src = a.id JOIN u{r - 1} b ON e.dst = b.id) WHERE rn = 1) m
+  ON u.id = m.id
+  WHERE m.id IS NULL OR ({pr('u.id', r)}, u.id) < (m.p, m.i))"""
+        )
+        ctes.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM edges e
+  JOIN w{r} w ON e.src = w.id JOIN u{r - 1} uu ON e.dst = uu.id
+  WHERE e.dst NOT IN (SELECT id FROM w{r}))"""
+        )
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT id FROM u{r - 1}
+  WHERE id NOT IN (SELECT id FROM w{r}) AND id NOT IN (SELECT id FROM x{r}))"""
+        )
+    mis = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(1, MIS_ROUNDS + 1))
+    exc = " UNION ALL ".join(f"SELECT id FROM x{r}" for r in range(1, MIS_ROUNDS + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, status FROM (
+  SELECT id, 'mis' AS status FROM ({mis})
+  UNION ALL SELECT id, 'excluded' FROM ({exc})
+  UNION ALL SELECT id, 'undecided' FROM u{MIS_ROUNDS})
+ORDER BY id"""
+    )
 
 
 def _khop_sql() -> str:
@@ -1355,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "walks_ring": _walks_sql(),
         "clustering_coeff_ring": _clustering_coeff_sql(),
         "khop_sample_ring": _khop_sql(),
+        "mis_ring": _mis_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

@@ -78,6 +78,9 @@ def khop_neighbors(
             cand.select("origin", F.col("dst").alias("node"))
             .distinct()
             .join(seen, ["origin", "node"], "left_anti")
+            # reused by the output union, the seen set, AND the next hop —
+            # persist so the union's action never recomputes prefix chains
+            .persist()
         )
         out = out.unionAll(new.select("origin", "node", F.lit(t).alias("dist")))
         seen = seen.unionAll(new)

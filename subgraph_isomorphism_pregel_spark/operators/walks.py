@@ -67,6 +67,10 @@ def random_walks(
             .groupBy("origin", "walk_no")
             .agg(F.min(F.struct(F.col("b"), F.col("dst"))).alias("m"))
             .select("origin", "walk_no", F.col("m.dst").alias("node"))
+            # each frontier feeds BOTH the output union and the next hop —
+            # without a persist the union's action recomputes every prefix
+            # chain (O(T^2) joins); frontiers are |starts|*W rows, tiny
+            .persist()
         )
         out = out.unionAll(
             nxt.select("origin", "walk_no", F.lit(t).alias("step"), "node")
