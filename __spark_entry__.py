@@ -160,6 +160,27 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events table: for every purchase, the user's
+    latest click at-or-before it (last-touch attribution)."""
+    from subgraph_isomorphism_pregel_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, keys=["user_id"], payload_cols=["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "matched_event_id",
+        F.round("matched_value", 6).alias("matched_value_r"),
+    ).orderBy("event_id")
+
+
 MIS_ROUNDS = 6
 MIS_SALT = "m1"
 
@@ -784,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_ring": q_clustering_coeff_ring,
         "khop_sample_ring": q_khop_sample_ring,
         "mis_ring": q_mis_ring,
+        "asof_events": q_asof_events,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -966,6 +988,16 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT event_id, user_id, matched_event_id, round(matched_value, 6) AS matched_value_r FROM (
+  SELECT l.event_id, l.user_id, r.event_id AS matched_event_id, r.value AS matched_value,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+WHERE rn = 1 ORDER BY event_id"""
 
 
 def _mis_sql() -> str:
@@ -1421,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff_ring": _clustering_coeff_sql(),
         "khop_sample_ring": _khop_sql(),
         "mis_ring": _mis_sql(),
+        "asof_events": ASOF_SQL,
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
