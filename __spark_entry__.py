@@ -181,6 +181,29 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join on the events table: every click in the hour before each
+    purchase, per user (attribution windows)."""
+    from subgraph_isomorphism_pregel_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = range_join(
+        left, right, keys=["user_id"], lower_seconds=-3600, upper_seconds=0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("click_id"),
+        F.round("r_value", 6).alias("click_value_r"),
+    ).orderBy("event_id", "click_id")
+
+
 MIS_ROUNDS = 6
 MIS_SALT = "m1"
 
@@ -806,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_sample_ring": q_khop_sample_ring,
         "mis_ring": q_mis_ring,
         "asof_events": q_asof_events,
+        "range_join_events": q_range_join_events,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -988,6 +1012,15 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+RANGE_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, r.event_id AS click_id, round(r.value, 6) AS click_value_r
+FROM l JOIN r ON l.user_id = r.user_id
+AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts
+ORDER BY l.event_id, click_id"""
 
 
 ASOF_SQL = """
@@ -1454,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_sample_ring": _khop_sql(),
         "mis_ring": _mis_sql(),
         "asof_events": ASOF_SQL,
+        "range_join_events": RANGE_JOIN_SQL,
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
