@@ -160,6 +160,18 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute time-bucket ROLLUP over (bucket, event_type): per-bucket
+    per-type, per-bucket subtotal, and grand-total rows."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_rollup(ev, ts_col="ts", dims=["event_type"], value_col="value")
+    return out.orderBy(
+        F.asc_nulls_first("bucket_id"), F.asc_nulls_first("event_type")
+    )
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on the events table: for every purchase, the user's
     latest click at-or-before it (last-touch attribution)."""
@@ -830,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_ring": q_mis_ring,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
+        "time_rollup_events": q_time_rollup_events,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1012,6 +1025,14 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+TIME_ROLLUP_SQL = """
+SELECT epoch_us(ts) // 900000000 AS bucket_id, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_r
+FROM events
+GROUP BY ROLLUP (bucket_id, event_type)
+ORDER BY bucket_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
 
 RANGE_JOIN_SQL = """
@@ -1488,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_ring": _mis_sql(),
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
+        "time_rollup_events": TIME_ROLLUP_SQL,
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

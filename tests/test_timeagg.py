@@ -1,0 +1,46 @@
+"""Time-bucket rollup: bucket arithmetic, subtotal/grand-total identities."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from subgraph_isomorphism_pregel_spark.operators.timeagg import time_rollup
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_time_rollup_identities(spark):
+    rows = [
+        (1, T0 + timedelta(minutes=1), "a", 1.0),
+        (2, T0 + timedelta(minutes=14, seconds=59), "a", 2.0),  # same bucket
+        (3, T0 + timedelta(minutes=15), "a", 4.0),              # next bucket
+        (4, T0 + timedelta(minutes=16), "b", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = time_rollup(df, dims=["event_type"]).collect()
+    per = {
+        (r["bucket_id"], r["event_type"]): (r["n"], r["sum_r"])
+        for r in out
+    }
+    buckets = sorted({b for b, t in per if b is not None and t is not None})
+    assert len(buckets) == 2 and buckets[1] == buckets[0] + 1
+    b0, b1 = buckets
+    assert per[(b0, "a")] == (2, 3.0)
+    assert per[(b1, "a")] == (1, 4.0)
+    assert per[(b1, "b")] == (1, 8.0)
+    # subtotal rows: per-bucket over all types
+    assert per[(b0, None)] == (2, 3.0)
+    assert per[(b1, None)] == (2, 12.0)
+    # grand total
+    assert per[(None, None)] == (4, 15.0)
+    assert len(per) == 6
+
+
+def test_time_rollup_bad_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, T0, "a", 1.0)], "event_id long, ts timestamp, event_type string, value double"
+    )
+    with pytest.raises(ValueError):
+        time_rollup(df, bucket_seconds=0)
