@@ -160,6 +160,28 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+BLOOM_BITS = 4096  # deliberately tight so deterministic false positives appear
+BLOOM_K = 3
+
+
+def q_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter built over the English doc ids, probed with every doc:
+    membership plus reproducible false positives at the tight sizing."""
+    from subgraph_isomorphism_pregel_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bits = bloom_build(
+        docs.where(F.col("lang") == "en"), "doc_id", n_bits=BLOOM_BITS, k_hashes=BLOOM_K
+    )
+    out = bloom_probe(
+        bits, docs.select("doc_id"), "doc_id", n_bits=BLOOM_BITS, k_hashes=BLOOM_K
+    )
+    return out.select("doc_id", "maybe_present").orderBy("doc_id")
+
+
 def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute time-bucket ROLLUP over (bucket, event_type): per-bucket
     per-type, per-bucket subtotal, and grand-total rows."""
@@ -843,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
+        "bloom_docs": q_bloom_docs,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1025,6 +1048,22 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _bloom_sql() -> str:
+    """Same md5-prefix bit positions via ('0x'||hex)::BIGINT — DuckDB's
+    parse agrees with Spark's conv(hex,16,10) bit-for-bit."""
+    p = (
+        "(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {BLOOM_BITS})"
+    )
+    return f"""
+WITH hashes AS (SELECT unnest(range(0, {BLOOM_K})) AS i),
+bits AS (SELECT DISTINCT {p} AS pos FROM documents, hashes WHERE lang = 'en'),
+probe AS (SELECT doc_id, {p} AS pos FROM documents, hashes)
+SELECT probe.doc_id, count(bits.pos) = {BLOOM_K} AS maybe_present
+FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+GROUP BY probe.doc_id ORDER BY probe.doc_id"""
 
 
 TIME_ROLLUP_SQL = """
@@ -1510,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
+        "bloom_docs": _bloom_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

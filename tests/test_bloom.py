@@ -1,0 +1,50 @@
+"""Bloom filter: no false negatives, reproducible false positives, python
+replay of the bit positions."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from subgraph_isomorphism_pregel_spark.operators.bloom import bloom_build, bloom_probe
+
+
+def py_positions(key, k, n_bits):
+    return {
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % n_bits
+        for i in range(k)
+    }
+
+
+def test_bloom_membership_and_replay(spark):
+    built_keys = list(range(0, 200))
+    probe_keys = list(range(0, 400))
+    build = spark.createDataFrame([(x,) for x in built_keys], "doc_id long")
+    probe = spark.createDataFrame([(x,) for x in probe_keys], "doc_id long")
+    n_bits, k = 1024, 3
+    bits = bloom_build(build, "doc_id", n_bits=n_bits, k_hashes=k)
+    got_bits = {r["pos"] for r in bits.collect()}
+    want_bits = set().union(*[py_positions(x, k, n_bits) for x in built_keys])
+    assert got_bits == want_bits
+    got = {
+        r["doc_id"]: r["maybe_present"]
+        for r in bloom_probe(bits, probe, "doc_id", n_bits=n_bits, k_hashes=k).collect()
+    }
+    # exact python replay
+    for x in probe_keys:
+        assert got[x] == py_positions(x, k, n_bits).issubset(want_bits), x
+    # no false negatives
+    assert all(got[x] for x in built_keys)
+    # tight sizing (1024 bits / 200 keys * 3 hashes) must produce SOME false
+    # positives and SOME true negatives among the 200 unseen keys
+    unseen = [x for x in probe_keys if x >= 200]
+    fp = sum(1 for x in unseen if got[x])
+    assert 0 < fp < len(unseen)
+
+
+def test_bloom_bad_inputs(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        bloom_build(df, "doc_id", n_bits=1)
+    with pytest.raises(ValueError):
+        bloom_build(df, "doc_id", k_hashes=0)
