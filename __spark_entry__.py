@@ -160,6 +160,19 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+WSSSP_UNROLL = 18  # >= measured 15-superstep convergence on the sf0.01 ring
+
+
+def q_wsssp_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (min-plus Bellman-Ford on the kernel) from
+    vertex 0 over the ring graph; edge weight (src + dst) % 7 + 1."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import weighted_sssp
+
+    v, e = ring_graph(spark, sf_dir)
+    d, _ = weighted_sssp(spark, v, e, source=0, max_rounds=64, num_partitions=16)
+    return d.orderBy("id")
+
+
 BLOOM_BITS = 4096  # deliberately tight so deterministic false positives appear
 BLOOM_K = 3
 
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "bloom_docs": q_bloom_docs,
+        "wsssp_ring": q_wsssp_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1048,6 +1062,32 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _wsssp_sql() -> str:
+    """Unrolled Bellman-Ford relaxations with weight (src+dst)%7+1; after R
+    rounds both engines hold exactly the min cost over <=R-edge paths, and
+    R exceeds the ring's measured convergence, so this IS the shortest-path
+    vector (operators/sssp.py::wsssp_program docstring)."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for t in range(1, WSSSP_UNROLL + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + ((e.src + e.dst) % 7 + 1) AS dist
+    FROM d{t - 1} d JOIN edges e ON e.src = d.id)
+  GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, dist FROM d{WSSSP_UNROLL} ORDER BY id"
+    )
 
 
 def _bloom_sql() -> str:
@@ -1550,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
         "bloom_docs": _bloom_sql(),
+        "wsssp_ring": _wsssp_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

@@ -102,6 +102,118 @@ def sssp_program(source: int, P: int) -> VertexProgram:
     )
 
 
+def wsssp_program(source: int, P: int, weight_fn=None) -> VertexProgram:
+    """Weighted SSSP (delta Bellman-Ford / min-plus) on the kernel.
+
+    After R supersteps, dist(v) is EXACTLY the minimum cost over paths of
+    at most R edges (delta relaxation reaches the same R-round fixpoint as
+    full Bellman-Ford: every improvement re-enters the changed frontier
+    and scatters the following step), so a fixed-round run matches an
+    unrolled SQL relaxation verbatim and a convergence run (active == 0)
+    is the true shortest-path vector.
+
+    weight_fn(src_ids, dst_ids) -> int64 weights per edge; the default is
+    the deterministic arithmetic family (src + dst) % 7 + 1 used by the
+    gate. Weights are derived ONCE in init and stored in state in SCATTER
+    ORDER — the scatter layout is a stable argsort of the CSR edges by
+    destination pid (pregel.py build_parts), so replaying that argsort over
+    the stored `indices` reproduces the exact edge order. At a scale where
+    weights are data (not a formula), they belong in the static structure
+    table instead; the program shape is identical."""
+    SENTINEL = np.iinfo(np.int64).max
+    if weight_fn is None:
+        weight_fn = lambda s, d: (s + d) % 7 + 1  # noqa: E731
+
+    def init(part):
+        ids = np.asarray(part["ids"])
+        indptr = np.asarray(part["indptr"])
+        indices = np.asarray(part["indices"])
+        src_ids = np.repeat(ids, np.diff(indptr))
+        w_csr = np.asarray(weight_fn(src_ids, indices), dtype=np.int64)
+        dpid = indices % P  # pmod: ids are non-negative
+        order2 = np.argsort(dpid, kind="stable")
+        dist = np.full(len(ids), UNREACHED, dtype=np.int64)
+        changed = np.zeros(len(ids), dtype=np.int32)
+        at_src = ids == source
+        dist[at_src] = 0
+        changed[at_src] = 1
+        return {
+            "dist": dist,
+            "changed": changed,
+            "s_w": w_csr[order2],
+            "msgs_in": 0,
+            "active": int(changed.sum()),
+        }
+
+    def scatter(part, step, carry):
+        dist = part["dist"]
+        s_spos, s_dpos, s_bounds = part["s_spos"], part["s_dpos"], part["s_bounds"]
+        s_w = np.asarray(part["s_w"], dtype=np.int64)
+        changed = part["changed"].astype(bool)
+        if not changed.any() or s_dpos.size == 0:
+            return None
+        rows = []
+        for p in range(P):
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
+            if hi <= lo:
+                continue
+            sp = s_spos[lo:hi]
+            m = changed[sp]
+            if not m.any():
+                continue
+            block_pos = s_dpos[lo:hi][m]
+            mins = np.full(int(block_pos.max()) + 1, SENTINEL)
+            np.minimum.at(mins, block_pos, dist[sp[m]] + s_w[lo:hi][m])
+            nz = np.nonzero(mins != SENTINEL)[0]
+            rows.append((int(p), nz.astype(np.int32), mins[nz]))
+        if not rows:
+            return None
+        return pd.DataFrame(rows, columns=["pid", "dpos", "dist"])
+
+    base = sssp_program(source, P)
+
+    def update(part, inbox, step, carry):
+        out = base.update(part, inbox, step, carry)
+        out["s_w"] = np.asarray(part["s_w"], dtype=np.int64)
+        return out
+
+    return VertexProgram(
+        name="wsssp",
+        state_schema=(
+            "dist array<long>, changed array<int>, s_w array<long>, "
+            "msgs_in long, active long"
+        ),
+        msg_schema=base.msg_schema,
+        init=init,
+        scatter=scatter,
+        update=update,
+        stats=base.stats,
+        converged=base.converged,
+        struct_cols=("s_spos", "s_dpos", "s_bounds"),
+    )
+
+
+def weighted_sssp(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int,
+    max_rounds: int = 64,
+    num_partitions: int | None = 32,
+    weight_fn=None,
+) -> tuple[DataFrame, list[dict]]:
+    """Weighted shortest paths from `source` -> ((id, dist), metrics);
+    dist = exact min cost over paths of <= max_rounds edges (unreached
+    vertices carry no row)."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
+    parts = build_parts(spark, vertices, edges, num_partitions)
+    prog = wsssp_program(source, num_partitions, weight_fn=weight_fn)
+    kern = Pregel(spark, parts, num_partitions)
+    final, metrics = kern.run(prog, max_steps=max_rounds)
+    return distances_df(final), metrics
+
+
 def distances_df(parts: DataFrame) -> DataFrame:
     """(id, dist) for vertices reached within the bound; unreached dropped."""
     z = F.explode(F.arrays_zip("ids", "dist")).alias("z")

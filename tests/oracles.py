@@ -215,3 +215,24 @@ def kcore_oracle(vertices, edges, k):
         if not drop:
             return alive
         alive -= drop
+
+
+def weighted_sssp_oracle(vertices, edges, source, weight=lambda s, d: (s + d) % 7 + 1):
+    """Dijkstra (heap) — independent of the engine's Bellman-Ford shape."""
+    import heapq
+
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[s].append((t, weight(s, t)))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist

@@ -302,3 +302,33 @@ def test_kcore_partitioning_invariance(spark):
         core_df, _ = kcore(spark, v, e, k=3, num_partitions=P)
         results.append({r["id"] for r in core_df.collect()})
     assert results[0] == results[1] == results[2]
+
+
+def test_weighted_sssp_matches_dijkstra(spark, graph):
+    from subgraph_isomorphism_pregel_spark.operators.sssp import weighted_sssp
+
+    from .oracles import weighted_sssp_oracle
+
+    v, e, vs, es = graph
+    src = min(vs)
+    d, metrics = weighted_sssp(spark, v, e, source=src, num_partitions=8)
+    got = {r["id"]: r["dist"] for r in d.collect()}
+    assert got == weighted_sssp_oracle(vs, es, src)
+    assert got[src] == 0
+    assert len(metrics) > 0
+
+
+def test_weighted_sssp_custom_weights_and_bound(spark):
+    from subgraph_isomorphism_pregel_spark.operators.sssp import weighted_sssp
+
+    # line graph 0-1-2-3 with heavy custom weight; 2-round bound stops at 2 edges
+    es = [(0, 1), (1, 2), (2, 3)]
+    v = spark.createDataFrame([(i, 0) for i in range(4)], "id long, label int")
+    e = spark.createDataFrame(es, "src long, dst long")
+    wf = lambda s, d: (d - s) * 0 + 10  # constant 10
+    full, _ = weighted_sssp(spark, v, e, source=0, weight_fn=wf, num_partitions=4)
+    assert {r["id"]: r["dist"] for r in full.collect()} == {0: 0, 1: 10, 2: 20, 3: 30}
+    bounded, _ = weighted_sssp(
+        spark, v, e, source=0, max_rounds=2, weight_fn=wf, num_partitions=4
+    )
+    assert {r["id"]: r["dist"] for r in bounded.collect()} == {0: 0, 1: 10, 2: 20}
