@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,cc,lp,sssp,triangles,kcore,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -22,7 +22,8 @@ import sys
 def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
-                   choices=["pagerank", "cc", "lp", "sssp", "triangles", "kcore", "match"])
+                   choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
+                            "triangles", "kcore", "mis", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -46,7 +47,11 @@ def parse_args(argv):
                         "says the pipeline frontier is product-dominated")
     p.add_argument("--rounds", type=int, default=3, help="label-propagation rounds")
     p.add_argument("--source", type=int, default=None,
-                   help="source vertex for --algo sssp (default: min id)")
+                   help="source vertex for --algo sssp/wsssp (default: min id)")
+    p.add_argument("--seeds", default=None,
+                   help="comma-separated seed ids for --algo ppr (default: 10 smallest)")
+    p.add_argument("--steps", type=int, default=5,
+                   help="fixed iterations for --algo hits")
     p.add_argument("--max-hops", type=int, default=64, help="sssp superstep bound")
     p.add_argument("--k", type=int, default=3, help="core order for --algo kcore")
     p.add_argument("--tol", type=float, default=1e-6)
@@ -145,6 +150,44 @@ def main(argv=None):
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             checkpoint_every=args.checkpoint_every,
         )
+    elif args.algo == "wsssp":
+        from pyspark.sql import functions as F
+
+        from subgraph_isomorphism_pregel_spark.operators.sssp import weighted_sssp
+
+        src = args.source
+        if src is None:
+            src = int(vertices.agg(F.min("id")).collect()[0][0])
+        result, metrics = weighted_sssp(
+            spark, vertices, edges, source=src, max_rounds=args.max_hops,
+            num_partitions=args.partitions,
+        )
+    elif args.algo == "ppr":
+        from pyspark.sql import functions as F
+
+        from subgraph_isomorphism_pregel_spark.operators.pagerank import personalized_pagerank
+
+        if args.seeds:
+            seeds = [int(s) for s in args.seeds.split(",")]
+        else:
+            seeds = [int(r[0]) for r in vertices.orderBy("id").limit(10).collect()]
+        result, metrics = personalized_pagerank(
+            spark, vertices, edges, seeds, num_partitions=args.partitions, tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "hits":
+        from subgraph_isomorphism_pregel_spark.operators.hits import hits
+
+        result, metrics = hits(
+            spark, edges, steps=args.steps, num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "mis":
+        from subgraph_isomorphism_pregel_spark.operators.mis import maximal_independent_set
+
+        result = maximal_independent_set(vertices, edges)
     elif args.algo == "triangles":
         from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
 
