@@ -160,6 +160,18 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language n_chars quantiles (rank-ceil convention)."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import group_quantiles
+
+    return group_quantiles(
+        _docs(spark, sf_dir), "lang", "n_chars", qs=list(QUANTILE_QS)
+    ).orderBy("lang", "q")
+
+
 WSSSP_UNROLL = 18  # >= measured 15-superstep convergence on the sf0.01 ring
 
 
@@ -880,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup_events": q_time_rollup_events,
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
+        "doc_quantiles": q_doc_quantiles,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1062,6 +1075,22 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _doc_quantiles_sql() -> str:
+    legs = "\n  UNION ALL\n".join(
+        f"""  SELECT r.lang, CAST({q} AS DOUBLE) AS q, r.n_chars AS value
+  FROM ranked r JOIN counts c ON r.lang = c.lang WHERE r.rn = ceil({q} * c.n)"""
+        for q in QUANTILE_QS
+    )
+    return f"""
+WITH ranked AS (
+  SELECT lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn
+  FROM documents),
+counts AS (SELECT lang, max(rn) AS n FROM ranked GROUP BY lang)
+SELECT lang, q, value FROM (
+{legs})
+ORDER BY lang, q"""
 
 
 def _wsssp_sql() -> str:
@@ -1591,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup_events": TIME_ROLLUP_SQL,
         "bloom_docs": _bloom_sql(),
         "wsssp_ring": _wsssp_sql(),
+        "doc_quantiles": _doc_quantiles_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""
