@@ -160,6 +160,16 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+def q_graph_stats_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global summary of the ring graph (degree moments,
+    reciprocity, degree assortativity) — integer aggregates, float math
+    only in the final expression, so the row is engine-exact."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import graph_stats
+
+    _, e = ring_graph(spark, sf_dir)
+    return graph_stats(e)
+
+
 QUANTILE_QS = (0.5, 0.9, 0.99)
 
 
@@ -893,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
         "doc_quantiles": q_doc_quantiles,
+        "graph_stats_ring": q_graph_stats_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1075,6 +1086,31 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _graph_stats_sql() -> str:
+    return f"""
+WITH {RING_GRAPH.strip().rstrip(',')},
+e2 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, count(*) AS deg FROM e2 GROUP BY src),
+verts2 AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+recip AS (SELECT count(*) AS c FROM e2 a
+          WHERE EXISTS (SELECT 1 FROM e2 b WHERE b.src = a.dst AND b.dst = a.src)),
+dd AS (SELECT dx.deg AS dx, coalesce(dy.deg, 0) AS dy
+       FROM e2 JOIN deg dx ON e2.src = dx.id LEFT JOIN deg dy ON e2.dst = dy.id),
+agg AS (SELECT count(*) AS m, sum(dx) AS sx, sum(dy) AS sy,
+               sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+        FROM dd)
+SELECT (SELECT count(*) FROM verts2) AS n_vertices,
+       m AS n_edges,
+       round(CAST(m AS DOUBLE) / (SELECT count(*) FROM verts2), 6) AS avg_out_degree,
+       (SELECT max(deg) FROM deg) AS max_out_degree,
+       round((SELECT CAST(c AS DOUBLE) FROM recip) / m, 6) AS reciprocity,
+       round(CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+             THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))
+             ELSE 0.0 END, 6) AS assortativity_r
+FROM agg"""
 
 
 def _doc_quantiles_sql() -> str:
@@ -1621,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_docs": _bloom_sql(),
         "wsssp_ring": _wsssp_sql(),
         "doc_quantiles": _doc_quantiles_sql(),
+        "graph_stats_ring": _graph_stats_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

@@ -20,6 +20,67 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row global graph summary over a DIRECTED edge list:
+
+    n_vertices, n_edges, avg_out_degree, max_out_degree, reciprocity
+    (fraction of edges whose reverse also exists), assortativity_r
+    (degree assortativity: Pearson correlation of (out-deg(src),
+    out-deg(dst)) over edges, rounded to 6dp).
+
+    Engine-exact by construction: every aggregate (degree sums, sum of
+    products, squared sums, reciprocal-edge count) is INTEGER — order-free
+    — and floating point appears only in the final one-row expression,
+    where IEEE division/sqrt of identical integers is bit-identical on
+    any engine. Plan: one degree groupBy, one self-join for reciprocity
+    (left-semi on the reversed pair), one edge-level join to attach both
+    endpoint degrees, a single global aggregate."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "id")
+    verts = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.join(rev, ["src", "dst"], "left_semi").count()
+    dd = (
+        e.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "dx"), "src")
+        .join(
+            deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dy"),
+            "dst",
+            "left",
+        )
+        .select(F.col("dx"), F.coalesce("dy", F.lit(0)).alias("dy"))
+    )
+    agg = dd.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n_v = verts.count()
+    m = F.col("m")
+    num = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (m * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        agg.crossJoin(deg.agg(F.max("deg").alias("max_out_degree")))
+        .select(
+            F.lit(n_v).cast("long").alias("n_vertices"),
+            m.alias("n_edges"),
+            F.round(m.cast("double") / n_v, 6).alias("avg_out_degree"),
+            "max_out_degree",
+            F.round(F.lit(n_recip).cast("double") / m, 6).alias("reciprocity"),
+            F.round(
+                F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+            ).alias("assortativity_r"),
+        )
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,

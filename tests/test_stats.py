@@ -53,3 +53,39 @@ def test_group_quantiles_bad_inputs(spark):
         group_quantiles(df, "lang", "n_chars", qs=[0.0])
     with pytest.raises(ValueError):
         group_quantiles(df, "lang", "n_chars", qs=[])
+
+
+def test_graph_stats_known_graph(spark):
+    """Hand-checkable directed triangle-with-tail: 0->1,1->2,2->0,0->2,2->3."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import graph_stats
+
+    es = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 3)]
+    e = spark.createDataFrame(es, "src long, dst long")
+    r = graph_stats(e).collect()[0]
+    assert r["n_vertices"] == 4 and r["n_edges"] == 5
+    assert r["max_out_degree"] == 2
+    assert r["avg_out_degree"] == 1.25
+    # reciprocal pairs: (2,0)/(0,2) -> 2 of 5 edges
+    assert r["reciprocity"] == 0.4
+    # dx/dy with out-degs {0:2,1:1,2:2,3:0}: pairs (2,1),(1,2),(2,2),(2,2),(2,0)
+    import math
+
+    xs, ys = [2, 1, 2, 2, 2], [1, 2, 2, 2, 0]
+    m = 5
+    num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(
+        (m * sum(x * x for x in xs) - sum(xs) ** 2)
+        * (m * sum(y * y for y in ys) - sum(ys) ** 2)
+    )
+    assert r["assortativity_r"] == round(num / den, 6)
+
+
+def test_graph_stats_degenerate_assortativity(spark):
+    """Uniform degrees -> zero variance -> assortativity pinned to 0.0."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import graph_stats
+
+    es = [(0, 1), (1, 0)]
+    e = spark.createDataFrame(es, "src long, dst long")
+    r = graph_stats(e).collect()[0]
+    assert r["reciprocity"] == 1.0
+    assert r["assortativity_r"] == 0.0
