@@ -160,6 +160,20 @@ def q_clustering_coeff_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(spark, v, e).orderBy("id")
 
 
+def q_wpagerank_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-transition PageRank on the ring graph, fixed PR_STEPS
+    iterations; edge weight (src + dst) % 7 + 1."""
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    scores, _ = weighted_pagerank(
+        spark, v, e, num_partitions=16, fixed_steps=PR_STEPS
+    )
+    return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
+
+
 def q_graph_stats_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row global summary of the ring graph (degree moments,
     reciprocity, degree assortativity) — integer aggregates, float math
@@ -904,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wsssp_ring": q_wsssp_ring,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
+        "wpagerank_ring": q_wpagerank_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "sssp_supply": q_sssp_supply,
@@ -1086,6 +1101,36 @@ SELECT v.id,
             ELSE 0.0 END AS coeff_r
 FROM rv v LEFT JOIN tcount t ON v.id = t.id LEFT JOIN deg d ON v.id = d.id
 ORDER BY v.id""".replace("{RING}", RING_GRAPH.strip().rstrip(","))
+
+
+def _wpagerank_sql() -> str:
+    """Weighted PageRank oracle: transition mass score/wsum * w per edge
+    (the exact operand order the kernel's scatter uses), unrolled PR_STEPS
+    times on the ring graph; no dangling term (every ring vertex has
+    out-weight)."""
+    d, steps = 0.85, PR_STEPS
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "wdeg AS (SELECT src AS id, sum((src + dst) % 7 + 1) AS wsum FROM edges GROUP BY src)",
+        "nv AS (SELECT count(*) AS n FROM rv)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS score FROM rv)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT v.id,
+         {1 - d} / (SELECT n FROM nv) + {d} * coalesce(s.contrib, 0) AS score
+  FROM rv v LEFT JOIN (
+    SELECT e.dst AS id,
+           sum(r.score / wd.wsum * ((e.src + e.dst) % 7 + 1)) AS contrib
+    FROM r{t - 1} r JOIN edges e ON r.id = e.src JOIN wdeg wd ON wd.id = e.src
+    GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
 
 
 def _graph_stats_sql() -> str:
@@ -1658,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "wsssp_ring": _wsssp_sql(),
         "doc_quantiles": _doc_quantiles_sql(),
         "graph_stats_ring": _graph_stats_sql(),
+        "wpagerank_ring": _wpagerank_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "sssp_supply": f"""

@@ -254,6 +254,129 @@ def personalized_pagerank(
     return scores_df(final), metrics
 
 
+def weighted_pagerank_program(
+    n_vertices: int,
+    P: int,
+    tol: float = 1e-6,
+    fixed_steps: int | None = None,
+    weight_fn=None,
+) -> VertexProgram:
+    """PageRank with weighted transitions: a walker at u moves to v with
+    probability w(u,v) / W(u) where W(u) is u's total out-weight (dangling
+    = W(u) == 0). weight_fn(src_ids, dst_ids) -> float64 per-edge weights;
+    default (src + dst) % 7 + 1 (the gate's arithmetic family). Weights
+    and per-source totals derive ONCE in init by replaying the scatter
+    layout's stable argsort over the CSR indices (see
+    sssp.wsssp_program); everything else is the global program."""
+    N = float(n_vertices)
+    d = DAMPING
+    if weight_fn is None:
+        weight_fn = lambda s, t: (s + t) % 7 + 1  # noqa: E731
+    base = pagerank_program(n_vertices, P, tol=tol, fixed_steps=fixed_steps)
+
+    def init(part):
+        ids = np.asarray(part["ids"])
+        indptr = np.asarray(part["indptr"])
+        indices = np.asarray(part["indices"])
+        src_ids = np.repeat(ids, np.diff(indptr))
+        w_csr = np.asarray(weight_fn(src_ids, indices), dtype=np.float64)
+        wsum = np.zeros(len(ids))
+        src_pos = np.repeat(np.arange(len(ids)), np.diff(indptr))
+        np.add.at(wsum, src_pos, w_csr)
+        order2 = np.argsort(indices % P, kind="stable")
+        nv = len(ids)
+        rank = np.full(nv, 1.0 / N)
+        dang_pos = np.nonzero(wsum == 0.0)[0].astype(np.int64)
+        return {
+            "rank": rank,
+            "dang_pos": dang_pos,
+            "s_w": w_csr[order2],
+            "wsum": wsum,
+            "max_delta": 1.0,
+            "dangling_partial": float(rank[dang_pos].sum()),
+            "msgs_in": 0,
+            "active": nv,
+        }
+
+    def scatter(part, step, carry):
+        rank = part["rank"]
+        s_spos, s_dpos = part["s_spos"], part["s_dpos"]
+        s_bounds = part["s_bounds"]
+        if s_dpos.size == 0:
+            return None
+        wsum = np.asarray(part["wsum"], dtype=np.float64)
+        s_w = np.asarray(part["s_w"], dtype=np.float64)
+        safe = np.where(wsum > 0, wsum, 1.0)
+        rows = []
+        for p in range(P):
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
+            if hi <= lo:
+                continue
+            sp = s_spos[lo:hi]
+            contrib = rank[sp] / safe[sp] * s_w[lo:hi]
+            dense = np.bincount(s_dpos[lo:hi], weights=contrib)
+            nz = np.nonzero(dense)[0]
+            rows.append((int(p), nz.astype(np.int32), dense[nz]))
+        return pd.DataFrame(rows, columns=["pid", "dpos", "contrib"])
+
+    def update(part, inbox, step, carry):
+        out = base.update(part, inbox, step, carry)
+        out["s_w"] = np.asarray(part["s_w"], dtype=np.float64)
+        out["wsum"] = np.asarray(part["wsum"], dtype=np.float64)
+        return out
+
+    return VertexProgram(
+        name="wpagerank",
+        state_schema=(
+            "rank array<double>, dang_pos array<long>, s_w array<double>, "
+            "wsum array<double>, max_delta double, dangling_partial double, "
+            "msgs_in long, active long"
+        ),
+        msg_schema=base.msg_schema,
+        init=init,
+        scatter=scatter,
+        update=update,
+        stats=base.stats,
+        carry_fn=base.carry_fn,
+        converged=base.converged,
+        struct_cols=("s_spos", "s_dpos", "s_bounds"),
+    )
+
+
+def weighted_pagerank(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_partitions: int | None = 32,
+    tol: float = 1e-6,
+    max_steps: int = 100,
+    fixed_steps: int | None = None,
+    weight_fn=None,
+) -> tuple[DataFrame, list[dict]]:
+    """Weighted-transition PageRank -> ((id, score), metrics).
+
+    weight_fn must be strictly positive (the step-1 dangling carry is
+    derived from out-edge EXISTENCE; a zero-weight edge would break that
+    equivalence)."""
+    if num_partitions is None:
+        num_partitions = auto_partitions(edges.count())
+    n = vertices.count()
+    # initial dangling mass: vertices with zero out-WEIGHT — with strictly
+    # positive weights that is exactly the vertices with no out-edges
+    n_dangling = n - edges.select("src").distinct().count()
+    parts = build_parts(spark, vertices, edges, num_partitions)
+    prog = weighted_pagerank_program(
+        n, num_partitions, tol=tol, fixed_steps=fixed_steps, weight_fn=weight_fn
+    )
+    kern = Pregel(spark, parts, num_partitions)
+    final, metrics = kern.run(
+        prog,
+        max_steps=fixed_steps or max_steps,
+        carry0={"dangling": n_dangling / n if n else 0.0},
+    )
+    return scores_df(final), metrics
+
+
 def scores_df(parts: DataFrame) -> DataFrame:
     """parts -> (id, score), JVM-side explode of the aligned arrays."""
     z = F.explode(F.arrays_zip("ids", "rank")).alias("z")

@@ -332,3 +332,35 @@ def test_weighted_sssp_custom_weights_and_bound(spark):
         spark, v, e, source=0, max_rounds=2, weight_fn=wf, num_partitions=4
     )
     assert {r["id"]: r["dist"] for r in bounded.collect()} == {0: 0, 1: 10, 2: 20}
+
+
+def test_weighted_pagerank_matches_python(spark, graph):
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import weighted_pagerank
+
+    v, e, vs, es = graph
+    scores, _ = weighted_pagerank(spark, v, e, num_partitions=8, fixed_steps=6)
+    got = {r["id"]: r["score"] for r in scores.collect()}
+    # python replay of the weighted recurrence
+    ids = sorted(vs)
+    idx = {x: i for i, x in enumerate(ids)}
+    n = len(ids)
+    import numpy as _np
+
+    w = {(s, t): (s + t) % 7 + 1 for s, t in es}
+    wsum = {x: 0.0 for x in ids}
+    for (s, t), ww in w.items():
+        wsum[s] += ww
+    rank = _np.full(n, 1.0 / n)
+    for _ in range(6):
+        contrib = _np.zeros(n)
+        dangling = 0.0
+        for x in ids:
+            if wsum[x] == 0:
+                dangling += rank[idx[x]]
+        for (s, t), ww in w.items():
+            contrib[idx[t]] += rank[idx[s]] / wsum[s] * ww
+        rank = (1 - 0.85) / n + 0.85 * (contrib + dangling / n)
+    assert set(got) == set(ids)
+    for x in ids:
+        assert abs(got[x] - rank[idx[x]]) < 1e-9, x
+    assert abs(sum(got.values()) - 1.0) < 1e-6
