@@ -231,6 +231,17 @@ def q_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "maybe_present").orderBy("doc_id")
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the continuous aggregate (streaming time-bucket leaf
+    rollup merged into an Iceberg-style snapshot table) — the streaming
+    drain itself is verified exactly against this in pytest via a 5-file
+    AvailableNow schedule (streaming/rollup_stream.py)."""
+    from subgraph_isomorphism_pregel_spark.streaming.rollup_stream import rollup_leaf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rollup_leaf(ev).orderBy("bucket_id", "event_type")
+
+
 def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute time-bucket ROLLUP over (bucket, event_type): per-bucket
     per-type, per-bucket subtotal, and grand-total rows."""
@@ -914,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
+        "stream_rollup": q_stream_rollup,
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
         "doc_quantiles": q_doc_quantiles,
@@ -1214,6 +1226,13 @@ probe AS (SELECT doc_id, {p} AS pos FROM documents, hashes)
 SELECT probe.doc_id, count(bits.pos) = {BLOOM_K} AS maybe_present
 FROM probe LEFT JOIN bits ON probe.pos = bits.pos
 GROUP BY probe.doc_id ORDER BY probe.doc_id"""
+
+
+STREAM_ROLLUP_SQL = """
+SELECT epoch_us(ts) // 900000000 AS bucket_id, event_type,
+       count(*) AS n,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 TIME_ROLLUP_SQL = """
@@ -1699,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
+        "stream_rollup": STREAM_ROLLUP_SQL,
         "bloom_docs": _bloom_sql(),
         "wsssp_ring": _wsssp_sql(),
         "doc_quantiles": _doc_quantiles_sql(),

@@ -112,6 +112,16 @@ def write_table(df: DataFrame, path: str, partition_by: str = "lang") -> int:
     return _commit(path, files, partition_by, parent=None)
 
 
+def overwrite_table(df: DataFrame, path: str) -> int:
+    """Replace the table contents as a NEW snapshot (previous snapshots
+    stay readable via time travel until expire_snapshots reclaims them) —
+    the commit primitive behind streaming MERGE/continuous aggregates."""
+    cur = _load_snapshot(path, None)
+    sid = cur["snapshot_id"] + 1
+    new_files = _write_data_files(df, path, cur["partition_by"], sid=sid)
+    return _commit(path, new_files, cur["partition_by"], cur["snapshot_id"])
+
+
 def append_table(df: DataFrame, path: str) -> int:
     """Append df as a new snapshot (previous snapshots stay readable)."""
     cur = _load_snapshot(path, None)

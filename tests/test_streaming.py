@@ -191,3 +191,42 @@ def test_stream_dedup_replayed_source(spark, tmp_path):
     assert len(got) == len(set(got))  # replay fully collapsed
     assert set(got) == want
     assert 0 < len(got) < 2 * ev.count()
+
+
+def test_rollup_stream_matches_batch_and_snapshots(spark, tmp_path):
+    """Continuous aggregate: a 5-file AvailableNow drain with foreachBatch
+    merges into the snapshot table must EQUAL the batch leaf rollup
+    exactly, and the table must have accumulated one snapshot per batch
+    (time travel shows strictly growing coverage)."""
+    from subgraph_isomorphism_pregel_spark.sources import icetable
+    from subgraph_isomorphism_pregel_spark.streaming.rollup_stream import (
+        rollup_leaf,
+        rollup_stream_availablenow,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ingest = str(tmp_path / "ingest")
+    for i in range(5):
+        ev.where(F.col("event_id") % 5 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(ingest)
+    table = str(tmp_path / "rollup_table")
+    final = rollup_stream_availablenow(spark, ingest, table)
+    got = {
+        (r["bucket_id"], r["event_type"]): (r["n"], r["total_value"])
+        for r in final.collect()
+    }
+    want = {
+        (r["bucket_id"], r["event_type"]): (r["n"], r["total_value"])
+        for r in rollup_leaf(ev).collect()
+    }
+    assert got == want
+    sid = icetable.current_snapshot_id(table)
+    assert sid >= 2  # incremental merges actually happened
+    early = icetable.read_table(spark, table, snapshot_id=1)
+    assert 0 < early.count() <= len(got)
+    # a key's count at snapshot 1 never exceeds its final count
+    first = {
+        (r["bucket_id"], r["event_type"]): r["n"] for r in early.collect()
+    }
+    assert all(first[k] <= got[k][0] for k in first)
