@@ -209,6 +209,19 @@ def q_wsssp_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("id")
 
 
+def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (forward-backward coloring on the BSP
+    kernel) over the deterministic directed dag-of-cycles fixture; scc = min
+    vertex id in the component. Oracle: DuckDB transitive closure (mutual
+    reachability) over the identical SQL-built edge set."""
+    from subgraph_isomorphism_pregel_spark.operators.scc import scc
+    from subgraph_isomorphism_pregel_spark.sources.graph import dag_cycles_graph
+
+    v, e = dag_cycles_graph(spark, sf_dir)
+    out, _ = scc(spark, v, e, num_partitions=4)
+    return out.orderBy("id")
+
+
 BLOOM_BITS = 4096  # deliberately tight so deterministic false positives appear
 BLOOM_K = 3
 
@@ -663,6 +676,22 @@ def q_repetition_score(spark, sf_dir):
     return repetition_score(_docs(spark, sf_dir))
 
 
+def q_hll_docs(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-text estimate (p=6, 64 registers);
+    the oracle twin reproduces the registers AND the IEEE arithmetic exactly."""
+    from subgraph_isomorphism_pregel_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), "text", p=6)
+
+
+def q_cms_tokens(spark, sf_dir):
+    """Count-min-sketch token heavy hitters (d=3, w=256, top 20): even the
+    sketch's collision over-counts reproduce in the DuckDB twin."""
+    from subgraph_isomorphism_pregel_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir))
 
@@ -928,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": q_stream_rollup,
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
+        "scc_dag_cycles": q_scc_dag_cycles,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
@@ -956,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "repetition_score": q_repetition_score,
+        "hll_docs": q_hll_docs,
+        "cms_tokens": q_cms_tokens,
         "tfidf_topk": q_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
@@ -1701,6 +1733,16 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _hll_sql_twin() -> str:
+    """The HLL oracle is GENERATED by the same helper that documents the
+    operator (identical double literals, identical operation order) — the
+    one case where sharing the text is the point: the gate checks that the
+    Spark PLAN reproduces this arithmetic, not that two strings agree."""
+    from subgraph_isomorphism_pregel_spark.operators.sketches import hll_sql
+
+    return hll_sql("documents", "text", p=6)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -1721,6 +1763,41 @@ def oracle_sql() -> dict[str, str]:
         "stream_rollup": STREAM_ROLLUP_SQL,
         "bloom_docs": _bloom_sql(),
         "wsssp_ring": _wsssp_sql(),
+        # SCC oracle: mutual transitive reachability over the identical
+        # SQL-built directed fixture; scc(v) = min id mutually reachable
+        # with v (v itself included via the LEFT JOIN + least)
+        "scc_dag_cycles": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part),
+raw AS (
+  SELECT i AS src, (i // 50) * 50 + ((i % 50) + 1) % 50 AS dst FROM ids
+   WHERE NOT (i // 50 = 1 AND (i % 50 = 44 OR i % 50 = 49))
+  UNION ALL
+  SELECT i, (i // 50) * 50 FROM ids WHERE i // 50 = 1 AND i % 50 = 44
+  UNION ALL
+  SELECT i, (i // 50) * 50 + ((i % 50) * 7 + 3) % 50 FROM ids WHERE i // 50 <> 1
+  UNION ALL
+  SELECT i, (i // 50) * 50 + ((i % 50) * 7 + 3) % 45 FROM ids
+   WHERE i // 50 = 1 AND i % 50 < 45
+  UNION ALL
+  SELECT i, i - 50 FROM ids WHERE i >= 50),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw
+  WHERE dst >= 0 AND dst < (SELECT n FROM nn) AND src <> dst),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+mins AS (
+  SELECT r1.src AS id, min(r1.dst) AS mu
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+  GROUP BY r1.src)
+SELECT CAST(v.i AS BIGINT) AS id,
+       CAST(least(v.i, coalesce(m.mu, v.i)) AS BIGINT) AS scc
+FROM ids v LEFT JOIN mins m ON v.i = m.id
+ORDER BY id
+""",
         "doc_quantiles": _doc_quantiles_sql(),
         "graph_stats_ring": _graph_stats_sql(),
         "wpagerank_ring": _wpagerank_sql(),
@@ -1966,6 +2043,18 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, term ASC) AS rnk FROM s)
 SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""",
+        "hll_docs": _hll_sql_twin(),
+        "cms_tokens": """
+WITH w AS (SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+           FROM documents),
+tok AS (SELECT unnest(words) AS t FROM w),
+buck AS (SELECT t, r,
+         CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 8) AS UBIGINT) AS BIGINT) % 256 AS b
+         FROM tok, (SELECT unnest(range(0, 3)) AS r)),
+counters AS (SELECT r, b, count(*) AS cnt FROM buck GROUP BY r, b),
+probe AS (SELECT DISTINCT t, r, b FROM buck),
+est AS (SELECT p.t, min(c.cnt) AS est FROM probe p JOIN counters c USING (r, b) GROUP BY p.t)
+SELECT t AS token, est FROM est ORDER BY est DESC, t LIMIT 20""",
         "dedup_exact": """
 WITH g AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS group_size
            FROM documents GROUP BY md5(text))

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.kcore import kcore  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.sketches import cms_heavy_hitters, hll_distinct  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.textops import repetition_score, tfidf_topk  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
@@ -289,6 +290,8 @@ def main() -> None:
 
     bench("repetition_score", lambda: repetition_score(docs).count())
     bench("tfidf_topk", lambda: tfidf_topk(docs).count())
+    bench("hll_distinct", lambda: hll_distinct(docs, "text", p=12).count())
+    bench("cms_heavy_hitters", lambda: cms_heavy_hitters(docs).count())
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bench("cosine_topk", lambda: cosine_topk(emb, k=5, n_queries=20).count())

@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,scc,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -23,7 +23,7 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
-                            "triangles", "kcore", "mis", "match"])
+                            "triangles", "kcore", "mis", "scc", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -188,6 +188,15 @@ def main(argv=None):
         from subgraph_isomorphism_pregel_spark.operators.mis import maximal_independent_set
 
         result = maximal_independent_set(vertices, edges)
+    elif args.algo == "scc":
+        from subgraph_isomorphism_pregel_spark.operators.scc import scc as run_scc
+
+        result, metrics = run_scc(
+            spark, vertices, edges,
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
     elif args.algo == "triangles":
         from subgraph_isomorphism_pregel_spark.operators.triangles import triangles_per_vertex
 

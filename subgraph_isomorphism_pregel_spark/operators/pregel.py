@@ -112,6 +112,7 @@ def build_parts(
     vertices: DataFrame,
     edges: DataFrame,
     num_partitions: int | None = None,
+    edge_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Pack the graph into one CSR block per partition.
 
@@ -131,8 +132,23 @@ def build_parts(
     num_partitions=None sizes blocks by edge volume (auto_partitions); the
     algorithm entry points resolve this BEFORE calling so the kernel and the
     program agree on P.
+
+    edge_cols: optional DATA-CARRIED per-edge attributes — {name: "int"|"long"}
+    columns present on `edges` — stored in the static structure table in
+    SCATTER ORDER as ``s_<name>`` arrays (aligned with s_spos/s_dpos, so a
+    scatter program reads the attribute of slot k directly). This is the
+    structural home for edge data that is not a formula of the endpoints
+    (direction flags on a union graph, measured weights): the wsssp-style
+    init replay only works for derivable weights. Attribute arrays live in
+    the struct table, written once — they never ride the per-step state
+    checkpoint.
     """
     P = num_partitions if num_partitions is not None else auto_partitions(edges.count())
+    edge_cols = dict(edge_cols or {})
+    _npt = {"int": np.int32, "long": np.int64}
+    for c, t in edge_cols.items():
+        if t not in _npt:
+            raise ValueError(f"build_parts: edge_cols[{c!r}] must be 'int' or 'long', got {t!r}")
     from pyspark.sql.window import Window
 
     v = vertices.withColumn("pid", F.pmod(F.col("id"), F.lit(P)).cast("int"))
@@ -196,6 +212,10 @@ def build_parts(
             s_spos = pos[order2].astype(np.int32)
             s_dpos = dpos[order2]
             s_bounds = np.searchsorted(dpid[order2], np.arange(P + 1)).astype(np.int64)
+            extra = {
+                f"s_{c}": e_pdf[c].values.astype(_npt[t])[eorder][order2]
+                for c, t in edge_cols.items()
+            }
         else:
             indptr = np.zeros(len(ids) + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
@@ -204,6 +224,9 @@ def build_parts(
             s_spos = np.empty(0, dtype=np.int32)
             s_dpos = np.empty(0, dtype=np.int32)
             s_bounds = np.zeros(P + 1, dtype=np.int64)
+            extra = {
+                f"s_{c}": np.empty(0, dtype=_npt[t]) for c, t in edge_cols.items()
+            }
         return pd.DataFrame(
             {
                 "pid": [pid],
@@ -216,13 +239,17 @@ def build_parts(
                 "s_spos": [s_spos],
                 "s_dpos": [s_dpos],
                 "s_bounds": [s_bounds],
+                **{k: [v_] for k, v_ in extra.items()},
             }
         )
 
+    schema = BASE_SCHEMA + "".join(
+        f", s_{c} array<{t}>" for c, t in edge_cols.items()
+    )
     parts = (
         v.groupBy("pid")
         .cogroup(e.groupBy("pid"))
-        .applyInPandas(make_csr, BASE_SCHEMA)
+        .applyInPandas(make_csr, schema)
     )
     return parts
 
@@ -253,7 +280,19 @@ def add_vertices(
     contract as build_parts). Per-step STATE built on the old graph is not
     migrated — rerun the program's init, or resume with a program whose init
     handles grown blocks.
+
+    Not yet supported for graphs built with build_parts(edge_cols=...): the
+    incremental CSR rebuild does not re-derive the s_<attr> scatter-order
+    attribute arrays (raises rather than silently dropping them).
     """
+    base_cols = {f.strip().split()[0] for f in BASE_SCHEMA.split(",")}
+    extra_attr = [c for c in parts.columns if c not in base_cols]
+    if extra_attr:
+        raise NotImplementedError(
+            "add_vertices: incremental rebuild does not support edge "
+            f"attribute columns yet (found {extra_attr}); rebuild with "
+            "build_parts instead"
+        )
     P = num_partitions
     from pyspark.sql.window import Window
 
@@ -522,16 +561,16 @@ class Pregel:
 
             def do_init(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in pdf_iter:
+                    # drop every STRUCT column from the state output (ids,
+                    # CSR arrays, scatter layout, and any s_<edge_col>
+                    # attribute arrays) — only pid crosses over
+                    drop = set(pdf.columns) - {"pid"}
                     out = []
                     for _, row in pdf.iterrows():
                         part = _part_to_dict(row)
                         part.update(init_fn(part))
                         out.append(
-                            {
-                                k: v
-                                for k, v in part.items()
-                                if k not in STRUCT_ONLY and k != "ids"
-                            }
+                            {k: v for k, v in part.items() if k not in drop}
                         )
                     yield pd.DataFrame(out)
 

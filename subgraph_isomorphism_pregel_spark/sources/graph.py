@@ -142,6 +142,75 @@ def supply_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return vertices, edges
 
 
+def dag_cycles_graph(
+    spark: SparkSession, sf_dir: str, group: int = 50
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic DIRECTED graph over part's key space (SCC fixture).
+
+    ids 0..n-1 as in ring_graph; with B = `group` and g = i div B, edge
+    families (every edge guarded to stay inside [0, n)):
+
+      succ : i -> g*B + ((i mod B) + 1) mod B   per-group directed cycle —
+             EXCEPT group 1, where the edges out of locals B-6 and B-1 are
+             omitted and local B-6 instead closes early to the group start:
+             group 1 becomes a (B-5)-cycle plus a 5-vertex TAIL CHAIN of
+             singleton SCCs (the multi-round coloring case: a singleton
+             chain decides one vertex per color round)
+      chord: i -> g*B + ((i mod B)*7 + 3) mod B in-group jump (keeps the
+             flood diameter small) — for group 1 the chord is taken mod
+             B-5 and only for locals < B-5, so it stays INSIDE the
+             shortened cycle and never re-closes the tail chain
+      down : i -> i - B for i >= B              DAG edges toward SMALLER ids
+
+    Every complete group except group 1 is one B-vertex SCC; `down` edges
+    chain the condensation WITHOUT merging groups.  Because the DAG points
+    toward smaller ids, each group's minimum is its own color root, so the
+    forward-backward coloring decides all cyclic groups (and the chain
+    head) in its first round; the remaining chain vertices decide one per
+    round.  The identical construction is expressible in ANSI SQL, which
+    makes the SCC operator oracle-checkable against a DuckDB
+    transitive-closure query.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    B = group
+    min_key = part.agg(F.min("p_partkey")).collect()[0][0]
+    ids = part.select((F.col("p_partkey") - F.lit(min_key)).alias("i"))
+    g = F.col("i") - (F.col("i") % B)  # g*B
+    local = F.col("i") % B
+    in_g1 = g == B
+    succ = ids.select(
+        F.col("i").alias("src"), (g + (local + 1) % B).alias("dst")
+    ).where(
+        ~(
+            (F.col("src") - F.col("src") % B == B)
+            & ((F.col("src") % B).isin(B - 6, B - 1))
+        )
+    )
+    close = ids.where(in_g1 & (local == B - 6)).select(
+        F.col("i").alias("src"), g.alias("dst")
+    )
+    chord = ids.where(~in_g1).select(
+        F.col("i").alias("src"), (g + (local * 7 + 3) % B).alias("dst")
+    )
+    chord1 = ids.where(in_g1 & (local < B - 5)).select(
+        F.col("i").alias("src"), (g + (local * 7 + 3) % (B - 5)).alias("dst")
+    )
+    down = ids.where(F.col("i") >= B).select(
+        F.col("i").alias("src"), (F.col("i") - B).alias("dst")
+    )
+    edges = (
+        succ.unionByName(close)
+        .unionByName(chord)
+        .unionByName(chord1)
+        .unionByName(down)
+        .where((F.col("dst") >= 0) & (F.col("dst") < n) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+    vertices = ids.select(F.col("i").alias("id"), (F.col("i") % 4).cast("int").alias("label"))
+    return vertices, edges
+
+
 def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Deterministic labeled unipartite graph over part's key space.
 
