@@ -222,6 +222,18 @@ def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
+def q_butterflies_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (bipartite 4-cycle) count over the part—supplier bipartite
+    edge set — the bipartite analog of the triangle gate."""
+    from subgraph_isomorphism_pregel_spark.operators.triangles import butterflies
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+    return butterflies(pairs, center="src")
+
+
 BLOOM_BITS = 4096  # deliberately tight so deterministic false positives appear
 BLOOM_K = 3
 
@@ -929,6 +941,21 @@ def q_windowed_events(spark, sf_dir):
     return windowed_counts(ev).orderBy("window_start", "event_type")
 
 
+def q_attrib_join_events(spark, sf_dir):
+    """Click->purchase attribution: the stream-stream interval join's batch
+    twin (same expression; the streaming AvailableNow drain is asserted
+    bit-equal to this in pytest). Inclusive 6-hour window per user; exact
+    integer-microsecond delays."""
+    from subgraph_isomorphism_pregel_spark.streaming.interval_join import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return interval_join(clicks, purchases, tolerance="6 hours").orderBy(
+        "left_id", "right_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank to 1e-6 convergence on the sf0.001 supply graph."""
     sf_dir = "/root/testdata/sf0.001"
@@ -958,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
         "scc_dag_cycles": q_scc_dag_cycles,
+        "butterflies_supply": q_butterflies_supply,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
@@ -1008,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "icetable_docs": q_icetable_docs,
         "windowed_events": q_windowed_events,
+        "attrib_join_events": q_attrib_join_events,
         "sessionize_events": q_sessionize_events,
         "sessionize_native": q_sessionize_native,
         "match_embeddings_path3_ring": q_match_embeddings_path3_ring,
@@ -1798,6 +1827,16 @@ SELECT CAST(v.i AS BIGINT) AS id,
 FROM ids v LEFT JOIN mins m ON v.i = m.id
 ORDER BY id
 """,
+        # butterflies = Σ over supplier pairs of C(common parts, 2); the
+        # wedge direction (parts as centers) mirrors the Spark plan, but the
+        # total is side-invariant so the gate checks the COUNT, not the plan
+        "butterflies_supply": """
+WITH base AS (SELECT DISTINCT l_partkey AS c, l_suppkey AS x FROM lineitem),
+codeg AS (SELECT a.x AS x, b.x AS y, count(*) AS cd
+          FROM base a JOIN base b ON a.c = b.c AND a.x < b.x
+          GROUP BY a.x, b.x)
+SELECT CAST(coalesce(sum(cd * (cd - 1) // 2), 0) AS BIGINT) AS butterflies
+FROM codeg""",
         "doc_quantiles": _doc_quantiles_sql(),
         "graph_stats_ring": _graph_stats_sql(),
         "wpagerank_ring": _wpagerank_sql(),
@@ -2240,6 +2279,14 @@ SELECT 'current_en' AS snap, lang, count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS sum_id
 FROM documents WHERE lang = 'en' GROUP BY lang
 ORDER BY snap, lang""",
+        "attrib_join_events": """
+SELECT l.event_id AS left_id, r.event_id AS right_id, l.user_id AS user_id,
+       epoch_us(r.ts) - epoch_us(l.ts) AS delay_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+ORDER BY left_id, right_id""",
         "windowed_events": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n,

@@ -110,3 +110,46 @@ def triangles_per_vertex(spark: SparkSession, vertices: DataFrame, edges: DataFr
         .join(counts, "id", "left")
         .select("id", F.coalesce("tri", F.lit(0)).alias("tri"))
     )
+
+
+def butterflies(
+    edges: DataFrame,
+    center: str = "src",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """One-row (butterflies long): number of butterflies — bipartite
+    4-cycles, the bipartite analog of triangles — in a bipartite edge set
+    (one row per edge, src on one side, dst on the other).
+
+    butterflies = Σ over same-side pairs (x < y) of C(codeg(x, y), 2):
+    wedges through each `center`-side vertex pair off its neighbors, the
+    codegree table counts common centers per endpoint pair, and each pair
+    of common centers closes one 4-cycle. The total is side-invariant, so
+    `center` only picks WHICH side fans out in the wedge self-join — choose
+    the side whose Σ deg² is smaller (that sum IS the wedge volume). One
+    self-join shuffle + one aggregate; no Python.
+
+    max_center_degree (optional) drops hub centers before the self-join —
+    a center of degree d contributes C(d, 2) wedge rows, so one 10^6-degree
+    hub is 5·10^11 rows; capped counting is then a documented undercount,
+    the standard scale valve (same knob as adamic_adar_topk).
+    """
+    other = "dst" if center == "src" else "src"
+    e = edges.select(F.col(center).alias("c"), F.col(other).alias("x")).distinct()
+    if max_center_degree is not None:
+        deg = e.groupBy("c").agg(F.count("*").alias("d"))
+        e = e.join(
+            F.broadcast(deg.where(F.col("d") <= max_center_degree).select("c")), "c"
+        )
+    a = e.alias("a")
+    b = e.select(F.col("c"), F.col("x").alias("y")).alias("b")
+    codeg = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.x") < F.col("b.y")))
+        .groupBy("a.x", "b.y")
+        .agg(F.count("*").alias("cd"))
+    )
+    return codeg.agg(
+        F.coalesce(
+            F.sum(F.expr("cd * (cd - 1) DIV 2")), F.lit(0).cast("long")
+        ).alias("butterflies")
+    )

@@ -230,3 +230,30 @@ def test_rollup_stream_matches_batch_and_snapshots(spark, tmp_path):
         (r["bucket_id"], r["event_type"]): r["n"] for r in early.collect()
     }
     assert all(first[k] <= got[k][0] for k in first)
+
+
+def test_stream_interval_join_equals_batch(spark):
+    """The stream-stream attribution join (two watermarked AvailableNow
+    streams over the same parquet) must reproduce the batch interval join
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from subgraph_isomorphism_pregel_spark.streaming.interval_join import (
+        interval_join,
+        run_attribution_availablenow,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = interval_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        tolerance="6 hours",
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    got_df = run_attribution_availablenow(
+        spark, f"{SF_DIR}/events.parquet", tolerance="6 hours",
+        out_table="t_attrib_join",
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert len(got) > 0  # non-vacuous at sf0.001
+    assert got == want
