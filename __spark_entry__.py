@@ -209,6 +209,24 @@ def q_wsssp_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("id")
 
 
+LANDMARK_HOPS = 16  # bounded-distance contract, mirrored by the oracle CTEs
+
+
+def q_landmarks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS feature matrix: hop distances from every ring vertex
+    to 4 landmarks (0, n/4, n/2, 3n/4) in ONE kernel run (band-packed vector
+    state); -1 = unreached within LANDMARK_HOPS, same bound in the oracle."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import landmark_distances
+
+    v, e = ring_graph(spark, sf_dir)
+    n = v.count()
+    lms = [0, n // 4, n // 2, (3 * n) // 4]
+    d, _ = landmark_distances(
+        spark, v, e, lms, max_hops=LANDMARK_HOPS, num_partitions=8
+    )
+    return d.orderBy("id")
+
+
 def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (forward-backward coloring on the BSP
     kernel) over the deterministic directed dag-of-cycles fixture; scc = min
@@ -986,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wsssp_ring": q_wsssp_ring,
         "scc_dag_cycles": q_scc_dag_cycles,
         "butterflies_supply": q_butterflies_supply,
+        "landmarks_ring": q_landmarks_ring,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
@@ -1762,6 +1781,32 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _landmarks_sql() -> str:
+    """Four bounded recursive-CTE BFS runs over the SQL-built ring graph,
+    joined into the (id, d0..d3) feature matrix; -1 = unreached within
+    LANDMARK_HOPS (the operator's bounded-distance contract)."""
+    seeds = ["0", "nn.n // 4", "nn.n // 2", "(3 * nn.n) // 4"]
+    ctes, outs = [], []
+    for b, s in enumerate(seeds):
+        ctes.append(
+            f"""r{b} AS (
+  SELECT (SELECT {s} FROM nn) AS id, 0 AS dist
+  UNION
+  SELECT e.dst AS id, r.dist + 1
+  FROM r{b} r JOIN edges e ON r.id = e.src
+  WHERE r.dist < {LANDMARK_HOPS})"""
+        )
+        ctes.append(f"m{b} AS (SELECT id, min(dist) AS d FROM r{b} GROUP BY id)")
+        outs.append(f"CAST(coalesce(m{b}.d, -1) AS BIGINT) AS d{b}")
+    joins = " ".join(f"LEFT JOIN m{b} ON v.id = m{b}.id" for b in range(len(seeds)))
+    return (
+        f"WITH RECURSIVE {RING_GRAPH.strip().rstrip(',')},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(v.id AS BIGINT) AS id, {', '.join(outs)}\n"
+        + f"FROM rv v {joins} ORDER BY id"
+    )
+
+
 def _hll_sql_twin() -> str:
     """The HLL oracle is GENERATED by the same helper that documents the
     operator (identical double literals, identical operation order) — the
@@ -1827,6 +1872,7 @@ SELECT CAST(v.i AS BIGINT) AS id,
 FROM ids v LEFT JOIN mins m ON v.i = m.id
 ORDER BY id
 """,
+        "landmarks_ring": _landmarks_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the
         # wedge direction (parts as centers) mirrors the Spark plan, but the
         # total is side-invariant so the gate checks the COUNT, not the plan

@@ -248,3 +248,144 @@ def sssp(
         checkpoint_every=checkpoint_every,
     )
     return distances_df(final), metrics
+
+
+def landmark_program(landmarks: list[int], P: int) -> VertexProgram:
+    """Multi-source BFS: ONE kernel run computes hop distances to k
+    landmarks simultaneously (the landmark-embedding / closeness feature
+    matrix). State is a band-major k*nv vector per block (band b, dense
+    position p -> index b*nv + p); messages encode (position, band) as
+    pos*k + band so the update fold stays ONE minimum.at over the packed
+    vector — per-superstep work is k-vectorized slices, never a per-band
+    Spark job. The reference framework has no multi-source variant; this
+    is the vector-state generalization of the same min-plus program."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(landmarks)
+    SENTINEL = np.iinfo(np.int64).max
+
+    def init(part):
+        ids = np.asarray(part["ids"], dtype=np.int64)
+        nv = len(ids)
+        dist = np.full(k * nv, UNREACHED, dtype=np.int64)
+        changed = np.zeros(k * nv, dtype=np.int32)
+        for b, lm in enumerate(landmarks):
+            at = np.nonzero(ids == lm)[0]
+            dist[b * nv + at] = 0
+            changed[b * nv + at] = 1
+        return {
+            "dist": dist,
+            "changed": changed,
+            "msgs_in": 0,
+            "active": int(changed.sum()),
+        }
+
+    def scatter(part, step, carry):
+        s_spos, s_dpos, s_bounds = part["s_spos"], part["s_dpos"], part["s_bounds"]
+        dist = np.asarray(part["dist"])
+        changed = np.asarray(part["changed"]).astype(bool)
+        nv = len(dist) // k
+        if not changed.any() or s_dpos.size == 0:
+            return None
+        rows = []
+        for p in range(P):
+            lo, hi = int(s_bounds[p]), int(s_bounds[p + 1])
+            if hi <= lo:
+                continue
+            sp = s_spos[lo:hi].astype(np.int64)
+            dp = s_dpos[lo:hi].astype(np.int64)
+            enc_parts, val_parts = [], []
+            for b in range(k):
+                m = changed[b * nv + sp]
+                if not m.any():
+                    continue
+                enc_parts.append(dp[m] * k + b)
+                val_parts.append(dist[b * nv + sp[m]] + 1)
+            if not enc_parts:
+                continue
+            enc = np.concatenate(enc_parts)
+            val = np.concatenate(val_parts)
+            mins = np.full(int(enc.max()) + 1, SENTINEL)
+            np.minimum.at(mins, enc, val)
+            nz = np.nonzero(mins != SENTINEL)[0]
+            rows.append((int(p), nz.astype(np.int64), mins[nz]))
+        if not rows:
+            return None
+        return pd.DataFrame(rows, columns=["pid", "enc", "dist"])
+
+    def update(part, inbox: pd.DataFrame, step, carry):
+        dist = np.asarray(part["dist"]).copy()
+        nv = len(dist) // k
+        changed = np.zeros(len(dist), dtype=np.int32)
+        n_msgs = 0
+        if len(inbox):
+            enc = np.concatenate([np.asarray(x) for x in inbox["enc"].values]).astype(np.int64)
+            val = np.concatenate([np.asarray(x) for x in inbox["dist"].values])
+            n_msgs = len(enc)
+            idx = (enc % k) * nv + (enc // k)
+            cand = np.full(len(dist), SENTINEL)
+            np.minimum.at(cand, idx, val)
+            better = (cand < SENTINEL) & ((dist == UNREACHED) | (cand < dist))
+            dist[better] = cand[better]
+            changed[better] = 1
+        return {
+            "dist": dist,
+            "changed": changed,
+            "msgs_in": int(n_msgs),
+            "active": int(changed.sum()),
+        }
+
+    return VertexProgram(
+        name="landmarks",
+        state_schema="dist array<long>, changed array<int>, msgs_in long, active long",
+        msg_schema="pid int, enc array<long>, dist array<long>",
+        init=init,
+        scatter=scatter,
+        update=update,
+        stats=[("msgs_in", F.sum), ("active", F.sum)],
+        converged=lambda srow, step: int(srow["active"] or 0) == 0,
+        struct_cols=("s_spos", "s_dpos", "s_bounds"),
+    )
+
+
+def landmark_distances(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    landmarks: list[int],
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """(id, d0..d{k-1}): hop distance from every vertex TO each landmark
+    (columns in landmark order; -1 = unreached within max_hops — ALL
+    vertices carry a row, unlike sssp, because the output is a feature
+    matrix). Same bounded-distance contract as sssp: after R supersteps
+    d_b is exact over paths of at most R edges."""
+    if not landmarks:
+        raise ValueError("landmark_distances: need at least one landmark")
+    P = (
+        num_partitions
+        if num_partitions is not None
+        else auto_partitions(edges.count())
+    )
+    parts = build_parts(spark, vertices, edges, P)
+    final, metrics = Pregel(spark, parts, P).run(
+        landmark_program(list(landmarks), P),
+        max_steps=max_hops,
+        checkpoint_dir=checkpoint_dir,
+    )
+    k = len(landmarks)
+    base = final.select(
+        F.size("ids").alias("__nv"),
+        F.posexplode("ids").alias("__i", "id"),
+        F.col("dist").alias("__d"),
+    )
+    cols = [
+        F.element_at(
+            F.col("__d"), (F.lit(b) * F.col("__nv") + F.col("__i") + 1).cast("int")
+        ).alias(f"d{b}")
+        for b in range(k)
+    ]
+    return base.select("id", *cols), metrics
