@@ -459,6 +459,17 @@ def q_labelprop_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.orderBy("id")
 
 
+def q_modularity_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LP communities on the supply graph — chains
+    two gated computations (kernel label propagation -> modularity score);
+    exact-rational float form hash-gates the score precisely."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import modularity
+
+    v, e = supply_graph(spark, sf_dir)
+    lab, _ = label_propagation(spark, v, e, rounds=LP_ROUNDS, num_partitions=16)
+    return modularity(lab, e, label_col="lp_label")
+
+
 def q_sssp_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distances from the min-id vertex, bounded at 64 supersteps —
     the kernel's min-plus program; the oracle's recursive CTE implements the
@@ -1010,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wpagerank_ring": q_wpagerank_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
+        "modularity_supply": q_modularity_supply,
         "sssp_supply": q_sssp_supply,
         "kcore_supply": q_kcore_supply,
         "degree_distribution_supply": q_degree_supply,
@@ -1631,7 +1643,7 @@ reach AS (
 SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id"""
 
 
-def _lp_sql() -> str:
+def _lp_ctes() -> list[str]:
     ctes = [
         SUPPLY_EDGES.strip().rstrip(","),
         "l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
@@ -1647,10 +1659,37 @@ def _lp_sql() -> str:
       FROM l{t - 1} l JOIN edges e ON l.id = e.src GROUP BY e.dst, l.lab) z
     WHERE rn = 1) p ON v.id = p.id)"""
         )
+    return ctes
+
+
+def _lp_sql() -> str:
+    return (
+        "WITH "
+        + ",\n".join(_lp_ctes())
+        + f"\nSELECT id, lab AS lp_label FROM l{LP_ROUNDS} ORDER BY id"
+    )
+
+
+def _modularity_sql() -> str:
+    """Modularity of the LP communities, in the same exact-rational form as
+    the operator: integer aggregates, two divisions, one subtraction."""
+    ctes = _lp_ctes() + [
+        f"comm AS (SELECT id, lab FROM l{LP_ROUNDS})",
+        "deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src)",
+        "mm AS (SELECT count(*) AS m2 FROM edges)",
+        """ii AS (SELECT coalesce(sum(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END), 0) AS i2
+      FROM edges e JOIN comm a ON e.src = a.id JOIN comm b ON e.dst = b.id)""",
+        """degc AS (SELECT c.lab, sum(coalesce(d.d, 0)) AS dc
+       FROM comm c LEFT JOIN deg d ON c.id = d.id GROUP BY c.lab)""",
+        "bb AS (SELECT count(*) AS n_communities, coalesce(sum(dc * dc), 0) AS sum_dc2 FROM degc)",
+    ]
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT id, lab AS lp_label FROM l{LP_ROUNDS} ORDER BY id"
+        + """
+SELECT bb.n_communities, CAST(ii.i2 AS BIGINT) AS intra_directed,
+       ii.i2 / mm.m2 - bb.sum_dc2 / (mm.m2 * mm.m2) AS q_modularity
+FROM mm, ii, bb"""
     )
 
 
@@ -1888,6 +1927,7 @@ FROM codeg""",
         "wpagerank_ring": _wpagerank_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
+        "modularity_supply": _modularity_sql(),
         "sssp_supply": f"""
 WITH RECURSIVE {SUPPLY_EDGES.strip().rstrip(',')},
 reach AS (

@@ -107,3 +107,56 @@ def group_quantiles(
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+def modularity(
+    labels: DataFrame, edges: DataFrame, label_col: str = "comm"
+) -> DataFrame:
+    """One-row community-quality score: (n_communities, intra_directed,
+    q_modularity) for a labeling (id, <label_col>) over a SYMMETRIC edge
+    set (both directions present, the repo's undirected convention).
+
+    Newman modularity Q = Σ_c [e_c/m − (deg_c/2m)²], computed in the
+    exact-rational form Q = i2/m2 − Σdeg_c²/(m2·m2) where m2 = |directed
+    edges| = 2m and i2 = directed intra-community edges — every aggregate
+    is an INTEGER, so the only float operations are two divisions and one
+    subtraction on bit-identical operands: the score hash-gates exactly
+    against the SQL twin (same trick as graph_stats' assortativity).
+    Three aggregates, no collect; communities of isolated vertices count
+    with degree 0."""
+    deg = (
+        edges.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "id")
+    )
+    a = labels.select(F.col("id").alias("src"), F.col(label_col).alias("__la"))
+    b = labels.select(F.col("id").alias("dst"), F.col(label_col).alias("__lb"))
+    m2 = edges.agg(F.count("*").alias("m2"))
+    i2 = (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("__la") == F.col("__lb")).cast("long")), F.lit(0)
+            ).alias("i2")
+        )
+    )
+    degc = (
+        labels.join(deg, "id", "left")
+        .groupBy(label_col)
+        .agg(F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("dc"))
+    )
+    bsum = degc.agg(
+        F.count("*").alias("n_communities"),
+        F.coalesce(F.sum(F.col("dc") * F.col("dc")), F.lit(0)).alias("sum_dc2"),
+    )
+    return (
+        m2.crossJoin(i2)
+        .crossJoin(bsum)
+        .select(
+            F.col("n_communities"),
+            F.col("i2").alias("intra_directed"),
+            (
+                F.col("i2") / F.col("m2")
+                - F.col("sum_dc2") / (F.col("m2") * F.col("m2"))
+            ).alias("q_modularity"),
+        )
+    )

@@ -89,3 +89,43 @@ def test_graph_stats_degenerate_assortativity(spark):
     r = graph_stats(e).collect()[0]
     assert r["reciprocity"] == 1.0
     assert r["assortativity_r"] == 0.0
+
+
+def test_modularity_matches_python(spark):
+    """Two dense blocks + one bridge: Q matches a pure-Python Newman sum."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import modularity
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs += [(a, b) for a in range(4, 8) for b in range(4, 8) if a < b]
+    pairs += [(0, 4)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    labels = [(i, i // 4) for i in range(8)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(labels, "id long, comm long")
+    row = modularity(ldf, edf).collect()[0]
+    # python recomputation in the same exact-rational form
+    m2 = len(edges)
+    comm = dict(labels)
+    i2 = sum(1 for a, b in edges if comm[a] == comm[b])
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    dc = {}
+    for v, c in labels:
+        dc[c] = dc.get(c, 0) + deg.get(v, 0)
+    want_q = i2 / m2 - sum(d * d for d in dc.values()) / (m2 * m2)
+    assert row["n_communities"] == 2
+    assert row["intra_directed"] == i2
+    assert row["q_modularity"] == want_q
+    assert 0.3 < row["q_modularity"] < 0.5
+
+
+def test_modularity_single_community_is_nonpositive(spark):
+    from subgraph_isomorphism_pregel_spark.operators.stats import modularity
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame([(i, 0) for i in range(3)], "id long, comm long")
+    row = modularity(ldf, edf).collect()[0]
+    assert row["n_communities"] == 1
+    assert row["q_modularity"] == 0.0  # all intra, one community: 1 - 1
