@@ -210,6 +210,21 @@ def q_wsssp_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANDMARK_HOPS = 16  # bounded-distance contract, mirrored by the oracle CTEs
+BC_HOPS = 10  # betweenness level bound (kernel AND the unrolled oracle)
+
+
+def q_betweenness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sampled Brandes betweenness (pivots 0 and n/2) on the ring
+    graph — two-phase kernel program (level-synchronous σ BFS + descending
+    δ accumulation); oracle = unrolled Brandes in SQL, same level bound."""
+    from subgraph_isomorphism_pregel_spark.operators.betweenness import betweenness
+
+    v, e = ring_graph(spark, sf_dir)
+    n = v.count()
+    bc, _ = betweenness(
+        spark, v, e, pivots=[0, n // 2], max_hops=BC_HOPS, num_partitions=8
+    )
+    return bc.orderBy("id")
 
 
 def q_landmarks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_dag_cycles": q_scc_dag_cycles,
         "butterflies_supply": q_butterflies_supply,
         "landmarks_ring": q_landmarks_ring,
+        "betweenness_ring": q_betweenness_ring,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
@@ -1846,6 +1862,63 @@ def _landmarks_sql() -> str:
     )
 
 
+def _betweenness_sql() -> str:
+    """Unrolled Brandes over the SQL-built ring graph for the two fixed
+    pivots: bounded BFS levels (recursive CTE), per-level σ (one unrolled
+    join-aggregate per level — exact: every shortest-path predecessor sits
+    one level up), then δ accumulated level-by-level DESCENDING.  The same
+    bounded-level contract as the kernel program; 6dp rounding absorbs the
+    engines' different float summation orders."""
+    H = BC_HOPS
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "pv AS (SELECT 0 AS s UNION ALL SELECT (SELECT count(*) FROM part) // 2)",
+        f"""reach AS (
+  SELECT s, s AS v, 0 AS d FROM pv
+  UNION
+  SELECT r.s, e.dst AS v, r.d + 1 FROM reach r JOIN edges e ON r.v = e.src
+  WHERE r.d < {H})""",
+        "dmin AS MATERIALIZED (SELECT s, v, min(d) AS d FROM reach GROUP BY s, v)",
+        "sig0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sig FROM pv)",
+    ]
+    for t in range(1, H + 1):
+        ctes.append(
+            f"""sig{t} AS MATERIALIZED (
+  SELECT p.s, e.dst AS v, sum(p.sig) AS sig
+  FROM sig{t - 1} p JOIN edges e ON p.v = e.src
+  JOIN dmin dv ON dv.s = p.s AND dv.v = e.dst AND dv.d = {t}
+  GROUP BY p.s, e.dst)"""
+        )
+    ctes.append(
+        f"del{H} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM dmin WHERE d = {H})"
+    )
+    for t in range(H - 1, 0, -1):
+        ctes.append(
+            f"""del{t} AS MATERIALIZED (
+  SELECT lv.s, lv.v, coalesce(x.c, 0) AS delta
+  FROM (SELECT s, v FROM dmin WHERE d = {t}) lv
+  LEFT JOIN (
+    SELECT w.s, e.src AS v, sum(sv.sig / sw.sig * (1 + w.delta)) AS c
+    FROM del{t + 1} w
+    JOIN edges e ON e.dst = w.v
+    JOIN dmin dv ON dv.s = w.s AND dv.v = e.src AND dv.d = {t}
+    JOIN sig{t} sv ON sv.s = w.s AND sv.v = e.src
+    JOIN sig{t + 1} sw ON sw.s = w.s AND sw.v = w.v
+    GROUP BY w.s, e.src) x ON x.s = lv.s AND x.v = lv.v)"""
+        )
+    union = " UNION ALL ".join(f"SELECT s, v, delta FROM del{t}" for t in range(1, H + 1))
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f""",
+alldel AS ({union}),
+bc AS (SELECT v AS id, sum(delta) AS bc FROM alldel GROUP BY v)
+SELECT CAST(rv.id AS BIGINT) AS id, round(coalesce(bc.bc, 0), 6) AS bc
+FROM rv LEFT JOIN bc ON rv.id = bc.id
+ORDER BY id"""
+    )
+
+
 def _hll_sql_twin() -> str:
     """The HLL oracle is GENERATED by the same helper that documents the
     operator (identical double literals, identical operation order) — the
@@ -1912,6 +1985,7 @@ FROM ids v LEFT JOIN mins m ON v.i = m.id
 ORDER BY id
 """,
         "landmarks_ring": _landmarks_sql(),
+        "betweenness_ring": _betweenness_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the
         # wedge direction (parts as centers) mirrors the Spark plan, but the
         # total is side-invariant so the gate checks the COUNT, not the plan
