@@ -343,7 +343,11 @@ def main() -> None:
     # two more levels below the shared s-pool (for the NESTED demo): each
     # s touches 58 label-3 t's from a 500-pool; each t touches 5 label-4
     # and 5 label-5 u's from 100-pools. Adds no label-1<->label-2 edges,
-    # so the single-level hub demos above count exactly as before.
+    # so the single-level hub demos above count exactly as before — but
+    # the GRAPH is ~3x more edges than round 4's fixture, so their wall
+    # times roughly doubled vs BENCH_r04 (bigger adjacency build, LDF
+    # degrees, label-fanout aggregates); the counts prove it's the same
+    # workload, the time drift is the fixture, not a plan regression.
     hub_t = spark.range(100000, 102000).selectExpr(
         "id as src", "explode(sequence(0, 57)) as k"
     ).selectExpr("src", "200000 + (src * 7 + k * 3) % 500 as dst")
@@ -397,17 +401,22 @@ def main() -> None:
     # root(0) - m1(1), m2(1); under m1 two chains s(2)-t(3)-u(4|5) where
     # (s,s') and (t,t') collide INSIDE the branch and the t's are internal
     # (a unique-label u-leaf hangs below each). The naive branch cross
-    # product is ~10^10 rows — but the PRUNED pipeline's prefix merge
+    # product is ~10^10 rows — the PRUNED pipeline's prefix merge
     # performs the same factorization IMPLICITLY (a released same-label
-    # witness collapses the frontier like a DP over the chain), streaming
-    # only ~3x10^8 rows through codegen. MEASURED: single-level with
-    # pruned branch tables ~11 s, forced 2-level assembly ~17 s (the
-    # extra stages cost more than the saved rows at this scale) — so
-    # nested='auto' consults _flat_stream_est and correctly DECLINES
-    # here; the crossover sits around 10^10 streamed rows
-    # (NESTED_MIN_STREAM). Both paths benched, counts must agree: 'auto'
-    # is the plan a user gets, nested=True keeps the depth machinery
-    # honest under measurement.
+    # witness collapses the frontier like a DP over the chain), so
+    # nested='auto' consults _flat_stream_est and declines the recursion
+    # here (crossover NESTED_MIN_STREAM ~1e10 streamed rows). MEASURED
+    # (solo host, end of round 5): the two plans sit within ~1.5x of each
+    # other and the ORDER is host-state sensitive — single-level 21-44 s
+    # across runs vs forced 2-level 15.5-18 s today; an earlier same-round
+    # measurement had single-level at 11 s and nested at 17 s. The
+    # assembly's pinned-equality terms ARE equi-join keys in the optimized
+    # plan (Catalyst extracts img_x = img_y into the join condition — no
+    # anchor-wise cross product), so both plans are scale-sound and the
+    # conservative pick costs at most the observed ~1.5x at this scale.
+    # Both paths benched, counts must agree: 'auto' is the plan a user
+    # gets, nested=True keeps the depth machinery honest under
+    # measurement.
     deep_qv = {0: 0, 1: 1, 9: 1, 11: 2, 12: 3, 13: 4, 21: 2, 22: 3, 23: 5}
     deep_qe = set()
     for a, b in (
