@@ -211,6 +211,18 @@ def q_wsssp_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LANDMARK_HOPS = 16  # bounded-distance contract, mirrored by the oracle CTEs
 BC_HOPS = 10  # betweenness level bound (kernel AND the unrolled oracle)
+KTRUSS_K = 4  # truss order for the gated peel
+KTRUSS_ROUNDS = 3  # bounded unroll, idempotent past the fixed point (kcore pattern)
+
+
+def q_ktruss_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss edge peel on the ring graph (3 waves — idempotent at the
+    fixture's fixed point); the oracle unrolls the identical waves with an
+    orientation-free common-neighbor support count."""
+    from subgraph_isomorphism_pregel_spark.operators.triangles import ktruss
+
+    v, e = ring_graph(spark, sf_dir)
+    return ktruss(spark, e, k=KTRUSS_K, rounds=KTRUSS_ROUNDS).orderBy("u", "v")
 
 
 def q_betweenness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,6 +744,28 @@ def q_repetition_score(spark, sf_dir):
     return repetition_score(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents SALTED with deterministic synthetic PII
+    (email + IPv4 + 10-digit account per row, built identically in the SQL
+    twin) so the gate is non-vacuous on the synthetic corpus."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 acct 912345678"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(salted).orderBy("doc_id")
+
+
 def q_hll_docs(spark, sf_dir):
     """Deterministic HyperLogLog distinct-text estimate (p=6, 64 registers);
     the oracle twin reproduces the registers AND the IEEE arithmetic exactly."""
@@ -1032,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_supply": q_butterflies_supply,
         "landmarks_ring": q_landmarks_ring,
         "betweenness_ring": q_betweenness_ring,
+        "ktruss_ring": q_ktruss_ring,
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
@@ -1063,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "hll_docs": q_hll_docs,
         "cms_tokens": q_cms_tokens,
+        "redact_pii": q_redact_pii,
         "tfidf_topk": q_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
@@ -1862,6 +1898,37 @@ def _landmarks_sql() -> str:
     )
 
 
+def _ktruss_sql() -> str:
+    """Unrolled k-truss peel: per wave, support(u,v) = common neighbors of
+    u and v in the CURRENT symmetric edge set (orientation-free, so no
+    degree-ordering to replicate), keep edges with support >= k-2."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "t0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges WHERE src < dst)",
+    ]
+    for r in range(KTRUSS_ROUNDS):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (SELECT u AS src, v AS dst FROM t{r}
+  UNION ALL SELECT v, u FROM t{r})"""
+        )
+        ctes.append(
+            f"""t{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM t{r} e
+  LEFT JOIN (
+    SELECT e2.u, e2.v, count(*) AS supp
+    FROM t{r} e2
+    JOIN s{r} n1 ON n1.src = e2.u
+    JOIN s{r} n2 ON n2.src = e2.v AND n2.dst = n1.dst
+    GROUP BY e2.u, e2.v) s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.supp, 0) >= {KTRUSS_K - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM t{KTRUSS_ROUNDS} ORDER BY u, v"
+    )
+
+
 def _betweenness_sql() -> str:
     """Unrolled Brandes over the SQL-built ring graph for the two fixed
     pivots: bounded BFS levels (recursive CTE), per-level σ (one unrolled
@@ -1986,6 +2053,7 @@ ORDER BY id
 """,
         "landmarks_ring": _landmarks_sql(),
         "betweenness_ring": _betweenness_sql(),
+        "ktruss_ring": _ktruss_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the
         # wedge direction (parts as centers) mirrors the Spark plan, but the
         # total is side-invariant so the gate checks the COUNT, not the plan
@@ -2242,6 +2310,27 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, term ASC) AS rnk FROM s)
 SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""",
+        "redact_pii": r"""
+WITH s AS (SELECT doc_id,
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.'
+       || CAST(doc_id % 200 AS VARCHAR) || '.7 acct 912345678'
+       || CAST(doc_id % 10 AS VARCHAR) AS t0
+  FROM documents),
+a AS (SELECT doc_id, t0,
+  len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM s),
+b AS (SELECT doc_id, n_email,
+  len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+  regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM a),
+c AS (SELECT doc_id, n_email, n_ip,
+  len(regexp_extract_all(t2, '\b\d{9,}\b')) AS n_num,
+  regexp_replace(t2, '\b\d{9,}\b', '<NUM>', 'g') AS t3
+  FROM b)
+SELECT doc_id, t3 AS clean_text, CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ip AS BIGINT) AS n_ip, CAST(n_num AS BIGINT) AS n_num
+FROM c ORDER BY doc_id""",
         "hll_docs": _hll_sql_twin(),
         "cms_tokens": """
 WITH w AS (SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS words

@@ -141,3 +141,37 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         )
     )
     return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+# PII redaction patterns, applied IN ORDER (an email is consumed before the
+# digit-run pass can see its local part). Kept to syntax shared verbatim by
+# Java regex (Spark) and RE2 (DuckDB) so the SQL twin uses the same strings.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ip, n_num): masks emails, IPv4
+    addresses, and >=9-digit runs with typed placeholders — the standard
+    pre-training scrub pass. Pure codegen (regexp_extract_all sizes +
+    chained regexp_replace): zero shuffles, runs at scan speed; each
+    count is taken on the text as it stood BEFORE that pattern's
+    replacement, exactly as the SQL twin stages it."""
+    t0 = F.col(text_col)
+    (p_email, r_email), (p_ip, r_ip), (p_num, r_num) = PII_PATTERNS
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(p_email), F.lit(0)))
+    t1 = F.regexp_replace(t0, p_email, r_email)
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(p_ip), F.lit(0)))
+    t2 = F.regexp_replace(t1, p_ip, r_ip)
+    n_num = F.size(F.regexp_extract_all(t2, F.lit(p_num), F.lit(0)))
+    t3 = F.regexp_replace(t2, p_num, r_num)
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        n_email.cast("long").alias("n_email"),
+        n_ip.cast("long").alias("n_ip"),
+        n_num.cast("long").alias("n_num"),
+    )

@@ -153,3 +153,77 @@ def butterflies(
             F.sum(F.expr("cd * (cd - 1) DIV 2")), F.lit(0).cast("long")
         ).alias("butterflies")
     )
+
+
+def ktruss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """k-truss edge peeling: canonical surviving edges (u < v) after
+    `rounds` waves of removing every edge in fewer than k-2 triangles.
+
+    Each wave recomputes per-edge triangle support from the degree-ordered
+    intersection pass (triangle_edges) and credits all THREE edges of each
+    triangle — support is orientation-independent, so the oracle can count
+    common neighbors without replicating the degree orientation.  Fixed
+    `rounds` gives the same bounded-unroll contract as kcore: past the
+    fixed point a wave is idempotent, so a generous bound equals the true
+    k-truss and the SQL twin unrolls the identical number of waves.
+
+    Each wave is cut to parquet and read back (the mis.py lineage-cut
+    pattern): the surviving edge set feeds FIVE consumers per wave (the
+    symmetrize union twice, both triangle-join sides, the filter join), so
+    a persist-only loop grows the LOGICAL plan ~5x per wave and Catalyst
+    analysis goes exponential — measured as a single-threaded driver spin
+    after ~8 stacked waves even on a 10-edge graph.
+    """
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="ktruss_rounds_")
+
+    def cut(df: DataFrame, tag: str) -> DataFrame:
+        path = f"{workdir}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = cut(
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct(),
+        "wave_000",
+    )
+    for _r in range(rounds):
+        sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+            e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        te = triangle_edges(sym)
+        w = F.explode("common").alias("w")
+        credits = (
+            te.select(
+                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"),
+                F.size("common").alias("c"),
+            )
+            .unionByName(
+                te.select(F.col("src").alias("s"), w)
+                .select(F.least("s", "w").alias("u"), F.greatest("s", "w").alias("v"),
+                        F.lit(1).alias("c"))
+            )
+            .unionByName(
+                te.select(F.col("dst").alias("s"), F.explode("common").alias("w"))
+                .select(F.least("s", "w").alias("u"), F.greatest("s", "w").alias("v"),
+                        F.lit(1).alias("c"))
+            )
+        )
+        supp = credits.groupBy("u", "v").agg(F.sum("c").alias("supp"))
+        e = cut(
+            e.join(supp, ["u", "v"], "left")
+            .where(F.coalesce(F.col("supp"), F.lit(0)) >= k - 2)
+            .select("u", "v"),
+            f"wave_{_r + 1:03d}",
+        )
+    return e

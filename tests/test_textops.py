@@ -539,3 +539,35 @@ def test_dedup_survivors_transitive(spark):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True), 6: (5, False),
     }
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.co and c@d.org from 192.168.0.1 acct 12345678901"),
+            (2, "no pii here just words"),
+            (3, "ip 10.0.0.255 twice 10.0.0.255 and short 12345678"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ip"] == 1 and rows[1]["n_num"] == 1
+    assert rows[1]["clean_text"] == "mail <EMAIL> and <EMAIL> from <IP> acct <NUM>"
+    assert rows[2]["clean_text"] == "no pii here just words"
+    assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_num"]) == (0, 0, 0)
+    # 8-digit run stays (threshold is 9), both IPs masked
+    assert rows[3]["n_ip"] == 2 and rows[3]["n_num"] == 0
+    assert "12345678" in rows[3]["clean_text"]
+
+
+def test_redact_pii_email_consumes_digits_before_num_pass(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "user123456789@example.com")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).collect()[0]
+    # the email pass runs first, so its 9-digit local part never counts as a NUM
+    assert r["clean_text"] == "<EMAIL>" and r["n_email"] == 1 and r["n_num"] == 0
