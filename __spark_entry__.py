@@ -254,6 +254,21 @@ def q_landmarks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("id")
 
 
+def q_harmonic_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled harmonic centrality over the ring graph (same 4
+    landmarks and hop bound as landmarks_ring); the fixed-order 1/d sum
+    hash-gates exactly — no rounding."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import harmonic_centrality
+
+    v, e = ring_graph(spark, sf_dir)
+    n = v.count()
+    lms = [0, n // 4, n // 2, (3 * n) // 4]
+    h, _ = harmonic_centrality(
+        spark, v, e, lms, max_hops=LANDMARK_HOPS, num_partitions=8
+    )
+    return h.orderBy("id")
+
+
 def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (forward-backward coloring on the BSP
     kernel) over the deterministic directed dag-of-cycles fixture; scc = min
@@ -1065,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_dag_cycles": q_scc_dag_cycles,
         "butterflies_supply": q_butterflies_supply,
         "landmarks_ring": q_landmarks_ring,
+        "harmonic_ring": q_harmonic_ring,
         "betweenness_ring": q_betweenness_ring,
         "ktruss_ring": q_ktruss_ring,
         "doc_quantiles": q_doc_quantiles,
@@ -1872,13 +1888,13 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
-def _landmarks_sql() -> str:
-    """Four bounded recursive-CTE BFS runs over the SQL-built ring graph,
-    joined into the (id, d0..d3) feature matrix; -1 = unreached within
-    LANDMARK_HOPS (the operator's bounded-distance contract)."""
-    seeds = ["0", "nn.n // 4", "nn.n // 2", "(3 * nn.n) // 4"]
-    ctes, outs = [], []
-    for b, s in enumerate(seeds):
+_LANDMARK_SEEDS = ["0", "nn.n // 4", "nn.n // 2", "(3 * nn.n) // 4"]
+
+
+def _landmark_ctes() -> tuple[list[str], str]:
+    """(per-landmark bounded BFS CTEs, join clause) over the ring graph."""
+    ctes = []
+    for b, s in enumerate(_LANDMARK_SEEDS):
         ctes.append(
             f"""r{b} AS (
   SELECT (SELECT {s} FROM nn) AS id, 0 AS dist
@@ -1888,12 +1904,43 @@ def _landmarks_sql() -> str:
   WHERE r.dist < {LANDMARK_HOPS})"""
         )
         ctes.append(f"m{b} AS (SELECT id, min(dist) AS d FROM r{b} GROUP BY id)")
-        outs.append(f"CAST(coalesce(m{b}.d, -1) AS BIGINT) AS d{b}")
-    joins = " ".join(f"LEFT JOIN m{b} ON v.id = m{b}.id" for b in range(len(seeds)))
+    joins = " ".join(
+        f"LEFT JOIN m{b} ON v.id = m{b}.id" for b in range(len(_LANDMARK_SEEDS))
+    )
+    return ctes, joins
+
+
+def _landmarks_sql() -> str:
+    """Four bounded recursive-CTE BFS runs over the SQL-built ring graph,
+    joined into the (id, d0..d3) feature matrix; -1 = unreached within
+    LANDMARK_HOPS (the operator's bounded-distance contract)."""
+    ctes, joins = _landmark_ctes()
+    outs = [
+        f"CAST(coalesce(m{b}.d, -1) AS BIGINT) AS d{b}"
+        for b in range(len(_LANDMARK_SEEDS))
+    ]
     return (
         f"WITH RECURSIVE {RING_GRAPH.strip().rstrip(',')},\n"
         + ",\n".join(ctes)
         + f"\nSELECT CAST(v.id AS BIGINT) AS id, {', '.join(outs)}\n"
+        + f"FROM rv v {joins} ORDER BY id"
+    )
+
+
+def _harmonic_sql() -> str:
+    """Harmonic centrality from the same landmark BFS CTEs; the terms sum
+    left-to-right in landmark order, mirroring the operator's fixed-order
+    Column chain so the double is bit-identical (1.0/d on exact ints)."""
+    ctes, joins = _landmark_ctes()
+    terms = [
+        f"(CASE WHEN coalesce(m{b}.d, -1) > 0 THEN 1.0 / coalesce(m{b}.d, -1) "
+        "ELSE 0.0 END)"
+        for b in range(len(_LANDMARK_SEEDS))
+    ]
+    return (
+        f"WITH RECURSIVE {RING_GRAPH.strip().rstrip(',')},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(v.id AS BIGINT) AS id, {' + '.join(terms)} AS harmonic\n"
         + f"FROM rv v {joins} ORDER BY id"
     )
 
@@ -2052,6 +2099,7 @@ FROM ids v LEFT JOIN mins m ON v.i = m.id
 ORDER BY id
 """,
         "landmarks_ring": _landmarks_sql(),
+        "harmonic_ring": _harmonic_sql(),
         "betweenness_ring": _betweenness_sql(),
         "ktruss_ring": _ktruss_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the

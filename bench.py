@@ -325,6 +325,14 @@ def main() -> None:
 
     bench("walks_len4_x2", run_walks)
 
+    def run_ktruss():
+        from subgraph_isomorphism_pregel_spark.operators.triangles import ktruss
+
+        _, ke = ring_graph(spark, sf_dir)
+        return ktruss(spark, ke, k=4, rounds=3).count()
+
+    bench("ktruss_k4_r3", run_ktruss)
+
     # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
     # multi-hundred-MB grouped tables linger in the JVM heap until GC and
     # measurably slow every query that follows (round-5 measurement:

@@ -389,3 +389,30 @@ def landmark_distances(
         for b in range(k)
     ]
     return base.select("id", *cols), metrics
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    landmarks: list[int],
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """(id, harmonic): landmark-sampled harmonic centrality — Σ over
+    landmarks s (s != v, v reached within max_hops) of 1/d(s, v), on top of
+    landmark_distances. The float sum is written as a FIXED-ORDER chain of
+    the k per-landmark terms (term_0 + term_1 + ...), so with bit-identical
+    distances both engines produce the bit-identical double: the score
+    hash-gates exactly without rounding."""
+    d, metrics = landmark_distances(
+        spark, vertices, edges, landmarks,
+        max_hops=max_hops, num_partitions=num_partitions,
+    )
+    total = None
+    for b in range(len(landmarks)):
+        term = F.when(
+            F.col(f"d{b}") > 0, F.lit(1.0) / F.col(f"d{b}")
+        ).otherwise(F.lit(0.0))
+        total = term if total is None else (total + term)
+    return d.select("id", total.alias("harmonic")), metrics
