@@ -716,6 +716,29 @@ def q_match_corpus_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "cnt long")
 
 
+def q_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star pipeline, components leg: synthesize the corpus, derive
+    the import graph, run kernel hash-min CC, and return the COMPONENT-SIZE
+    HISTOGRAM (size, n_components) — id-independent, so the oracle can
+    rebuild the abstract (repo, file) graph from the generator's arithmetic
+    formula and compare exactly even though Spark's vertex ids are
+    xxhash64(repo/path)."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        connected_components,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
+
+    v, e = corpus_graph(spark, n_repos=20, files_per_repo=50, seed=7)
+    comp, _ = connected_components(spark, v, e, num_partitions=8)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("sz")
+    )
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -1105,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_factorized_twin_paths_ring": q_match_factorized_twin_paths_ring,
         "match_star_of_stars_ring": q_match_star_of_stars_ring,
         "match_corpus_wedge": q_match_corpus_wedge,
+        "corpus_components": q_corpus_components,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -2283,6 +2307,26 @@ JOIN lab v2 ON v2.r = e1.r AND v2.j = e1.dj
 JOIN edges e2 ON v2.r = e2.r AND v2.j = e2.sj
 JOIN lab v3 ON v3.r = e2.r AND v3.j = e2.dj
 WHERE v1.label = 0 AND v2.label = 0 AND v3.label = 0 AND v1.j <> v3.j""",
+        # corpus CC histogram: recursive min-propagation over the abstract
+        # (repo, file) graph rebuilt from the generator formula — the r key
+        # keeps repos independent; histogram compare is id-independent
+        "corpus_components": """
+WITH RECURSIVE
+rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+raw AS (SELECT r, j AS sj, (j*7 + 1 + 7) % 50 AS dj FROM rj
+        UNION
+        SELECT r, j, (j*13 + 5 + 7) % 50 FROM rj),
+dir AS (SELECT r, sj, dj FROM raw WHERE sj <> dj),
+edges AS MATERIALIZED (
+  SELECT r, sj, dj FROM dir UNION SELECT r, dj AS sj, sj AS dj FROM dir),
+reach AS (
+  SELECT r, j, j AS comp FROM rj
+  UNION
+  SELECT e.r, e.dj AS j, rc.comp
+  FROM reach rc JOIN edges e ON rc.r = e.r AND rc.j = e.sj),
+comp AS (SELECT r, j, min(comp) AS comp FROM reach GROUP BY r, j),
+sizes AS (SELECT r, comp, count(*) AS sz FROM comp GROUP BY r, comp)
+SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt
