@@ -1072,6 +1072,71 @@ def q_attrib_join_events(spark, sf_dir):
     )
 
 
+SEQ_PACK_CAP = 200  # context-window token budget (median doc is ~56 tokens)
+SEQ_PACK_SHARDS = 8
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit sequence packing of the corpus into
+    200-token context windows, sharded by md5 bucket — the GPU-batch
+    preparation step of a pre-training pipeline."""
+    from subgraph_isomorphism_pregel_spark.operators.packing import pack_documents
+
+    return pack_documents(
+        _docs(spark, sf_dir),
+        capacity=SEQ_PACK_CAP,
+        n_shards=SEQ_PACK_SHARDS,
+        salt=SPLIT_SALT,
+    ).orderBy("doc_id")
+
+
+def _qf_salted(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus is too clean to trip most quality rules (no
+    punctuation, no long docs), so the gated query deterministically
+    degrades text by doc_id class — same construction in the SQL twin
+    (the redact_pii salting pattern) — making every flag non-vacuous."""
+    m = F.col("doc_id") % 5
+    salted = (
+        F.when(m == 0, F.lit("one two"))
+        .when(m == 1, F.concat(F.col("text"), F.repeat(F.lit(" ;;!?."), 40)))
+        .when(m == 2, F.repeat(F.lit("alpha beta gamma "), 30))
+        .when(m == 3, F.repeat(F.lit("w "), 6000))
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", salted.alias("text"))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite pre-training filter over the salted corpus:
+    five boolean rules + the keep verdict, all pure codegen."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import quality_filter
+
+    return quality_filter(_qf_salted(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average unigram log-probability of each doc under the corpus's own
+    unigram distribution (fixed-point order-independent aggregation)."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import lm_score
+
+    return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+BUILD_ORDER_GROUP = 200  # dag_cycles fixture group size for the gated peel
+
+
+def q_build_order_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-order layering of a CYCLIC dependency graph: SCC condensation
+    (kernel forward-backward coloring) + longest-path levels on the
+    condensation (kernel max-plus) — every vertex gets (comp, wave)."""
+    from subgraph_isomorphism_pregel_spark.operators.toposort import build_order
+    from subgraph_isomorphism_pregel_spark.sources.graph import dag_cycles_graph
+
+    v, e = dag_cycles_graph(spark, sf_dir, group=BUILD_ORDER_GROUP)
+    out, _ = build_order(spark, v, e, num_partitions=4, max_rounds=40)
+    return out.orderBy("id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank to 1e-6 convergence on the sf0.001 supply graph."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1088,6 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split": q_docs_split,
         "docs_stratified": q_docs_stratified,
         "docs_hash_topk": q_docs_hash_topk,
+        "seq_pack": q_seq_pack,
+        "quality_filter": q_quality_filter,
+        "lm_score": q_lm_score,
+        "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
         "walks_ring": q_walks_ring,
@@ -2067,6 +2136,143 @@ def _hll_sql_twin() -> str:
     return hll_sql("documents", "text", p=6)
 
 
+def _seq_pack_sql() -> str:
+    """Next-fit packing twin: the same (md5 shard, bucket order, running
+    capacity) contract as operators/packing.py, replayed per shard with a
+    recursive CTE walking rows in packing order."""
+    return f"""
+WITH RECURSIVE
+{DOC_WORDS.strip().rstrip(',')},
+base AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n, bucket,
+         CAST(CAST('0x' || bucket AS UBIGINT) % {SEQ_PACK_SHARDS} AS INT) AS shard
+  FROM (SELECT doc_id, words,
+               substr(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8) AS bucket
+        FROM w)),
+t AS MATERIALIZED (
+  SELECT shard, doc_id, n,
+         row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id) AS rn
+  FROM base),
+rec AS (
+  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, CAST(0 AS INT) AS pos,
+         n AS cur
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n,
+         CASE WHEN r.cur + t.n > {SEQ_PACK_CAP} THEN r.bin + 1 ELSE r.bin END,
+         CASE WHEN r.cur + t.n > {SEQ_PACK_CAP} THEN 0 ELSE r.pos + 1 END,
+         CASE WHEN r.cur + t.n > {SEQ_PACK_CAP} THEN t.n ELSE r.cur + t.n END
+  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+SELECT doc_id, shard, bin, pos, n AS n_tokens
+FROM rec ORDER BY doc_id"""
+
+
+QF_SALT_SQL = """
+s0 AS (SELECT doc_id,
+  CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'one two'
+    WHEN 1 THEN text || repeat(' ;;!?.', 40)
+    WHEN 2 THEN repeat('alpha beta gamma ', 30)
+    WHEN 3 THEN repeat('w ', 6000)
+    ELSE text END AS text
+  FROM documents)
+"""
+
+
+def _quality_filter_sql() -> str:
+    stop_list = "'the','a','of','to','and','in','is','on','for','with'"
+    return f"""
+WITH {QF_SALT_SQL.strip()},
+w AS (SELECT doc_id, text,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+      FROM s0),
+s AS (SELECT doc_id, len(words) AS n_tokens, length(text) AS n_chars,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+             len(list_filter(words, x -> x IN ({stop_list}))) AS stops,
+             CASE WHEN len(words) >= 3
+                  THEN list_transform(range(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                  ELSE [] END AS ngs
+      FROM w),
+f AS (SELECT doc_id, n_tokens,
+             n_tokens < 5 AS too_short,
+             n_tokens > 5000 AS too_long,
+             punct / greatest(n_chars, 1) > 0.12 AS high_punct,
+             stops / greatest(n_tokens, 1) < 0.02 AS low_stop,
+             (CASE WHEN len(ngs) > 0
+                   THEN 1.0 - len(list_distinct(ngs)) / len(ngs)
+                   ELSE 0.0 END) > 0.15 AS repetitive
+      FROM s)
+SELECT doc_id, n_tokens, too_short, too_long, high_punct, low_stop, repetitive,
+       NOT (too_short OR too_long OR high_punct OR low_stop OR repetitive) AS keep
+FROM f ORDER BY doc_id"""
+
+
+def _lm_score_sql() -> str:
+    return f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+vocab AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+nn AS (SELECT sum(c) AS n FROM vocab),
+q AS (SELECT doc_id, tf,
+             CAST(floor(tf * ln(c / CAST(nn.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+      FROM tf JOIN vocab USING (term) CROSS JOIN nn)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(q) / 1e6 / sum(tf), 6) AS lm_score
+FROM q GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _build_order_sql() -> str:
+    """dag_cycles fixture at group=200, SCC via transitive closure (the
+    scc_dag_cycles oracle with B=200), then longest-path levels on the
+    condensation with a second recursive CTE."""
+    B = BUILD_ORDER_GROUP
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part),
+raw AS (
+  SELECT i AS src, (i // {B}) * {B} + ((i % {B}) + 1) % {B} AS dst FROM ids
+   WHERE NOT (i // {B} = 1 AND (i % {B} = {B - 6} OR i % {B} = {B - 1}))
+  UNION ALL
+  SELECT i, (i // {B}) * {B} FROM ids WHERE i // {B} = 1 AND i % {B} = {B - 6}
+  UNION ALL
+  SELECT i, (i // {B}) * {B} + ((i % {B}) * 7 + 3) % {B} FROM ids WHERE i // {B} <> 1
+  UNION ALL
+  SELECT i, (i // {B}) * {B} + ((i % {B}) * 7 + 3) % {B - 5} FROM ids
+   WHERE i // {B} = 1 AND i % {B} < {B - 5}
+  UNION ALL
+  SELECT i, i - {B} FROM ids WHERE i >= {B}),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM raw
+  WHERE dst >= 0 AND dst < (SELECT n FROM nn) AND src <> dst),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+mins AS (
+  SELECT r1.src AS id, min(r1.dst) AS mu
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src
+  GROUP BY r1.src),
+comp AS MATERIALIZED (
+  SELECT v.i AS id, least(v.i, coalesce(m.mu, v.i)) AS scc
+  FROM ids v LEFT JOIN mins m ON v.i = m.id),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT cs.scc AS src, cd.scc AS dst
+  FROM edges e JOIN comp cs ON e.src = cs.id JOIN comp cd ON e.dst = cd.id
+  WHERE cs.scc <> cd.scc),
+lv AS (
+  SELECT scc AS id, 0 AS lvl FROM (SELECT DISTINCT scc FROM comp)
+  UNION
+  SELECT e.dst, l.lvl + 1 FROM lv l JOIN cedges e ON l.id = e.src
+  WHERE l.lvl < 64),
+lvl AS (SELECT id, max(lvl) AS level FROM lv GROUP BY id)
+SELECT CAST(c.id AS BIGINT) AS id, CAST(c.scc AS BIGINT) AS comp,
+       CAST(l.level AS BIGINT) AS level
+FROM comp c JOIN lvl l ON c.scc = l.id ORDER BY id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -2075,6 +2281,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_split": _docs_split_sql(),
         "docs_stratified": _docs_stratified_sql(),
         "docs_hash_topk": _docs_hash_topk_sql(),
+        "seq_pack": _seq_pack_sql(),
+        "quality_filter": _quality_filter_sql(),
+        "lm_score": _lm_score_sql(),
+        "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),
         "walks_ring": _walks_sql(),

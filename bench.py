@@ -38,7 +38,13 @@ from subgraph_isomorphism_pregel_spark.operators.components import connected_com
 from subgraph_isomorphism_pregel_spark.operators.kcore import kcore  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.sketches import cms_heavy_hitters, hll_distinct  # noqa: E402
-from subgraph_isomorphism_pregel_spark.operators.textops import repetition_score, tfidf_topk  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.packing import pack_documents  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.textops import (  # noqa: E402
+    lm_score,
+    quality_filter,
+    repetition_score,
+    tfidf_topk,
+)
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.clustering import kmeans  # noqa: E402
@@ -290,6 +296,12 @@ def main() -> None:
 
     bench("repetition_score", lambda: repetition_score(docs).count())
     bench("tfidf_topk", lambda: tfidf_topk(docs).count())
+    bench("quality_filter", lambda: quality_filter(docs).count())
+    bench("lm_score", lambda: lm_score(docs).count())
+    bench(
+        "seq_pack_cap200",
+        lambda: pack_documents(docs, capacity=200, n_shards=64, salt="v1").count(),
+    )
     bench("hll_distinct", lambda: hll_distinct(docs, "text", p=12).count())
     bench("cms_heavy_hitters", lambda: cms_heavy_hitters(docs).count())
 

@@ -153,6 +153,110 @@ PII_PATTERNS = (
 )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    max_punct_ratio: float = 0.12,
+    min_stop_ratio: float = 0.02,
+    max_rep_ratio: float = 0.15,
+    ngram: int = 3,
+) -> DataFrame:
+    """(doc_id, n_tokens, too_short, too_long, high_punct, low_stop,
+    repetitive, keep) — the Gopher-style composite pre-training filter:
+    a document is kept iff it trips none of the five rules.
+
+    Every flag is a pure per-row codegen expression (token/char counts,
+    stopword ratio, duplicate word-n-gram fraction) — zero shuffles, so the
+    filter runs at parquet-scan speed and `keep` pushes down as a predicate
+    when used to subset the corpus.  All ratio comparisons are exact-integer
+    divisions (bit-identical across engines), so the booleans hash-gate.
+    """
+    t = tokens("text")
+    d = docs.select("doc_id", "text", t.alias("toks"))
+    ng = F.expr(
+        f"transform(sequence(1, size(toks) - {ngram - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {ngram})))"
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).alias("punct"),
+        count_in(F.col("toks"), STOPWORDS).alias("stops"),
+        F.when(F.size("toks") >= ngram, ng)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ngs"),
+    )
+    punct_ratio = F.col("punct") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = F.col("stops") / F.greatest(F.col("n_tokens"), F.lit(1))
+    rep_ratio = F.when(
+        F.size("ngs") > 0,
+        1.0 - F.size(F.array_distinct("ngs")) / F.size("ngs"),
+    ).otherwise(F.lit(0.0))
+    flags = d.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") < min_tokens).alias("too_short"),
+        (F.col("n_tokens") > max_tokens).alias("too_long"),
+        (punct_ratio > max_punct_ratio).alias("high_punct"),
+        (stop_ratio < min_stop_ratio).alias("low_stop"),
+        (rep_ratio > max_rep_ratio).alias("repetitive"),
+    )
+    keep = ~(
+        F.col("too_short")
+        | F.col("too_long")
+        | F.col("high_punct")
+        | F.col("low_stop")
+        | F.col("repetitive")
+    )
+    return flags.withColumn("keep", keep).orderBy("doc_id")
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, lm_score) — average unigram log-probability of
+    each document under the corpus's own unigram distribution: the
+    perplexity-style quality signal corpus filters rank documents by.
+
+    lm_score = (1/n) * sum over tokens of ln(c(tok)/N), where c is the
+    corpus frequency and N the total token count.  The per-(doc, term)
+    contribution tf*ln(p) is quantized to 6 decimal places and summed as
+    int64 (the `fixed_point_sum` discipline), so the aggregate is
+    order-independent and bit-identical across engines; the only float
+    risk left is the last ulp of `ln` itself, the same exposure the
+    gated tfidf operator already carries.
+
+    Scale shape: one map-side-combined groupBy(doc_id, term) for tf, one
+    groupBy(term) over the (small) vocabulary — AQE broadcasts it back —
+    and one final groupBy(doc_id).  No Python anywhere.
+    """
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    n_total = vocab.agg(F.sum("c")).collect()[0][0]
+    contrib = tf.join(F.broadcast(vocab), "term").withColumn(
+        "q",
+        F.floor(
+            F.col("tf")
+            * F.log(F.col("c") / F.lit(float(n_total)))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("q").alias("qs"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("qs") / F.lit(1e6) / F.col("n_tokens"), 6).alias(
+                "lm_score"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, clean_text, n_email, n_ip, n_num): masks emails, IPv4
     addresses, and >=9-digit runs with typed placeholders — the standard

@@ -571,3 +571,53 @@ def test_redact_pii_email_consumes_digits_before_num_pass(spark):
     r = redact_pii(docs).collect()[0]
     # the email pass runs first, so its 9-digit local part never counts as a NUM
     assert r["clean_text"] == "<EMAIL>" and r["n_email"] == 1 and r["n_num"] == 0
+
+
+def test_quality_filter_flags(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy today"),  # keep
+            (2, "tiny doc"),  # too_short
+            (3, "the " + "word " * 6000 + "end"),  # too_long
+            (4, "the end!!!! ....;;;; !!!! ????"),  # high_punct
+            (5, "alpha beta gamma delta epsilon zeta"),  # low_stop
+            (6, "the cat sat " * 10 + "on the mat"),  # repetitive
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert rows[1]["keep"] and not any(
+        rows[1][c] for c in ("too_short", "too_long", "high_punct", "low_stop", "repetitive")
+    )
+    assert rows[2]["too_short"] and not rows[2]["keep"]
+    assert rows[3]["too_long"] and not rows[3]["keep"]
+    assert rows[4]["high_punct"] and not rows[4]["keep"]
+    assert rows[5]["low_stop"] and not rows[5]["keep"]
+    assert rows[6]["repetitive"] and not rows[6]["keep"]
+
+
+def test_lm_score_matches_numpy(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import lm_score
+
+    texts = ["the cat sat", "the the dog", "cat dog bird the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = [t.split() for t in texts]
+    from collections import Counter
+
+    c = Counter(w for ws in toks for w in ws)
+    N = sum(c.values())
+    got = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    for i, ws in enumerate(toks):
+        q = sum(
+            math.floor(tf * math.log(c[w] / N) * 1e6 + 0.5)
+            for w, tf in Counter(ws).items()
+        )
+        want = round(q / 1e6 / len(ws), 6)
+        assert got[i]["n_tokens"] == len(ws)
+        assert got[i]["lm_score"] == pytest.approx(want, abs=1e-9)
+    # more-frequent-token docs score higher (less surprising)
+    assert got[1]["lm_score"] > got[2]["lm_score"]
