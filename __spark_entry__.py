@@ -1114,6 +1114,24 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_filter(_qf_salted(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts; the corpus text is salted
+    with deterministic digits/marks (` v<doc_id>.0 #tag!`) so the digit
+    and mark counters are non-vacuous on the punctuation-free fixture."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import token_count_bpe
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" v"),
+            F.col("doc_id").cast("string"),
+            F.lit(".0 #tag!"),
+        ).alias("text"),
+    )
+    return token_count_bpe(docs).orderBy("doc_id")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average unigram log-probability of each doc under the corpus's own
     unigram distribution (fixed-point order-independent aggregation)."""
@@ -1155,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_topk": q_docs_hash_topk,
         "seq_pack": q_seq_pack,
         "quality_filter": q_quality_filter,
+        "token_count_bpe": q_token_count_bpe,
         "lm_score": q_lm_score,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
@@ -2283,6 +2302,16 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_topk": _docs_hash_topk_sql(),
         "seq_pack": _seq_pack_sql(),
         "quality_filter": _quality_filter_sql(),
+        "token_count_bpe": r"""
+WITH s0 AS (SELECT doc_id,
+            text || ' v' || CAST(doc_id AS VARCHAR) || '.0 #tag!' AS text
+            FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_marks
+FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
         "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),

@@ -28,6 +28,29 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(tokens("text")).alias("n_tokens")).orderBy("doc_id")
 
 
+# GPT-style pre-tokenizer classes, restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, and single non-alphanumeric marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_words, n_digit_runs, n_marks) — BPE-ish regex
+    pre-tokenization counts: the token-budget estimator pipelines use when
+    whitespace splitting undercounts (punctuation and numbers tokenize
+    separately under a BPE vocabulary).  Pure codegen; zero shuffles."""
+    def n(pat: str):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return docs.select(
+        "doc_id",
+        n(BPE_TOKEN_RE).alias("n_tokens"),
+        n(r"[A-Za-z]+").alias("n_words"),
+        n(r"[0-9]+").alias("n_digit_runs"),
+        n(r"[^A-Za-z0-9\s]").alias("n_marks"),
+    ).orderBy("doc_id")
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars_calc, punct_count, stop_count, quality)
 

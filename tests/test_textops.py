@@ -621,3 +621,19 @@ def test_lm_score_matches_numpy(spark):
         assert got[i]["lm_score"] == pytest.approx(want, abs=1e-9)
     # more-frequent-token docs score higher (less surprising)
     assert got[1]["lm_score"] > got[2]["lm_score"]
+
+
+def test_token_count_bpe(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! v3.14 #tag x_y"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_count_bpe(docs).collect()}
+    # Hello , world ! v 3 . 14 # tag x _ y  -> 13 tokens
+    assert rows[1]["n_tokens"] == 13
+    assert rows[1]["n_words"] == 6  # Hello world v tag x y
+    assert rows[1]["n_digit_runs"] == 2  # 3, 14
+    assert rows[1]["n_marks"] == 5  # , ! . # _
+    assert rows[2]["n_tokens"] == 3 and rows[2]["n_marks"] == 0
