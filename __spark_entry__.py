@@ -1140,6 +1140,22 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+EIGEN_STEPS = 5
+
+
+def q_eigencentrality_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (normalized power iteration on the kernel)
+    over the symmetric ring graph, EIGEN_STEPS iterations, rounded 8dp
+    like the other power-iteration gates."""
+    from subgraph_isomorphism_pregel_spark.operators.eigen import eigencentrality
+
+    v, e = ring_graph(spark, sf_dir)
+    scores, _ = eigencentrality(
+        spark, v, e, steps=EIGEN_STEPS, num_partitions=16
+    )
+    return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
+
+
 BUILD_ORDER_GROUP = 200  # dag_cycles fixture group size for the gated peel
 
 
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "token_count_bpe": q_token_count_bpe,
         "lm_score": q_lm_score,
+        "eigencentrality_ring": q_eigencentrality_ring,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2242,6 +2259,31 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
 FROM q GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _eigen_sql() -> str:
+    """Unrolled normalized power iteration — the eigen_program recurrence
+    verbatim: r_t = A^T r_{t-1} / ||r_{t-1}||_2, final vector re-normalized."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "r0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS x FROM rv)",
+    ]
+    for t in range(1, EIGEN_STEPS + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT e.dst AS id,
+         sum(r.x) / (SELECT sqrt(sum(x * x)) FROM r{t - 1}) AS x
+  FROM edges e JOIN r{t - 1} r ON r.id = e.src GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.id,
+       round(coalesce(r.x, 0) / (SELECT sqrt(sum(x * x)) FROM r{EIGEN_STEPS}), 8)
+         AS score_r
+FROM rv v LEFT JOIN r{EIGEN_STEPS} r ON v.id = r.id ORDER BY v.id"""
+    )
+
+
 def _build_order_sql() -> str:
     """dag_cycles fixture at group=200, SCC via transitive closure (the
     scc_dag_cycles oracle with B=200), then longest-path levels on the
@@ -2313,6 +2355,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_marks
 FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
+        "eigencentrality_ring": _eigen_sql(),
         "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),

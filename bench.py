@@ -48,6 +48,7 @@ from subgraph_isomorphism_pregel_spark.operators.textops import (  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.labelprop import label_propagation  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.clustering import kmeans  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.eigen import eigencentrality  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.hits import hits  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.walks import random_walks  # noqa: E402
@@ -328,6 +329,13 @@ def main() -> None:
         return scored.count()
 
     bench("hits_4steps", run_hits)
+
+    def run_eigen():
+        ev_, ee_ = ring_graph(spark, sf_dir)
+        scored, _ = eigencentrality(spark, ev_, ee_, steps=4, num_partitions=None)
+        return scored.count()
+
+    bench("eigencentrality_4steps", run_eigen)
 
     def run_walks():
         wv, we = ring_graph(spark, sf_dir)
