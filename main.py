@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,scc,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,scc,eigen,buildorder,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -23,7 +23,7 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
-                            "triangles", "kcore", "mis", "scc", "match"])
+                            "triangles", "kcore", "mis", "scc", "eigen", "buildorder", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -51,7 +51,7 @@ def parse_args(argv):
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed ids for --algo ppr (default: 10 smallest)")
     p.add_argument("--steps", type=int, default=5,
-                   help="fixed iterations for --algo hits")
+                   help="fixed iterations for --algo hits/eigen")
     p.add_argument("--max-hops", type=int, default=64, help="sssp superstep bound")
     p.add_argument("--k", type=int, default=3, help="core order for --algo kcore")
     p.add_argument("--tol", type=float, default=1e-6)
@@ -183,6 +183,21 @@ def main(argv=None):
             spark, edges, steps=args.steps, num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "eigen":
+        from subgraph_isomorphism_pregel_spark.operators.eigen import eigencentrality
+
+        result, metrics = eigencentrality(
+            spark, vertices, edges, steps=args.steps, num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "buildorder":
+        from subgraph_isomorphism_pregel_spark.operators.toposort import build_order
+
+        result, metrics = build_order(
+            spark, vertices, edges, num_partitions=args.partitions,
+            max_rounds=args.max_hops,
         )
     elif args.algo == "mis":
         from subgraph_isomorphism_pregel_spark.operators.mis import maximal_independent_set
