@@ -1140,6 +1140,20 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+DECONTAM_MOD = 37  # doc_id % MOD == 0 plays the benchmark/eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 37 == 0 play the eval
+    set; every other doc reports its shared-3-gram hit count and verdict."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bm = docs.where(F.col("doc_id") % DECONTAM_MOD == 0)
+    tr = docs.where(F.col("doc_id") % DECONTAM_MOD != 0)
+    return decontaminate(tr, bm, k=3).orderBy("doc_id")
+
+
 EIGEN_STEPS = 5
 
 
@@ -1192,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "lm_score": q_lm_score,
         "eigencentrality_ring": q_eigencentrality_ring,
+        "decontaminate": q_decontaminate,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2356,6 +2371,15 @@ SELECT doc_id,
 FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
         "eigencentrality_ring": _eigen_sql(),
+        "decontaminate": f"""
+WITH {SHINGLES.strip().rstrip(',')},
+bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {DECONTAM_MOD} <> 0),
+h AS (SELECT doc_id, count(*) AS n FROM tr JOIN bm USING (s) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECONTAM_MOD} <> 0 ORDER BY d.doc_id""",
         "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),

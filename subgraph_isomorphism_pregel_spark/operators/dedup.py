@@ -57,6 +57,39 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     return _shingle_array(docs, k).select("doc_id", F.explode("sh").alias("s"))
 
 
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, k: int = 3
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) — benchmark decontamination: for every
+    training document, the number of its distinct word k-gram shingles that
+    appear in ANY benchmark document, and the keep/drop verdict
+    (contaminated = at least one shared shingle).  The standard eval-leakage
+    scrub a pre-training corpus runs before a model ever sees the data.
+
+    Scale shape: the benchmark shingle set is DISTINCT and small relative to
+    the corpus (eval suites are megabytes, corpora are terabytes), so it
+    broadcasts; the training side streams through a map-side hash join and
+    one groupBy(doc_id) with partial aggregation — the full corpus is never
+    shuffled on shingle."""
+    tr = _shingles(train, k)
+    bm = _shingles(benchmark, k).select("s").distinct()
+    hits = (
+        tr.join(F.broadcast(bm), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with word-k-gram Jaccard >= threshold.
 

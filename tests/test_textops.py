@@ -637,3 +637,24 @@ def test_token_count_bpe(spark):
     assert rows[1]["n_digit_runs"] == 2  # 3, 14
     assert rows[1]["n_marks"] == 5  # , ! . # _
     assert rows[2]["n_tokens"] == 3 and rows[2]["n_marks"] == 0
+
+
+def test_decontaminate(spark):
+    from subgraph_isomorphism_pregel_spark.operators.dedup import decontaminate
+
+    bm = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "a lazy dog sat by the quick brown fox today"),  # shares 2 shingles
+            (2, "completely novel words with zero overlap here"),
+            (3, "quick brown fox jumps again and again"),  # shares 2 shingles
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(tr, bm, k=3).collect()}
+    # doc1: 'the quick brown', 'quick brown fox'; doc3: 'quick brown fox', 'brown fox jumps'
+    assert rows[1]["n_hits"] == 2 and rows[1]["contaminated"]
+    assert rows[2]["n_hits"] == 0 and not rows[2]["contaminated"]
+    assert rows[3]["n_hits"] == 2 and rows[3]["contaminated"]
