@@ -1090,6 +1090,23 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard fill-ratio report over the gated packing run — the waste
+    metric a packing job publishes."""
+    from subgraph_isomorphism_pregel_spark.operators.packing import (
+        pack_documents,
+        packing_efficiency,
+    )
+
+    packed = pack_documents(
+        _docs(spark, sf_dir),
+        capacity=SEQ_PACK_CAP,
+        n_shards=SEQ_PACK_SHARDS,
+        salt=SPLIT_SALT,
+    )
+    return packing_efficiency(packed, SEQ_PACK_CAP)
+
+
 def _qf_salted(docs: DataFrame) -> DataFrame:
     """The synthetic corpus is too clean to trip most quality rules (no
     punctuation, no long docs), so the gated query deterministically
@@ -1202,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified": q_docs_stratified,
         "docs_hash_topk": q_docs_hash_topk,
         "seq_pack": q_seq_pack,
+        "pack_efficiency": q_pack_efficiency,
         "quality_filter": q_quality_filter,
         "token_count_bpe": q_token_count_bpe,
         "lm_score": q_lm_score,
@@ -2358,6 +2376,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified": _docs_stratified_sql(),
         "docs_hash_topk": _docs_hash_topk_sql(),
         "seq_pack": _seq_pack_sql(),
+        "pack_efficiency": _seq_pack_sql().replace(
+            """SELECT doc_id, shard, bin, pos, n AS n_tokens
+FROM rec ORDER BY doc_id""",
+            f"""SELECT shard, max(bin) + 1 AS n_bins,
+       CAST(sum(n) AS BIGINT) AS tokens,
+       round(CAST(sum(n) AS BIGINT) / ((max(bin) + 1) * {SEQ_PACK_CAP}), 6)
+         AS fill_ratio
+FROM rec GROUP BY shard ORDER BY shard""",
+        ),
         "quality_filter": _quality_filter_sql(),
         "token_count_bpe": r"""
 WITH s0 AS (SELECT doc_id,
