@@ -36,7 +36,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from subgraph_isomorphism_pregel_spark.operators.components import connected_components  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.kcore import kcore  # noqa: E402
-from subgraph_isomorphism_pregel_spark.operators.dedup import minhash_lsh_pairs, simhash  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.dedup import (  # noqa: E402
+    decontaminate,
+    minhash_lsh_pairs,
+    simhash,
+)
 from subgraph_isomorphism_pregel_spark.operators.sketches import cms_heavy_hitters, hll_distinct  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.packing import pack_documents  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.textops import (  # noqa: E402
@@ -303,6 +307,13 @@ def main() -> None:
         "seq_pack_cap200",
         lambda: pack_documents(docs, capacity=200, n_shards=64, salt="v1").count(),
     )
+
+    def run_decontaminate():
+        bm = docs.where(F.col("doc_id") % 37 == 0)
+        tr = docs.where(F.col("doc_id") % 37 != 0)
+        return decontaminate(tr, bm, k=3).where("contaminated").count()
+
+    bench("decontaminate", run_decontaminate)
     bench("hll_distinct", lambda: hll_distinct(docs, "text", p=12).count())
     bench("cms_heavy_hitters", lambda: cms_heavy_hitters(docs).count())
 
