@@ -1157,6 +1157,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+GAPFILL_BUCKET_S = 900  # ~50% of 15-min buckets are gaps at sf0.01
+
+
+def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type event series with LOCF values — every bucket
+    between each type's first and last observation, missing ones filled
+    from the previous bucket."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import gapfill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gapfill_locf(ev, bucket_seconds=GAPFILL_BUCKET_S)
+
+
 DECONTAM_MOD = 37  # doc_id % MOD == 0 plays the benchmark/eval set
 
 
@@ -1225,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
+        "gapfill_events": q_gapfill_events,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2398,6 +2412,24 @@ SELECT doc_id,
 FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
         "eigencentrality_ring": _eigen_sql(),
+        "gapfill_events": f"""
+WITH b AS (SELECT event_type,
+                  CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)
+                    AS bucket_id,
+                  value
+           FROM events),
+a AS (SELECT event_type, bucket_id, count(*) AS n, round(sum(value), 6) AS val_obs
+      FROM b GROUP BY event_type, bucket_id),
+r AS (SELECT event_type, unnest(range(min(bucket_id), max(bucket_id) + 1)) AS bucket_id
+      FROM a GROUP BY event_type)
+SELECT r.event_type, r.bucket_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+       last_value(a.val_obs IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val,
+       a.n IS NULL AS filled
+FROM r LEFT JOIN a ON r.event_type = a.event_type AND r.bucket_id = a.bucket_id
+ORDER BY r.event_type, r.bucket_id""",
         "decontaminate": f"""
 WITH {SHINGLES.strip().rstrip(',')},
 bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),

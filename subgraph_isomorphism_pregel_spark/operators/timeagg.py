@@ -41,3 +41,55 @@ def time_rollup(
         F.count("*").alias("n"),
         F.round(F.sum(value_col), 6).alias("sum_r"),
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Hypertable-style gap-filled series with last-observation-carried-
+    forward: (group, bucket_id, n, val, filled) for EVERY bucket between
+    each group's first and last observation — missing buckets appear with
+    n = 0, val = the previous bucket's aggregate, filled = true.
+
+    The skeleton is one sequence() per group between its min and max
+    observed bucket (never a global cross join); LOCF is one
+    last(ignorenulls) running window per group. Two shuffles total (the
+    bucket aggregate and the group window — same key, so AQE reuses the
+    partitioning). At 100 TB series count is the parallelism unit and a
+    bucket range rides each group's row, so skeleton size is output-sized,
+    never |groups| x |global range|.
+    """
+    from pyspark.sql import Window
+
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        time_bucket(F.col(ts_col), bucket_seconds).alias("bucket_id"),
+        F.col(value_col).alias("v"),
+    )
+    agg = b.groupBy("grp", "bucket_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 6).alias("val_obs")
+    )
+    rng = (
+        agg.groupBy("grp")
+        .agg(F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi"))
+        .select("grp", F.explode(F.sequence("lo", "hi")).alias("bucket_id"))
+    )
+    j = rng.join(agg, ["grp", "bucket_id"], "left")
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "bucket_id",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("val_obs", ignorenulls=True).over(w).alias("val"),
+        F.col("n").isNull().alias("filled"),
+    ).orderBy(group_col, "bucket_id")

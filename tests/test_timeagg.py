@@ -4,6 +4,8 @@ from datetime import datetime, timedelta
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from subgraph_isomorphism_pregel_spark.operators.timeagg import time_rollup
 
 T0 = datetime(2024, 1, 1)
@@ -44,3 +46,42 @@ def test_time_rollup_bad_bucket(spark):
     )
     with pytest.raises(ValueError):
         time_rollup(df, bucket_seconds=0)
+
+
+def test_gapfill_locf_semantics(spark):
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import gapfill_locf
+
+    rows = [
+        (1, "2024-01-01 00:00:30", "a", 1.0),
+        (2, "2024-01-01 00:01:10", "a", 2.0),   # bucket 1
+        (3, "2024-01-01 00:04:05", "a", 10.0),  # bucket 4 -> gaps at 2,3
+        (4, "2024-01-01 00:00:59", "b", 5.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    out = gapfill_locf(ev, bucket_seconds=60).collect()
+    a = [(r["bucket_id"], r["n"], r["val"], r["filled"]) for r in out if r["event_type"] == "a"]
+    base = a[0][0]
+    rel = [(b - base, n, v, f) for b, n, v, f in a]
+    assert rel == [
+        (0, 1, 1.0, False),
+        (1, 1, 2.0, False),
+        (2, 0, 2.0, True),   # carried forward
+        (3, 0, 2.0, True),
+        (4, 1, 10.0, False),
+    ]
+    b_rows = [r for r in out if r["event_type"] == "b"]
+    assert len(b_rows) == 1 and b_rows[0]["n"] == 1 and not b_rows[0]["filled"]
+
+
+def test_gapfill_rejects_bad_bucket(spark):
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import gapfill_locf
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gapfill_locf(ev, bucket_seconds=0)
