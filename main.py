@@ -52,7 +52,7 @@ def parse_args(argv):
                    help="comma-separated seed ids for --algo ppr (default: 10 smallest)")
     p.add_argument("--steps", type=int, default=5,
                    help="fixed iterations for --algo hits/eigen")
-    p.add_argument("--max-hops", type=int, default=64, help="sssp superstep bound")
+    p.add_argument("--max-hops", type=int, default=64, help="superstep bound for --algo sssp/wsssp/buildorder")
     p.add_argument("--k", type=int, default=3, help="core order for --algo kcore")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--partitions", type=int, default=32)

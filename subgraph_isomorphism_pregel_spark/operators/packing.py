@@ -85,6 +85,8 @@ def pack_documents(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
     bucket = _bucket_hex("doc_id", salt)
     n_tok = (
         F.col(count_col).cast("long")

@@ -192,8 +192,10 @@ def quality_filter(
     Every flag is a pure per-row codegen expression (token/char counts,
     stopword ratio, duplicate word-n-gram fraction) — zero shuffles, so the
     filter runs at parquet-scan speed and `keep` pushes down as a predicate
-    when used to subset the corpus.  All ratio comparisons are exact-integer
-    divisions (bit-identical across engines), so the booleans hash-gate.
+    when used to subset the corpus.  Every ratio is ONE IEEE double
+    division of two exact integer counts — both engines compute the same
+    correctly-rounded quotient bit-for-bit, so the threshold comparisons
+    (and hence the booleans) are engine-deterministic and hash-gate.
     """
     t = tokens("text")
     d = docs.select("doc_id", "text", t.alias("toks"))

@@ -157,14 +157,21 @@ def build_order(
         .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
         .distinct()
     )
-    cverts = comp.select(F.col("scc").alias("id")).distinct().withColumn(
-        "label", F.lit(0).cast("int")
-    )
-    n_cedges = relabeled.count()
-    cp = num_partitions if num_partitions is not None else auto_partitions(n_cedges)
-    levels, m2 = dag_levels(
-        spark, cverts, relabeled, num_partitions=cp, max_rounds=max_rounds
-    )
+    relabeled = relabeled.persist()
+    try:
+        cverts = comp.select(F.col("scc").alias("id")).distinct().withColumn(
+            "label", F.lit(0).cast("int")
+        )
+        cp = (
+            num_partitions
+            if num_partitions is not None
+            else auto_partitions(relabeled.count())
+        )
+        levels, m2 = dag_levels(
+            spark, cverts, relabeled, num_partitions=cp, max_rounds=max_rounds
+        )
+    finally:
+        relabeled.unpersist()
     out = comp.join(
         levels.select(F.col("id").alias("scc"), "level"), "scc"
     ).select("id", F.col("scc").alias("comp"), "level")

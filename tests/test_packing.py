@@ -114,3 +114,8 @@ def test_packing_efficiency(spark):
 def test_pack_rejects_bad_capacity(spark):
     with pytest.raises(ValueError):
         pack_documents(_docs_df(spark, ["a"]), capacity=0)
+
+
+def test_pack_rejects_bad_shards(spark):
+    with pytest.raises(ValueError):
+        pack_documents(_docs_df(spark, ["a"]), capacity=8, n_shards=0)
