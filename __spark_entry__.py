@@ -1157,6 +1157,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+HYPERBALL_R = 3  # ball radius
+HYPERBALL_P = 4  # HLL precision (16 registers/vertex)
+
+
+def q_hyperball_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-size estimates |B(v, 3)| on the ring graph —
+    per-vertex HLL registers iterated on the kernel; the oracle rebuilds
+    every register from the exact 3-hop balls."""
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import hyperball
+
+    v, e = ring_graph(spark, sf_dir)
+    est, _ = hyperball(
+        spark, v, e, radius=HYPERBALL_R, p=HYPERBALL_P, num_partitions=8
+    )
+    return est.orderBy("id")
+
+
 GAPFILL_BUCKET_S = 900  # ~50% of 15-min buckets are gaps at sf0.01
 
 
@@ -1239,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
         "gapfill_events": q_gapfill_events,
+        "hyperball_ring": q_hyperball_ring,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2381,6 +2399,45 @@ SELECT CAST(c.id AS BIGINT) AS id, CAST(c.scc AS BIGINT) AS comp,
 FROM comp c JOIN lvl l ON c.scc = l.id ORDER BY id"""
 
 
+def _hyperball_sql() -> str:
+    """Exact-register HyperBall twin: recursive 3-hop balls, md5 registers
+    per member (the hll_distinct convention), per-vertex estimate with the
+    identical literals as operators/hyperball.py."""
+    from subgraph_isomorphism_pregel_spark.operators.sketches import hll_params
+
+    m, W, R, num = hll_params(HYPERBALL_P)
+    mask = (1 << W) - 1
+    return f"""
+WITH RECURSIVE
+{RING_GRAPH.strip().rstrip(',')},
+reach AS (
+  SELECT id AS v, id AS u, 0 AS d FROM rv
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN edges e ON r.u = e.src
+  WHERE r.d < {HYPERBALL_R}),
+ball AS (SELECT DISTINCT v, u FROM reach),
+h AS (SELECT u,
+             CAST(CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8) AS UBIGINT)
+               AS BIGINT) AS h32
+      FROM (SELECT DISTINCT u FROM ball)),
+rk AS (SELECT u, h32 // {mask + 1} AS b,
+              {W} - (CASE WHEN h32 % {mask + 1} = 0 THEN 0
+                          ELSE length(bin(h32 % {mask + 1})) END) + 1 AS r
+       FROM h),
+regs AS (SELECT ball.v, rk.b, max(rk.r) AS M
+         FROM ball JOIN rk ON ball.u = rk.u GROUP BY ball.v, rk.b),
+agg AS (SELECT v, count(*) AS nb,
+               sum(2.0 ** ({R} - M)) AS s_present
+        FROM regs GROUP BY v)
+SELECT v AS id,
+       round(CASE WHEN {num!r} / (s_present + ({m} - nb) * {float(2 ** R)!r})
+                       <= {2.5 * m!r} AND ({m} - nb) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - nb))
+                  ELSE {num!r} / (s_present + ({m} - nb) * {float(2 ** R)!r}) END,
+             6) AS est_ball_r
+FROM agg ORDER BY v"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -2412,6 +2469,7 @@ SELECT doc_id,
 FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
         "eigencentrality_ring": _eigen_sql(),
+        "hyperball_ring": _hyperball_sql(),
         "gapfill_events": f"""
 WITH b AS (SELECT event_type,
                   CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)

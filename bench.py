@@ -54,6 +54,7 @@ from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher  #
 from subgraph_isomorphism_pregel_spark.operators.clustering import kmeans  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.eigen import eigencentrality  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.hits import hits  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.hyperball import hyperball  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.walks import random_walks  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.similarity import (  # noqa: E402
@@ -347,6 +348,13 @@ def main() -> None:
         return scored.count()
 
     bench("eigencentrality_4steps", run_eigen)
+
+    def run_hyperball():
+        hv, he = ring_graph(spark, sf_dir)
+        est, _ = hyperball(spark, hv, he, radius=3, p=4, num_partitions=None)
+        return est.count()
+
+    bench("hyperball_r3", run_hyperball)
 
     def run_walks():
         wv, we = ring_graph(spark, sf_dir)

@@ -1,0 +1,79 @@
+import hashlib
+import math
+
+import pytest
+
+from subgraph_isomorphism_pregel_spark.operators.hyperball import hyperball
+from subgraph_isomorphism_pregel_spark.operators.sketches import hll_params
+
+
+def ref_hyperball(n, edges, radius, p):
+    """Exact replay: BFS balls + HLL registers + the estimate formula."""
+    m, W, R, num = hll_params(p)
+    adj = {i: set() for i in range(n)}
+    for s, d in edges:
+        adj[s].add(d)
+    out = {}
+    for v in range(n):
+        ball = {v}
+        frontier = {v}
+        for _ in range(radius):
+            frontier = {w for u in frontier for w in adj[u]} - ball
+            ball |= frontier
+        regs = [0] * m
+        for u in ball:
+            h32 = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+            b, w = h32 >> W, h32 & ((1 << W) - 1)
+            rank = W - w.bit_length() + 1
+            regs[b] = max(regs[b], rank)
+        v_empty = regs.count(0)
+        s = sum(2.0 ** (R - M) for M in regs)
+        e_raw = num / s
+        if e_raw <= 2.5 * m and v_empty > 0:
+            est = float(m) * math.log(float(m) / v_empty)
+        else:
+            est = e_raw
+        out[v] = round(est, 6)
+    return out
+
+
+def _graph(spark, n, edges):
+    v = spark.createDataFrame([(i, 0) for i in range(n)], "id long, label int")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return v, e
+
+
+def test_hyperball_matches_exact_replay(spark):
+    import random
+
+    rng = random.Random(5)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(160)})
+    edges = [(a, b) for a, b in edges if a != b]
+    v, e = _graph(spark, n, edges)
+    got, _ = hyperball(spark, v, e, radius=3, p=4, num_partitions=3)
+    gv = {r["id"]: r["est_ball_r"] for r in got.collect()}
+    want = ref_hyperball(n, edges, 3, 4)
+    assert gv == pytest.approx(want, abs=1e-9)
+
+
+def test_hyperball_estimates_track_ball_size(spark):
+    # directed chain: B(v, 2) = {v, v+1, v+2} clipped at the end
+    n = 12
+    edges = [(i, i + 1) for i in range(n - 1)]
+    v, e = _graph(spark, n, edges)
+    got, _ = hyperball(spark, v, e, radius=2, p=4, num_partitions=2)
+    gv = {r["id"]: r["est_ball_r"] for r in got.collect()}
+    want = ref_hyperball(n, edges, 2, 4)
+    assert gv == pytest.approx(want, abs=1e-9)
+    # the chain end sees a strictly smaller ball than a singleton-free
+    # prefix vertex — compare through the replay (estimates are NOT
+    # monotone in ball size at tiny cardinalities: md5 buckets collide)
+    assert gv[n - 1] == pytest.approx(want[n - 1], abs=1e-9)
+    assert min(gv.values()) > 0.0
+
+
+def test_hyperball_rejects_bad_radius(spark):
+    v, e = _graph(spark, 2, [(0, 1)])
+    with pytest.raises(ValueError):
+        hyperball(spark, v, e, radius=0)
