@@ -1174,6 +1174,21 @@ def q_hyperball_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy("id")
 
 
+def q_neighborhood_fn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function N(1..3) on the ring graph — the
+    per-round ball-mass totals captured through the kernel stats fold in
+    exact int64 micro-units."""
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import (
+        neighborhood_function,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    nf, _ = neighborhood_function(
+        spark, v, e, radius=HYPERBALL_R, p=HYPERBALL_P, num_partitions=8
+    )
+    return nf.orderBy("r")
+
+
 GAPFILL_BUCKET_S = 900  # ~50% of 15-min buckets are gaps at sf0.01
 
 
@@ -1257,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "gapfill_events": q_gapfill_events,
         "hyperball_ring": q_hyperball_ring,
+        "neighborhood_fn_ring": q_neighborhood_fn_ring,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2438,6 +2454,51 @@ SELECT v AS id,
 FROM agg ORDER BY v"""
 
 
+def _neighborhood_fn_sql() -> str:
+    """HyperANF twin: minimal-distance balls for every radius 1..R, exact
+    registers per member, per-vertex estimates quantized at 1e-6 and
+    int64-summed — the kernel's est_micro fold verbatim."""
+    from subgraph_isomorphism_pregel_spark.operators.sketches import hll_params
+
+    m, W, R, num = hll_params(HYPERBALL_P)
+    mask = (1 << W) - 1
+    radii = ", ".join(str(r) for r in range(1, HYPERBALL_R + 1))
+    return f"""
+WITH RECURSIVE
+{RING_GRAPH.strip().rstrip(',')},
+reach AS (
+  SELECT id AS v, id AS u, 0 AS d FROM rv
+  UNION
+  SELECT r.v, e.dst, r.d + 1 FROM reach r JOIN edges e ON r.u = e.src
+  WHERE r.d < {HYPERBALL_R}),
+md AS MATERIALIZED (SELECT v, u, min(d) AS md FROM reach GROUP BY v, u),
+h AS (SELECT u,
+             CAST(CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8) AS UBIGINT)
+               AS BIGINT) AS h32
+      FROM (SELECT DISTINCT u FROM md)),
+rk AS MATERIALIZED (
+  SELECT u, h32 // {mask + 1} AS b,
+         {W} - (CASE WHEN h32 % {mask + 1} = 0 THEN 0
+                     ELSE length(bin(h32 % {mask + 1})) END) + 1 AS rr
+  FROM h),
+radii AS (SELECT unnest([{radii}]) AS ra),
+regs AS (SELECT radii.ra, md.v, rk.b, max(rk.rr) AS M
+         FROM radii JOIN md ON md.md <= radii.ra JOIN rk ON md.u = rk.u
+         GROUP BY radii.ra, md.v, rk.b),
+agg AS (SELECT ra, v, count(*) AS nb, sum(2.0 ** ({R} - M)) AS s_present
+        FROM regs GROUP BY ra, v),
+est AS (SELECT ra, v,
+               CASE WHEN {num!r} / (s_present + ({m} - nb) * {float(2 ** R)!r})
+                         <= {2.5 * m!r} AND ({m} - nb) > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / ({m} - nb))
+                    ELSE {num!r} / (s_present + ({m} - nb) * {float(2 ** R)!r}) END
+                 AS e
+        FROM agg)
+SELECT CAST(ra AS INT) AS r,
+       CAST(sum(CAST(floor(e * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS n_est_micro
+FROM est GROUP BY ra ORDER BY r"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -2470,6 +2531,7 @@ FROM s0 ORDER BY doc_id""",
         "lm_score": _lm_score_sql(),
         "eigencentrality_ring": _eigen_sql(),
         "hyperball_ring": _hyperball_sql(),
+        "neighborhood_fn_ring": _neighborhood_fn_sql(),
         "gapfill_events": f"""
 WITH b AS (SELECT event_type,
                   CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)

@@ -63,15 +63,41 @@ def _init_registers(ids: np.ndarray, m: int, W: int) -> np.ndarray:
     return regs
 
 
-def hyperball_program(P: int, m: int, W: int, radius: int) -> VertexProgram:
+def _estimates(regs: np.ndarray, m: int, R: int, num: float) -> np.ndarray:
+    """Per-vertex HLL estimates from the packed register vector (the
+    hll_distinct formula, vectorized)."""
+    mat = regs.reshape(-1, m)
+    v_empty = (mat == 0).sum(axis=1)
+    s = np.power(2.0, float(R) - mat).sum(axis=1)
+    e_raw = num / s
+    lin = float(m) * np.log(float(m) / np.maximum(v_empty, 1))
+    return np.where((e_raw <= 2.5 * m) & (v_empty > 0), lin, e_raw)
+
+
+def hyperball_program(
+    P: int,
+    m: int,
+    W: int,
+    radius: int,
+    R: int,
+    num: float,
+    nf_collect: list | None = None,
+) -> VertexProgram:
     def init(part):
         ids = np.asarray(part["ids"], dtype=np.int64)
         nv = len(ids)
+        regs = _init_registers(ids, m, W)
+        est0 = _estimates(regs, m, R, num)
         return {
-            "regs": _init_registers(ids, m, W),
+            "regs": regs,
             "changed": np.ones(nv, dtype=np.int32),
             "msgs_in": 0,
             "active": nv,
+            # fixed-point per-partition partial of the round's N(r) total:
+            # per-vertex estimates quantized to 1e-6 then int64-summed, so
+            # the cross-partition fold is order-independent and the
+            # neighborhood function hash-gates (fixed_point_sum discipline)
+            "est_micro": int(np.floor(est0 * 1e6 + 0.5).astype(np.int64).sum()),
         }
 
     def scatter(part, step, carry):
@@ -124,21 +150,32 @@ def hyperball_program(P: int, m: int, W: int, radius: int) -> VertexProgram:
             np.maximum.at(regs, enc, vals)
             grew = (regs != old).reshape(nv, m).any(axis=1)
             changed[grew] = 1
+        est = _estimates(regs, m, R, num)
         return {
             "regs": regs,
             "changed": changed,
             "msgs_in": int(n_msgs),
             "active": int(changed.sum()),
+            "est_micro": int(np.floor(est * 1e6 + 0.5).astype(np.int64).sum()),
         }
+
+    def carry_fn(srow):
+        # driver-side capture of the round's folded N(r) total (int64
+        # micro-units) — the HyperANF neighborhood function, one entry
+        # per superstep
+        if nf_collect is not None:
+            nf_collect.append(int(srow["est_micro"] or 0))
+        return {}
 
     return VertexProgram(
         name="hyperball",
-        state_schema="regs array<long>, changed array<int>, msgs_in long, active long",
+        state_schema="regs array<long>, changed array<int>, msgs_in long, active long, est_micro long",
         msg_schema="pid int, dpos array<int>, regs array<long>",
         init=init,
         scatter=scatter,
         update=update,
-        stats=[("msgs_in", F.sum), ("active", F.sum)],
+        stats=[("msgs_in", F.sum), ("active", F.sum), ("est_micro", F.sum)],
+        carry_fn=carry_fn,
         converged=lambda srow, step: step >= radius or int(srow["active"] or 0) == 0,
         struct_cols=("s_spos", "s_dpos", "s_bounds"),
     )
@@ -151,9 +188,12 @@ def hyperball(
     radius: int = 3,
     p: int = 4,
     num_partitions: int | None = None,
+    nf_collect: list | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """(id, est_ball_r) — HLL-estimated |B(id, radius)| along out-edges,
-    rounded 6dp; exact-register SQL twin in __spark_entry__."""
+    rounded 6dp; exact-register SQL twin in __spark_entry__.  Pass a list
+    as nf_collect to receive the per-round neighborhood-function totals
+    N(1)..N(radius) in int64 micro-units."""
     if radius < 1:
         raise ValueError("hyperball needs radius >= 1")
     m, W, R, num = hll_params(p)
@@ -165,7 +205,7 @@ def hyperball(
     )
     parts = build_parts(spark, vertices, rev, P)
     final, metrics = Pregel(spark, parts, P).run(
-        hyperball_program(P, m, W, radius), max_steps=radius
+        hyperball_program(P, m, W, radius, R, num, nf_collect), max_steps=radius
     )
     # band-unpack: one (id, register) row per vertex-register pair, then
     # the hll_distinct estimate fold per vertex (16n rows, one shuffle)
@@ -190,3 +230,32 @@ def hyperball(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")),
     ).otherwise(e_raw)
     return agg.select("id", F.round(est, 6).alias("est_ball_r")), metrics
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 4,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """HyperANF: (r, n_est_micro) for r = 1..radius — the total estimated
+    ball mass sum_v |B(v, r)| per round, in exact int64 micro-units (the
+    per-vertex estimates quantized at 1e-6 inside the kernel fold, so the
+    totals are partitioning-independent and hash-gate).  One kernel run;
+    the per-round totals ride the scalar stats fold, costing nothing
+    beyond the vectorized estimate pass each superstep."""
+    nf: list[int] = []
+    _, metrics = hyperball(
+        spark,
+        vertices,
+        edges,
+        radius=radius,
+        p=p,
+        num_partitions=num_partitions,
+        nf_collect=nf,
+    )
+    rows = [(r + 1, int(v)) for r, v in enumerate(nf)]
+    df = spark.createDataFrame(rows, "r int, n_est_micro long")
+    return df, metrics

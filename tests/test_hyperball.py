@@ -77,3 +77,26 @@ def test_hyperball_rejects_bad_radius(spark):
     v, e = _graph(spark, 2, [(0, 1)])
     with pytest.raises(ValueError):
         hyperball(spark, v, e, radius=0)
+
+
+def test_neighborhood_function_matches_replay(spark):
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import (
+        neighborhood_function,
+    )
+
+    import random
+
+    rng = random.Random(9)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    v, e = _graph(spark, n, edges)
+    nf, _ = neighborhood_function(spark, v, e, radius=3, p=4, num_partitions=3)
+    got = {r["r"]: r["n_est_micro"] for r in nf.collect()}
+    for radius in (1, 2, 3):
+        want = ref_hyperball(n, edges, radius, 4)
+        # the kernel quantizes the RAW estimate; the replay rounds to 6dp
+        # first — identical integers either way at 1e-6 resolution
+        total = sum(int(math.floor(x * 1e6 + 0.5)) for x in want.values())
+        assert got[radius] == total
+    assert got[1] <= got[2] <= got[3]  # balls only grow
