@@ -1174,6 +1174,24 @@ def q_hyperball_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.orderBy("id")
 
 
+EFFDIAM_ALPHA = 0.9
+
+
+def q_effdiam_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF effective diameter of the ring graph at alpha=0.9 over the
+    radius-3 neighborhood function (interpolated)."""
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import (
+        effective_diameter,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    out, _ = effective_diameter(
+        spark, v, e, radius=HYPERBALL_R, p=HYPERBALL_P,
+        alpha=EFFDIAM_ALPHA, num_partitions=8,
+    )
+    return out
+
+
 def q_neighborhood_fn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperANF neighborhood function N(1..3) on the ring graph — the
     per-round ball-mass totals captured through the kernel stats fold in
@@ -1273,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_events": q_gapfill_events,
         "hyperball_ring": q_hyperball_ring,
         "neighborhood_fn_ring": q_neighborhood_fn_ring,
+        "effdiam_ring": q_effdiam_ring,
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
@@ -2499,6 +2518,34 @@ SELECT CAST(ra AS INT) AS r,
 FROM est GROUP BY ra ORDER BY r"""
 
 
+def _effdiam_sql() -> str:
+    """Effective-diameter twin: the nf CTE chain + the interpolation
+    arithmetic of operators/hyperball.py::effective_diameter verbatim
+    (radius pinned at 3)."""
+    assert HYPERBALL_R == 3
+    a = EFFDIAM_ALPHA
+    s = _neighborhood_fn_sql()
+    head, tail = s.rsplit("SELECT CAST(ra AS INT) AS r,", 1)
+    nf_cte = (
+        head.rstrip()
+        + ",\nnf AS (SELECT CAST(ra AS INT) AS r,"
+        + tail.replace("ORDER BY r", ")")
+    )
+    return f"""{nf_cte}
+SELECT round(CASE
+    WHEN CAST(n1 AS DOUBLE) >= {a!r} * CAST(n3 AS DOUBLE) THEN 1.0
+    WHEN CAST(n2 AS DOUBLE) >= {a!r} * CAST(n3 AS DOUBLE)
+      THEN 1.0 + ({a!r} * CAST(n3 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE))
+    ELSE 2.0 + ({a!r} * CAST(n3 AS DOUBLE) - CAST(n2 AS DOUBLE))
+               / (CAST(n3 AS DOUBLE) - CAST(n2 AS DOUBLE))
+  END, 6) AS eff_diameter
+FROM (SELECT max(CASE WHEN r = 1 THEN n_est_micro END) AS n1,
+             max(CASE WHEN r = 2 THEN n_est_micro END) AS n2,
+             max(CASE WHEN r = 3 THEN n_est_micro END) AS n3
+      FROM nf)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
@@ -2532,6 +2579,7 @@ FROM s0 ORDER BY doc_id""",
         "eigencentrality_ring": _eigen_sql(),
         "hyperball_ring": _hyperball_sql(),
         "neighborhood_fn_ring": _neighborhood_fn_sql(),
+        "effdiam_ring": _effdiam_sql(),
         "gapfill_events": f"""
 WITH b AS (SELECT event_type,
                   CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)

@@ -259,3 +259,42 @@ def neighborhood_function(
     rows = [(r + 1, int(v)) for r, v in enumerate(nf)]
     df = spark.createDataFrame(rows, "r int, n_est_micro long")
     return df, metrics
+
+
+def effective_diameter(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    radius: int = 3,
+    p: int = 4,
+    alpha: float = 0.9,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """One row (eff_diameter double): the HyperANF effective diameter —
+    the smallest r where the neighborhood function reaches alpha of its
+    value at `radius`, linearly interpolated between rounds (Boldi &
+    Vigna's convention, anchored at N(1) for r <= 1).
+
+    Driver arithmetic over the radius-many int64 N(r) totals — exact
+    inputs, a handful of double ops, mirrored verbatim by the SQL twin.
+    """
+    nf, metrics = neighborhood_function(
+        spark, vertices, edges, radius=radius, p=p, num_partitions=num_partitions
+    )
+    rows = {r["r"]: r["n_est_micro"] for r in nf.collect()}
+    ns = [rows[r] for r in range(1, radius + 1)]
+    target = alpha * float(ns[-1])
+    if float(ns[0]) >= target:
+        d = 1.0
+    else:
+        d = float(radius)
+        for i in range(1, radius):
+            if float(ns[i]) >= target:
+                d = float(i) + (target - float(ns[i - 1])) / (
+                    float(ns[i]) - float(ns[i - 1])
+                )
+                break
+    out = spark.createDataFrame(
+        [(round(d, 6),)], "eff_diameter double"
+    )
+    return out, metrics

@@ -100,3 +100,29 @@ def test_neighborhood_function_matches_replay(spark):
         total = sum(int(math.floor(x * 1e6 + 0.5)) for x in want.values())
         assert got[radius] == total
     assert got[1] <= got[2] <= got[3]  # balls only grow
+
+
+def test_effective_diameter_interpolation(spark):
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    # undirected 14-cycle: balls grow linearly, so the interpolation lands
+    # strictly between rounds
+    n = 14
+    edges = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    v, e = _graph(spark, n, edges)
+    out, _ = effective_diameter(spark, v, e, radius=3, p=4, num_partitions=2)
+    d = out.collect()[0]["eff_diameter"]
+    nf, _ = neighborhood_function(spark, v, e, radius=3, p=4, num_partitions=2)
+    ns = {r["r"]: float(r["n_est_micro"]) for r in nf.collect()}
+    target = 0.9 * ns[3]
+    if ns[1] >= target:
+        want = 1.0
+    elif ns[2] >= target:
+        want = 1.0 + (target - ns[1]) / (ns[2] - ns[1])
+    else:
+        want = 2.0 + (target - ns[2]) / (ns[3] - ns[2])
+    assert d == pytest.approx(round(want, 6), abs=1e-9)
+    assert 1.0 <= d <= 3.0
