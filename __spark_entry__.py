@@ -427,6 +427,29 @@ WALKS_PER_VERTEX = 2
 WALK_SALT = "w1"
 
 
+N2V_LEN = 3
+N2V_P, N2V_Q = 4.0, 0.25  # dyadic weights: 1/p=0.25, 1/q=4.0 — exact cumsums
+N2V_SALT = "n2v"
+
+
+def q_node2vec_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec-biased deterministic walks on the ring graph (p=4, q=0.25
+    — homophily-leaning), inverse-CDF choice against one md5 uniform per
+    (walk, step)."""
+    from subgraph_isomorphism_pregel_spark.operators.walks import node2vec_walks
+
+    v, e = ring_graph(spark, sf_dir)
+    return node2vec_walks(
+        e,
+        walk_len=N2V_LEN,
+        p=N2V_P,
+        q=N2V_Q,
+        walks_per_vertex=1,
+        starts=v.select("id"),
+        salt=N2V_SALT,
+    ).orderBy("origin", "walk_no", "step")
+
+
 def q_walks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (hash-argmin next-hop) from every ring
     vertex — the graph-embedding corpus generator."""
@@ -1296,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
         "walks_ring": q_walks_ring,
+        "node2vec_ring": q_node2vec_ring,
         "clustering_coeff_ring": q_clustering_coeff_ring,
         "khop_sample_ring": q_khop_sample_ring,
         "mis_ring": q_mis_ring,
@@ -1735,6 +1759,56 @@ def _khop_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT * FROM ({steps}) ORDER BY origin, dist, node"
+    )
+
+
+def _node2vec_sql() -> str:
+    """Unrolled node2vec steps: per-(walk, step) inverse-CDF over the
+    current node's out-neighbors in id order, weights by the p/q classes
+    (predecessor / distance-1 / distance-2) — operators/walks.py
+    node2vec_walks verbatim, dyadic weights so every cumsum is exact."""
+    inv_p, inv_q = 1.0 / N2V_P, 1.0 / N2V_Q
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        """w0 AS MATERIALIZED (
+  SELECT rv.id AS origin, CAST(0 AS INT) AS walk_no, rv.id AS node,
+         CAST(NULL AS BIGINT) AS prev
+  FROM rv)""",
+    ]
+    for t in range(1, N2V_LEN + 1):
+        u = (
+            f"CAST(CAST('0x' || substr(md5(CAST(f.origin AS VARCHAR) || ':' || "
+            f"CAST(f.walk_no AS VARCHAR) || ':' || '{t}' || ':' || '{N2V_SALT}'), 1, 8) "
+            f"AS UBIGINT) AS BIGINT) / {float(16 ** 8)!r}"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT origin, walk_no, min(d) AS node, any_value(node0) AS prev FROM (
+    SELECT s.*, sum(wgt) OVER (
+             PARTITION BY origin, walk_no ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           sum(wgt) OVER (PARTITION BY origin, walk_no) AS tot
+    FROM (
+      SELECT f.origin, f.walk_no, f.node AS node0, e.dst AS d,
+             CASE WHEN f.prev IS NULL THEN 1.0
+                  WHEN e.dst = f.prev THEN {inv_p!r}
+                  WHEN b.src IS NOT NULL THEN 1.0
+                  ELSE {inv_q!r} END AS wgt,
+             {u} AS u
+      FROM w{t - 1} f
+      JOIN edges e ON e.src = f.node
+      LEFT JOIN edges b ON b.src = f.prev AND b.dst = e.dst) s)
+  WHERE cw >= u * tot
+  GROUP BY origin, walk_no)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT origin, walk_no, CAST({t} AS INT) AS step, node FROM w{t}"
+        for t in range(N2V_LEN + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM ({steps}) ORDER BY origin, walk_no, step"
     )
 
 
@@ -2611,6 +2685,7 @@ WHERE d.doc_id % {DECONTAM_MOD} <> 0 ORDER BY d.doc_id""",
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),
         "walks_ring": _walks_sql(),
+        "node2vec_ring": _node2vec_sql(),
         "clustering_coeff_ring": _clustering_coeff_sql(),
         "khop_sample_ring": _khop_sql(),
         "mis_ring": _mis_sql(),

@@ -77,3 +77,118 @@ def random_walks(
         )
         frontier = nxt
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    p: float = 4.0,
+    q: float = 0.25,
+    walks_per_vertex: int = 1,
+    starts: DataFrame | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Second-order (node2vec) biased walks, fully derandomized:
+    (origin, walk_no, step, node) with the p/q bias of Grover & Leskovec —
+    from current node c with predecessor s, a neighbor d weighs
+
+        1/p  if d == s                (return)
+        1    if edge (s, d) exists    (stay close: distance 1 from s)
+        1/q  otherwise                (explore: distance 2 from s)
+
+    and the step draws d by inverse-CDF over the neighbors IN ID ORDER
+    against the uniform u = md5(origin:walk_no:step:salt)/16^8 — one hash
+    per (walk, step), so the walk is reproducible on any partitioning and
+    replayable in SQL. With dyadic p and q (the 4.0 / 0.25 defaults) every
+    cumulative weight is an exact double, making even the CDF comparison
+    engine-exact. The first step (no predecessor) is uniform.
+
+    Spark shape per step: frontier ⋈ out-edges, a LEFT SEMI-shaped marker
+    join against edges for the (s, d) distance-1 test, one windowed
+    cumulative sum per (origin, walk_no) — the window sees only the
+    current node's out-neighbors, so hubs cost their degree, never d².
+    """
+    if walk_len < 1 or walks_per_vertex < 1:
+        raise ValueError("walk_len and walks_per_vertex must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").distinct()
+    if starts is None:
+        starts = e.select(F.col("src").alias("id")).distinct()
+    frontier = (
+        starts.select(
+            F.col("id").alias("origin"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("walk_no"),
+        )
+        .withColumn("node", F.col("origin"))
+        .withColumn("prev", F.lit(None).cast("long"))
+    )
+    out = frontier.select("origin", "walk_no", F.lit(0).alias("step"), "node")
+    back = e.select(F.col("src").alias("bs"), F.col("dst").alias("bd")).withColumn(
+        "near", F.lit(True)
+    )
+    for t in range(1, walk_len + 1):
+        cand = frontier.join(e, frontier["node"] == e["src"]).select(
+            "origin", "walk_no", "prev", F.col("dst").alias("d")
+        )
+        cand = cand.join(
+            back,
+            (cand["prev"] == back["bs"]) & (cand["d"] == back["bd"]),
+            "left",
+        ).select("origin", "walk_no", "prev", "d", "near")
+        wgt = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("d") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("near").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("origin"),
+                            F.col("walk_no"),
+                            F.lit(t),
+                            F.lit(salt),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(16**8))
+        )
+        part = Window.partitionBy("origin", "walk_no")
+        cum = part.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        scored = cand.select(
+            "origin",
+            "walk_no",
+            "d",
+            F.sum(wgt).over(cum).alias("cw"),
+            F.sum(wgt).over(part).alias("tot"),
+            u.alias("u"),
+        )
+        nxt = (
+            scored.where(F.col("cw") >= F.col("u") * F.col("tot"))
+            .groupBy("origin", "walk_no")
+            .agg(F.min("d").alias("node"))
+            .persist()
+        )
+        out = out.unionAll(
+            nxt.select("origin", "walk_no", F.lit(t).alias("step"), "node")
+        )
+        prev_map = frontier.select(
+            "origin", "walk_no", F.col("node").alias("prev")
+        )
+        frontier = nxt.join(prev_map, ["origin", "walk_no"]).select(
+            "origin", "walk_no", "node", "prev"
+        )
+    return out

@@ -78,3 +78,79 @@ def test_walks_bad_inputs(spark):
     e = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         random_walks(e, walk_len=0)
+
+
+def test_node2vec_matches_python_replay(spark):
+    import hashlib
+
+    from subgraph_isomorphism_pregel_spark.operators.walks import node2vec_walks
+
+    import random as _random
+
+    rng = _random.Random(3)
+    n = 25
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    eset = set(edges)
+    p, q, T, salt = 4.0, 0.25, 4, "nv"
+
+    def replay(origin, walk_no):
+        path = [origin]
+        cur, prev = origin, None
+        for t in range(1, T + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            ws = []
+            for d in nbrs:
+                if prev is None:
+                    ws.append(1.0)
+                elif d == prev:
+                    ws.append(1.0 / p)
+                elif (prev, d) in eset:
+                    ws.append(1.0)
+                else:
+                    ws.append(1.0 / q)
+            u = int(
+                hashlib.md5(f"{origin}:{walk_no}:{t}:{salt}".encode()).hexdigest()[:8],
+                16,
+            ) / float(16**8)
+            tot = sum(ws)
+            cw = 0.0
+            pick = nbrs[-1]
+            for d, w in zip(nbrs, ws):
+                cw += w
+                if cw >= u * tot:
+                    pick = d
+                    break
+            path.append(pick)
+            prev, cur = cur, pick
+        return path
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = node2vec_walks(e, walk_len=T, p=p, q=q, walks_per_vertex=2, salt=salt)
+    rows = got.collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault((r["origin"], r["walk_no"]), {})[r["step"]] = r["node"]
+    assert walks
+    for (o, w), steps in walks.items():
+        path = [steps[i] for i in sorted(steps)]
+        assert path == replay(o, w), (o, w, path, replay(o, w))
+
+
+def test_node2vec_rejects_bad_params(spark):
+    from subgraph_isomorphism_pregel_spark.operators.walks import node2vec_walks
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, walk_len=0)
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, p=0.0)
