@@ -450,6 +450,15 @@ def q_node2vec_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("origin", "walk_no", "step")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embeddings table."""
+    from subgraph_isomorphism_pregel_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_emb(spark, sf_dir), bits=8)
+
+
 def q_walks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks (hash-argmin next-hop) from every ring
     vertex — the graph-embedding corpus generator."""
@@ -1320,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar_supply": q_adamic_adar_supply,
         "walks_ring": q_walks_ring,
         "node2vec_ring": q_node2vec_ring,
+        "quantize_embeddings": q_quantize_embeddings,
         "clustering_coeff_ring": q_clustering_coeff_ring,
         "khop_sample_ring": q_khop_sample_ring,
         "mis_ring": q_mis_ring,
@@ -2686,6 +2696,16 @@ WHERE d.doc_id % {DECONTAM_MOD} <> 0 ORDER BY d.doc_id""",
         "adamic_adar_supply": _adamic_adar_sql(),
         "walks_ring": _walks_sql(),
         "node2vec_ring": _node2vec_sql(),
+        "quantize_embeddings": """
+WITH s AS (SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+           FROM embeddings)
+SELECT vec_id, sc AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE)
+                / (CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END) * 127.0 + 0.5)
+              AS INT) AS VARCHAR)), ',') AS codes_csv
+FROM s ORDER BY vec_id""",
         "clustering_coeff_ring": _clustering_coeff_sql(),
         "khop_sample_ring": _khop_sql(),
         "mis_ring": _mis_sql(),

@@ -472,3 +472,36 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 6) -> DataFrame:
         .applyInPandas(score, "query_id long, neighbor_id long, rank int, cos double")
         .orderBy("query_id", "rank")
     )
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """(vec_id, scale, codes_csv) — symmetric max-abs int8-style
+    quantization of the embedding column: scale = max |x_i| (exact
+    float->double widening), code_i = floor(x_i / scale * (2^(bits-1)-1)
+    + 0.5) — the storage format embedding pipelines ship vectors in at
+    the 100 TB scale (4x smaller than float32, dequantize = code *
+    scale / qmax).
+
+    Pure codegen transform over the array column, zero shuffles; codes
+    are emitted as a CSV string so the row hash-gates identically against
+    the DuckDB list_transform twin (all-zero vectors quantize to zeros
+    with scale 0 via a guarded divisor).
+    """
+    if not 2 <= bits <= 16:
+        raise ValueError(f"bits must be in [2, 16]: {bits}")
+    qmax = float((1 << (bits - 1)) - 1)
+    s = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    s0 = F.when(s == 0.0, F.lit(1.0)).otherwise(s)
+    codes = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / s0 * F.lit(qmax) + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        s.alias("scale"),
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes_csv"
+        ),
+    ).orderBy("vec_id")

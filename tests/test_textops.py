@@ -658,3 +658,32 @@ def test_decontaminate(spark):
     assert rows[1]["n_hits"] == 2 and rows[1]["contaminated"]
     assert rows[2]["n_hits"] == 0 and not rows[2]["contaminated"]
     assert rows[3]["n_hits"] == 2 and rows[3]["contaminated"]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from subgraph_isomorphism_pregel_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[1]["scale"] == 1.0
+    assert rows[1]["codes_csv"] == "64,-127,32"  # floor(x*127+0.5)
+    assert rows[2]["scale"] == 0.0 and rows[2]["codes_csv"] == "0,0,0"
+    assert rows[3]["codes_csv"] == "127"
+    # dequantized error bounded by scale/(2*127)
+    import math
+
+    for vid, vec in ((1, [0.5, -1.0, 0.25]), (3, [2.0])):
+        s = rows[vid]["scale"]
+        codes = [int(c) for c in rows[vid]["codes_csv"].split(",")]
+        for x, c in zip(vec, codes):
+            assert math.isclose(c * s / 127.0, x, abs_tol=s / 254.0 + 1e-12)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantize_embeddings(emb, bits=1)
