@@ -1,0 +1,176 @@
+"""Minimum spanning forest — distributed Borůvka with edge contraction.
+
+Borůvka (1926) is THE parallel MST algorithm: every component picks its
+minimum-weight outgoing edge, the picked edges merge components, repeat.
+Component count at least halves per round, so the driver loop is
+O(log V) regardless of graph shape — the same bounded-round discipline as
+the kernel's hash-min CC (components.py) and Luby MIS (mis.py).
+
+Determinism without assuming distinct weights: edges are totally ordered
+by (w, u, v) with u = min(src,dst), v = max(src,dst). Under a total order
+the minimum spanning forest is UNIQUE (standard exchange argument), so
+the output is reproducible on any partitioning and any engine — the
+property every gated query here relies on.
+
+Design for scale — the state is the EDGE table, never a vertex table:
+each surviving edge carries its current component endpoints (cu, cv)
+alongside its original identity (u, v, w). A round is then
+
+  1. pick      — emit each cross-component edge from both sides and
+                 groupBy(comp).min(struct(w, u, v, other)): ONE map-side-
+                 combining aggregation (a hub component's edges partially
+                 reduce before the shuffle — no hot key).
+  2. root      — each picking component points at its pick's other
+                 endpoint; the unique minimum on the cut between a mutual
+                 pair means a 2-cycle is always the SAME edge, broken
+                 toward the smaller id. The pointer graph is a forest;
+                 ceil(log2(#components)) pointer-jump self-joins (p←p[p])
+                 flatten every chain to its root in one uncut lineage —
+                 the table is #components rows, shrinking geometrically,
+                 and AQE turns the self-joins into broadcast joins.
+  3. contract  — relabel the edge table's (cu, cv) through the flattened
+                 pointer map (two joins against the SMALL pointer table,
+                 not against a |V|-row vertex map) and drop the edges
+                 that became internal. Picked edges dedup into the
+                 forest (each can be picked from both sides).
+
+Per-round tables are cut to parquet and read back (the mis.py /
+ktruss.py lineage discipline); the only driver-side values are the
+per-round empty-checks and the component count that sizes the jump
+ladder. Parity-plus over the reference (which has no weighted-graph
+algorithms): the natural extension of its hash-min CC to weighted edges.
+"""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, int]:
+    """-> ((u, v, w) minimum-spanning-forest edges, rounds_run).
+
+    edges: (src, dst, w) rows of an UNDIRECTED weighted graph — either or
+    both directions, duplicates fine (canonicalized u<v here; parallel
+    edges keep their minimum weight); self-loops ignored. Isolated
+    vertices contribute nothing. max_rounds caps the driver loop (None =
+    run to completion; Borůvka needs at most ceil(log2 V) rounds); on an
+    early cap the result is a partial forest — still a subset of the true
+    MSF, because every per-component minimum is an MSF edge (cut
+    property).
+    """
+    spark = edges.sparkSession
+    workdir = tempfile.mkdtemp(prefix="boruvka_")
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        path = f"{workdir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = cut(
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("w").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .select(F.col("u").alias("cu"), F.col("v").alias("cv"), "u", "v", "w"),
+        "e0",
+    )
+    forest: DataFrame | None = None
+    r = 0
+    while True:
+        if max_rounds is not None and r >= max_rounds:
+            break
+        if e.limit(1).count() == 0:
+            break
+        r += 1
+        # 1. each component's minimum outgoing edge under (w, u, v);
+        # votes from both sides so every active component picks
+        both = e.select(
+            F.col("cu").alias("c"),
+            F.struct("w", "u", "v", F.col("cv").alias("other")).alias("t"),
+        ).unionAll(
+            e.select(
+                F.col("cv").alias("c"),
+                F.struct("w", "u", "v", F.col("cu").alias("other")).alias("t"),
+            )
+        )
+        picks = cut(
+            both.groupBy("c")
+            .agg(F.min("t").alias("t"))
+            .select(
+                "c",
+                F.col("t.w").alias("w"),
+                F.col("t.u").alias("u"),
+                F.col("t.v").alias("v"),
+                F.col("t.other").alias("other"),
+            ),
+            f"p{r}",
+        )
+        new_edges = picks.select("u", "v", "w").distinct()
+        forest = new_edges if forest is None else forest.unionAll(new_edges)
+        # 2. pointer graph c -> other; a mutual pair (always the same edge)
+        # roots at its smaller id. Flatten with ceil(log2(#comps)) jumps —
+        # enough for any chain — in one lineage, cut once.
+        p2 = picks.select(F.col("c").alias("c2"), F.col("other").alias("other2"))
+        ptr = picks.join(
+            p2,
+            (F.col("other") == F.col("c2")) & (F.col("other2") == F.col("c")),
+            "left",
+        ).select(
+            "c",
+            F.when(
+                F.col("c2").isNotNull() & (F.col("c") < F.col("other")), F.col("c")
+            )
+            .otherwise(F.col("other"))
+            .alias("p"),
+        )
+        n_comp = picks.count()
+        for _ in range(max(1, math.ceil(math.log2(max(n_comp, 2))))):
+            ptr = (
+                ptr.alias("a")
+                .join(
+                    ptr.select(
+                        F.col("c").alias("pc"), F.col("p").alias("pp")
+                    ).alias("b"),
+                    F.col("a.p") == F.col("pc"),
+                    "left",
+                )
+                .select(F.col("a.c").alias("c"), F.coalesce("pp", "a.p").alias("p"))
+            )
+        ptr = cut(ptr, f"j{r}")
+        # 3. contract: relabel surviving edges through the root map and
+        # drop the now-internal ones
+        e = cut(
+            e.join(
+                ptr.select(F.col("c").alias("cu"), F.col("p").alias("nu")),
+                "cu",
+                "left",
+            )
+            .join(
+                ptr.select(F.col("c").alias("cv"), F.col("p").alias("nv")),
+                "cv",
+                "left",
+            )
+            .select(
+                F.coalesce("nu", "cu").alias("cu"),
+                F.coalesce("nv", "cv").alias("cv"),
+                "u",
+                "v",
+                "w",
+            )
+            .where(F.col("cu") != F.col("cv")),
+            f"e{r}",
+        )
+    if forest is None:
+        forest = spark.createDataFrame([], "u long, v long, w double")
+    return forest.groupBy("u", "v").agg(F.min("w").alias("w")), r

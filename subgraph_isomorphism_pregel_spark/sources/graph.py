@@ -234,3 +234,52 @@ def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     edges = symmetrize(e1.unionByName(e2).unionByName(e3))
     vertices = ids.select(F.col("i").alias("id"), (F.col("i") % 4).cast("int").alias("label"))
     return vertices, edges
+
+
+def weighted_ring_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED undirected graph over part's key space.
+
+    ids 0..n-1 as in ring_graph; edges one canonical (u < v) row each:
+      path  : i — i+1              w = 1 + (i mod 7)        i in [0, n-2]
+      close : 0 — n-1              w = 100 + (n mod 13)     (ring closer)
+      chordA: i — i+2              w = 101 + ((i*3) mod 97) i in [0, n-3]
+      chordB: i — (i*5+3) mod n    w = 200 + (i mod 53)     (canonicalized)
+
+    Every non-path weight (>= 100) exceeds every path weight (<= 8), and
+    the path edges are the ONLY light edges, so under the (w, u, v) total
+    order the unique minimum spanning forest is exactly the path — known
+    in closed form, which makes Borůvka oracle-checkable in DuckDB while
+    the algorithm still has to win it through ~log2(n) contraction rounds
+    (weights vary along the path, so every round's per-component minimum
+    is a real comparison, not a constant). Parallel duplicates (a chordB
+    landing on a path/chordA pair) keep their minimum weight — same rule
+    as boruvka_msf's canonicalization, so the construction stays
+    SQL-twinnable. Returns (src, dst, w) canonical single-direction rows.
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    min_key = part.agg(F.min("p_partkey")).collect()[0][0]
+    ids = part.select((F.col("p_partkey") - F.lit(min_key)).alias("i"))
+    i = F.col("i")
+    path = ids.where(i < n - 1).select(
+        i.alias("src"), (i + 1).alias("dst"), (1 + i % 7).cast("double").alias("w")
+    )
+    close = ids.where(i == 0).select(
+        i.alias("src"), F.lit(n - 1).alias("dst"), F.lit(float(100 + n % 13)).alias("w")
+    )
+    chord_a = ids.where(i < n - 2).select(
+        i.alias("src"), (i + 2).alias("dst"), (101 + (i * 3) % 97).cast("double").alias("w")
+    )
+    b_dst = (i * 5 + 3) % n
+    chord_b = ids.where(b_dst != i).select(
+        F.least(i, b_dst).alias("src"),
+        F.greatest(i, b_dst).alias("dst"),
+        (200 + i % 53).cast("double").alias("w"),
+    )
+    return (
+        path.unionByName(close)
+        .unionByName(chord_a)
+        .unionByName(chord_b)
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
