@@ -399,6 +399,39 @@ def q_mis_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(v, e, rounds=MIS_ROUNDS, salt=MIS_SALT).orderBy("id")
 
 
+MATCH_ROUNDS = 6  # local-minima rounds; fixed so the unrolled SQL twin
+MATCH_SALT = "mm1"  # matches the engine round-for-round (the mis pattern)
+
+
+def q_mst_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest on the weighted ring fixture — run
+    to completion (~log2 n contraction rounds). The fixture's planted
+    light path is the unique MSF under the (w, u, v) total order, so the
+    oracle states it in closed form while the engine must win it through
+    real per-component minima and contractions."""
+    from subgraph_isomorphism_pregel_spark.operators.mst import boruvka_msf
+    from subgraph_isomorphism_pregel_spark.sources.graph import weighted_ring_graph
+
+    e = weighted_ring_graph(spark, sf_dir)
+    forest, _ = boruvka_msf(e)
+    return forest.orderBy("u", "v")
+
+
+def q_matching_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicographically-first maximal matching on the ring graph —
+    exactly MATCH_ROUNDS parallel local-minima rounds with fixed md5 edge
+    priorities (the fixed-round form is a deterministic prefix of the
+    sequential greedy scan, so it hash-gates regardless of whether the
+    matching is maximal by then)."""
+    from subgraph_isomorphism_pregel_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    _, e = ring_graph(spark, sf_dir)
+    m, _ = maximal_matching(e, rounds=MATCH_ROUNDS, salt=MATCH_SALT)
+    return m.orderBy("u", "v")
+
+
 KHOP_K = 2
 KHOP_FANOUT = 3
 KHOP_SALT = "n1"
@@ -1333,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_ring": q_clustering_coeff_ring,
         "khop_sample_ring": q_khop_sample_ring,
         "mis_ring": q_mis_ring,
+        "mst_ring": q_mst_ring,
+        "matching_ring": q_matching_ring,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -1730,6 +1765,51 @@ SELECT id, status FROM (
   UNION ALL SELECT id, 'excluded' FROM ({exc})
   UNION ALL SELECT id, 'undecided' FROM u{MIS_ROUNDS})
 ORDER BY id"""
+    )
+
+
+def _matching_sql() -> str:
+    """Unrolled local-minima matching rounds — operators/matching.py
+    verbatim: fixed md5("u:v:salt") edge priorities, an edge accepted in a
+    round iff it is the (p, u, v)-minimum surviving edge at BOTH
+    endpoints, saturated endpoints removed."""
+    pr = f"md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR) || ':' || '{MATCH_SALT}')"
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        f"""s0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v, {pr} AS p FROM edges WHERE src < dst)""",
+    ]
+    for r in range(1, MATCH_ROUNDS + 1):
+        ctes.append(
+            f"""vm{r} AS MATERIALIZED (
+  SELECT x, p, u, v FROM (
+    SELECT x, p, u, v, row_number() OVER (PARTITION BY x ORDER BY p, u, v) AS rn
+    FROM (SELECT u AS x, p, u, v FROM s{r - 1}
+          UNION ALL SELECT v AS x, p, u, v FROM s{r - 1}))
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{r - 1} s
+  JOIN vm{r} mu ON mu.x = s.u AND (mu.p, mu.u, mu.v) = (s.p, s.u, s.v)
+  JOIN vm{r} mv ON mv.x = s.v AND (mv.p, mv.u, mv.v) = (s.p, s.u, s.v))"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT * FROM s{r - 1}
+  WHERE u NOT IN (SELECT u FROM a{r} UNION ALL SELECT v FROM a{r})
+    AND v NOT IN (SELECT u FROM a{r} UNION ALL SELECT v FROM a{r}))"""
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT u, v, CAST({r} AS INT) AS matched_round FROM a{r}"
+        for r in range(1, MATCH_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, matched_round
+FROM ({acc}) ORDER BY u, v"""
     )
 
 
@@ -2709,6 +2789,16 @@ FROM s ORDER BY vec_id""",
         "clustering_coeff_ring": _clustering_coeff_sql(),
         "khop_sample_ring": _khop_sql(),
         "mis_ring": _mis_sql(),
+        # MSF oracle in closed form: the weighted ring's only light edges
+        # are the path i—(i+1), so the unique forest under (w, u, v) is
+        # the path with its formula weights (sources/graph.py docstring)
+        "mst_ring": """
+WITH nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part)
+SELECT CAST(i AS BIGINT) AS u, CAST(i + 1 AS BIGINT) AS v,
+       CAST(1 + (i % 7) AS DOUBLE) AS w
+FROM ids WHERE i < (SELECT n FROM nn) - 1 ORDER BY u, v""",
+        "matching_ring": _matching_sql(),
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

@@ -50,6 +50,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many active components the contracted pointer graph is
+# collected and flattened driver-side with path compression — one tiny
+# collect instead of a log2(#comps) self-join ladder. The EDGE table never
+# comes to the driver; only the per-round component graph, which shrinks
+# geometrically (at 10^12 vertices the first rounds stay on the ladder).
+PTR_COLLECT_MAX = 200_000
+
+
 def boruvka_msf(
     edges: DataFrame,
     max_rounds: int | None = None,
@@ -90,8 +98,6 @@ def boruvka_msf(
     while True:
         if max_rounds is not None and r >= max_rounds:
             break
-        if e.limit(1).count() == 0:
-            break
         r += 1
         # 1. each component's minimum outgoing edge under (w, u, v);
         # votes from both sides so every active component picks
@@ -116,11 +122,16 @@ def boruvka_msf(
             ),
             f"p{r}",
         )
-        new_edges = picks.select("u", "v", "w").distinct()
+        n_comp = picks.count()
+        if n_comp == 0:
+            r -= 1
+            break
+        # duplicates (an edge picked from both sides) collapse in the one
+        # final groupBy — no per-round distinct shuffle
+        new_edges = picks.select("u", "v", "w")
         forest = new_edges if forest is None else forest.unionAll(new_edges)
         # 2. pointer graph c -> other; a mutual pair (always the same edge)
-        # roots at its smaller id. Flatten with ceil(log2(#comps)) jumps —
-        # enough for any chain — in one lineage, cut once.
+        # roots at its smaller id.
         p2 = picks.select(F.col("c").alias("c2"), F.col("other").alias("other2"))
         ptr = picks.join(
             p2,
@@ -134,33 +145,50 @@ def boruvka_msf(
             .otherwise(F.col("other"))
             .alias("p"),
         )
-        n_comp = picks.count()
-        for _ in range(max(1, math.ceil(math.log2(max(n_comp, 2))))):
-            ptr = (
-                ptr.alias("a")
-                .join(
-                    ptr.select(
-                        F.col("c").alias("pc"), F.col("p").alias("pp")
-                    ).alias("b"),
-                    F.col("a.p") == F.col("pc"),
-                    "left",
+        if n_comp <= PTR_COLLECT_MAX:
+            # tiny component graph: flatten driver-side (path compression)
+            pairs = {row.c: row.p for row in ptr.collect()}
+
+            def root(x: int) -> int:
+                seen = []
+                while pairs.get(x, x) != x:
+                    seen.append(x)
+                    x = pairs[x]
+                for s in seen:
+                    pairs[s] = x
+                return x
+
+            flat = [(c, root(c)) for c in pairs]
+            ptr = spark.createDataFrame(flat, "c long, p long")
+        else:
+            # distributed ladder: ceil(log2(#comps)) pointer jumps cover
+            # any chain, built as one lineage and cut once
+            for _ in range(max(1, math.ceil(math.log2(max(n_comp, 2))))):
+                ptr = (
+                    ptr.alias("a")
+                    .join(
+                        ptr.select(
+                            F.col("c").alias("pc"), F.col("p").alias("pp")
+                        ).alias("b"),
+                        F.col("a.p") == F.col("pc"),
+                        "left",
+                    )
+                    .select(
+                        F.col("a.c").alias("c"), F.coalesce("pp", "a.p").alias("p")
+                    )
                 )
-                .select(F.col("a.c").alias("c"), F.coalesce("pp", "a.p").alias("p"))
-            )
-        ptr = cut(ptr, f"j{r}")
+            ptr = cut(ptr, f"j{r}")
         # 3. contract: relabel surviving edges through the root map and
-        # drop the now-internal ones
+        # drop the now-internal ones. The root map is broadcast when it
+        # came from the driver-side flatten (it is tiny by construction);
+        # at ladder scale AQE picks the join side.
+        pu = ptr.select(F.col("c").alias("cu"), F.col("p").alias("nu"))
+        pv = ptr.select(F.col("c").alias("cv"), F.col("p").alias("nv"))
+        if n_comp <= PTR_COLLECT_MAX:
+            pu, pv = F.broadcast(pu), F.broadcast(pv)
         e = cut(
-            e.join(
-                ptr.select(F.col("c").alias("cu"), F.col("p").alias("nu")),
-                "cu",
-                "left",
-            )
-            .join(
-                ptr.select(F.col("c").alias("cv"), F.col("p").alias("nv")),
-                "cv",
-                "left",
-            )
+            e.join(pu, "cu", "left")
+            .join(pv, "cv", "left")
             .select(
                 F.coalesce("nu", "cu").alias("cu"),
                 F.coalesce("nv", "cv").alias("cv"),
