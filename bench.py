@@ -372,6 +372,29 @@ def main() -> None:
 
     bench("ktruss_k4_r3", run_ktruss)
 
+    def run_msf():
+        from subgraph_isomorphism_pregel_spark.operators.mst import boruvka_msf
+        from subgraph_isomorphism_pregel_spark.sources.graph import (
+            weighted_ring_graph,
+        )
+
+        forest, rounds = boruvka_msf(weighted_ring_graph(spark, sf_dir))
+        return [forest.count(), rounds]
+
+    throughput["msf_edges_rounds"] = bench("boruvka_msf_ring", run_msf, cap=60.0)
+
+    def run_matching():
+        from subgraph_isomorphism_pregel_spark.operators.matching import (
+            maximal_matching,
+        )
+
+        m, rounds = maximal_matching(re_, salt="mm1")
+        return [m.count(), rounds]
+
+    throughput["matching_pairs_rounds"] = bench(
+        "maximal_matching_ring", run_matching, cap=60.0
+    )
+
     # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
     # multi-hundred-MB grouped tables linger in the JVM heap until GC and
     # measurably slow every query that follows (round-5 measurement:

@@ -249,9 +249,11 @@ def weighted_ring_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path edges are the ONLY light edges, so under the (w, u, v) total
     order the unique minimum spanning forest is exactly the path — known
     in closed form, which makes Borůvka oracle-checkable in DuckDB while
-    the algorithm still has to win it through ~log2(n) contraction rounds
-    (weights vary along the path, so every round's per-component minimum
-    is a real comparison, not a constant). Parallel duplicates (a chordB
+    the algorithm still has to win it through real per-component minima
+    and contractions (weights vary with period 7 along the path, so every
+    pick is a real comparison; whole-chain root flattening collapses the
+    path in 2 rounds at fixture scale — the multi-round behavior is
+    exercised by the random-graph fuzz tests). Parallel duplicates (a chordB
     landing on a path/chordA pair) keep their minimum weight — same rule
     as boruvka_msf's canonicalization, so the construction stays
     SQL-twinnable. Returns (src, dst, w) canonical single-direction rows.
