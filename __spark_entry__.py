@@ -402,6 +402,24 @@ def q_mis_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
 MATCH_ROUNDS = 6  # local-minima rounds; fixed so the unrolled SQL twin
 MATCH_SALT = "mm1"  # matches the engine round-for-round (the mis pattern)
 
+COLORING_ROUNDS = 8  # Jones-Plassmann rounds (fixed-round prefix form)
+COLORING_SALT = "jp1"
+
+
+def q_coloring_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring on the ring graph — exactly
+    COLORING_ROUNDS rounds with fixed md5 vertex priorities; the output is
+    the deterministic prefix of the sequential greedy coloring in priority
+    order (vertices not yet ready by then are simply absent, identically
+    in the SQL twin)."""
+    from subgraph_isomorphism_pregel_spark.operators.coloring import (
+        greedy_coloring,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    col, _ = greedy_coloring(v, e, rounds=COLORING_ROUNDS, salt=COLORING_SALT)
+    return col.orderBy("id")
+
 
 def q_mst_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest on the weighted ring fixture — run
@@ -1368,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_ring": q_mis_ring,
         "mst_ring": q_mst_ring,
         "matching_ring": q_matching_ring,
+        "coloring_ring": q_coloring_ring,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -1810,6 +1829,66 @@ def _matching_sql() -> str:
         + f"""
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, matched_round
 FROM ({acc}) ORDER BY u, v"""
+    )
+
+
+def _coloring_sql() -> str:
+    """Unrolled Jones–Plassmann rounds — operators/coloring.py verbatim:
+    fixed md5("id:salt") priorities, ready = outranks every uncolored
+    neighbor, color = mex over already-colored neighbors (computed here by
+    generate-candidates + anti-join instead of the engine's sorted fold —
+    same value by definition of mex)."""
+
+    def pr(col):
+        return f"md5(CAST({col} AS VARCHAR) || ':' || '{COLORING_SALT}')"
+
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "u0 AS MATERIALIZED (SELECT DISTINCT id FROM rv)",
+        "c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color WHERE false)",
+    ]
+    for r in range(1, COLORING_ROUNDS + 1):
+        ctes.append(
+            f"""rd{r} AS MATERIALIZED (
+  SELECT u.id FROM u{r - 1} u LEFT JOIN (
+    SELECT dst AS id, p, i FROM (
+      SELECT e.dst, {pr('e.src')} AS p, e.src AS i,
+             row_number() OVER (PARTITION BY e.dst ORDER BY {pr('e.src')}, e.src) AS rn
+      FROM edges e
+      JOIN u{r - 1} a ON e.src = a.id JOIN u{r - 1} b ON e.dst = b.id) WHERE rn = 1) m
+  ON u.id = m.id
+  WHERE m.id IS NULL OR ({pr('u.id')}, u.id) < (m.p, m.i))"""
+        )
+        ctes.append(
+            f"""nc{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id, c.color FROM edges e
+  JOIN c{r - 1} c ON e.src = c.id
+  JOIN rd{r} rd ON e.dst = rd.id)"""
+        )
+        ctes.append(
+            f"""mx{r} AS MATERIALIZED (
+  SELECT cand.id, min(cand.k) AS color FROM (
+    SELECT id, unnest(range(0, cnt + 1)) AS k FROM (
+      SELECT id, count(*) AS cnt FROM nc{r} GROUP BY id)) cand
+  LEFT JOIN nc{r} n ON cand.id = n.id AND cand.k = n.color
+  WHERE n.id IS NULL GROUP BY cand.id)"""
+        )
+        ctes.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT rd.id, CAST(coalesce(m.color, 0) AS INT) AS color
+  FROM rd{r} rd LEFT JOIN mx{r} m ON rd.id = m.id)"""
+        )
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT * FROM c{r - 1} UNION ALL SELECT * FROM n{r})"
+        )
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r - 1} WHERE id NOT IN (SELECT id FROM n{r}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, color FROM c{COLORING_ROUNDS} ORDER BY id"""
     )
 
 
@@ -2799,6 +2878,7 @@ SELECT CAST(i AS BIGINT) AS u, CAST(i + 1 AS BIGINT) AS v,
        CAST(1 + (i % 7) AS DOUBLE) AS w
 FROM ids WHERE i < (SELECT n FROM nn) - 1 ORDER BY u, v""",
         "matching_ring": _matching_sql(),
+        "coloring_ring": _coloring_sql(),
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

@@ -395,6 +395,18 @@ def main() -> None:
         "maximal_matching_ring", run_matching, cap=60.0
     )
 
+    def run_coloring():
+        from subgraph_isomorphism_pregel_spark.operators.coloring import (
+            greedy_coloring,
+        )
+
+        col, rounds = greedy_coloring(rv, re_, salt="jp1")
+        return [col.agg(F.max("color")).collect()[0][0] + 1, rounds]
+
+    throughput["coloring_colors_rounds"] = bench(
+        "greedy_coloring_ring", run_coloring, cap=90.0
+    )
+
     # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
     # multi-hundred-MB grouped tables linger in the JVM heap until GC and
     # measurably slow every query that follows (round-5 measurement:

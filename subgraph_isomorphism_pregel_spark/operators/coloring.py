@@ -1,0 +1,137 @@
+"""Greedy graph coloring — Jones–Plassmann, hash-derandomized.
+
+The sequential greedy coloring (visit vertices in a fixed order, take the
+smallest color unused by already-colored neighbors) is inherently ordered.
+Jones–Plassmann (1993) parallelizes it without changing the RESULT: give
+every vertex a fixed priority, and in each round color exactly the
+vertices all of whose still-uncolored neighbors have lower priority. A
+vertex's color depends only on its higher-priority neighbors' colors, so
+the parallel schedule reproduces the sequential greedy coloring in
+priority order exactly — the same derandomization family as lex-first
+matching (matching.py) and lex-first MIS. Priorities are md5("{id}:{salt}")
+hex strings with an (priority, id) tie-break, FIXED across rounds (fixed
+priorities are what make the greedy equivalence hold; Luby-style per-round
+re-randomization would break it). Two adjacent vertices are never ready in
+the same round (one outranks the other), so every round's coloring is
+conflict-free by construction.
+
+The round count is the length of the longest priority-decreasing path —
+O(log n / log log n) w.h.p. on bounded-degree graphs with random
+priorities — and each round is:
+
+  ready — restrict edges to uncolored-uncolored, groupBy min(struct(p,id))
+          per endpoint (map-side combining), one left join + struct
+          compare: uncolored vertices that outrank every uncolored
+          neighbor.
+  mex   — already-colored neighbor colors per ready vertex via
+          collect_set, then the smallest absent color as a pure-codegen
+          fold: aggregate(array_sort(colors), 0, (acc, c) ->
+          IF(c = acc, acc + 1, acc)) — the classic sorted-mex scan, no
+          Python and no explode.
+  apply — colored += ready, uncolored -= ready; both cut to parquet (the
+          mis.py lineage discipline).
+
+Color count equals the sequential greedy bound (≤ Δ+1); use the salt to
+draw different greedy orders. Parity-plus over the reference (no coloring
+there); coloring is the classic Pregel symmetry-breaking workload.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _priority(col, salt: str):
+    return F.md5(F.concat_ws(":", col, F.lit(salt)))
+
+
+def greedy_coloring(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int | None = None,
+    salt: str = "",
+) -> tuple[DataFrame, int]:
+    """-> ((id, color) for every vertex colored so far, rounds_run).
+
+    vertices: (id ...); edges: rows of an UNDIRECTED graph — either or
+    both directions (symmetrized here); self-loops ignored. rounds=None
+    runs to completion (every vertex colored); a fixed `rounds` returns
+    the deterministic prefix colored within that many Jones–Plassmann
+    rounds — the SQL-oracle form, idempotent past the fixed point.
+    """
+    spark = edges.sparkSession
+    workdir = tempfile.mkdtemp(prefix="coloring_")
+
+    def cut(df: DataFrame, name: str) -> DataFrame:
+        path = f"{workdir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = cut(
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct(),
+        "e0",
+    )
+    unc = cut(vertices.select("id").distinct(), "u0")
+    colored: DataFrame | None = None
+    r = 0
+    while True:
+        if rounds is not None and r >= rounds:
+            break
+        if unc.limit(1).count() == 0:
+            break
+        r += 1
+        # ready: uncolored vertices outranking every uncolored neighbor
+        uu = e.join(
+            unc.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(unc.select(F.col("id").alias("dst")), "dst", "left_semi")
+        best = (
+            uu.select(
+                F.col("dst").alias("id"),
+                F.struct(
+                    _priority(F.col("src"), salt).alias("p"),
+                    F.col("src").alias("i"),
+                ).alias("t"),
+            )
+            .groupBy("id")
+            .agg(F.min("t").alias("nbr"))
+        )
+        own = F.struct(_priority(F.col("id"), salt).alias("p"), F.col("id").alias("i"))
+        ready = unc.join(best, "id", "left").where(
+            F.col("nbr").isNull() | (own < F.col("nbr"))
+        ).select("id")
+        # mex over already-colored neighbor colors (sorted-scan fold)
+        if colored is not None:
+            ncol = (
+                e.join(ready.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .join(
+                    colored.select(F.col("id").alias("src"), "color"), "src"
+                )
+                .select(F.col("dst").alias("id"), "color")
+                .groupBy("id")
+                .agg(F.collect_set("color").alias("cs"))
+            )
+            newly = ready.join(ncol, "id", "left").select(
+                "id",
+                F.aggregate(
+                    F.array_sort(
+                        F.coalesce("cs", F.array().cast("array<int>"))
+                    ),
+                    F.lit(0),
+                    lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
+                ).alias("color"),
+            )
+        else:
+            newly = ready.select("id", F.lit(0).alias("color"))
+        newly = cut(newly, f"n{r}")
+        colored = newly if colored is None else colored.unionAll(newly)
+        colored = cut(colored, f"c{r}")
+        unc = cut(unc.join(newly, "id", "left_anti"), f"u{r}")
+    if colored is None:
+        colored = spark.createDataFrame([], "id long, color int")
+    return colored.select("id", F.col("color").cast("int").alias("color")), r
