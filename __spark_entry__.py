@@ -405,6 +405,20 @@ MATCH_SALT = "mm1"  # matches the engine round-for-round (the mis pattern)
 COLORING_ROUNDS = 8  # Jones-Plassmann rounds (fixed-round prefix form)
 COLORING_SALT = "jp1"
 
+CHUNK_MAX_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the documents table: 64-token chunks
+    with 16-token overlap (stride 48), whitespace tokens."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(
+        docs, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
 
 def q_coloring_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones–Plassmann greedy coloring on the ring graph — exactly
@@ -1387,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_ring": q_mst_ring,
         "matching_ring": q_matching_ring,
         "coloring_ring": q_coloring_ring,
+        "chunk_docs": q_chunk_docs,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -2879,6 +2894,22 @@ SELECT CAST(i AS BIGINT) AS u, CAST(i + 1 AS BIGINT) AS v,
 FROM ids WHERE i < (SELECT n FROM nn) - 1 ORDER BY u, v""",
         "matching_ring": _matching_sql(),
         "coloring_ring": _coloring_sql(),
+        # chunk enumeration: DuckDB's exclusive range stop (n - overlap)
+        # generates the same start set as Spark's inclusive sequence
+        # endpoint (n - overlap - 1); list slice is 1-based inclusive and
+        # truncates at the end like Spark's slice
+        "chunk_docs": f"""
+WITH {DOC_WORDS.strip()},
+st AS (SELECT doc_id, words,
+              unnest(range(0, greatest(len(words) - {CHUNK_OVERLAP}, 1),
+                           {CHUNK_MAX_TOKENS - CHUNK_OVERLAP})) AS s
+       FROM w)
+SELECT doc_id,
+       CAST(s // {CHUNK_MAX_TOKENS - CHUNK_OVERLAP} AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_token,
+       CAST(len(words[s + 1 : s + {CHUNK_MAX_TOKENS}]) AS INT) AS n_tokens,
+       array_to_string(words[s + 1 : s + {CHUNK_MAX_TOKENS}], ' ') AS chunk_text
+FROM st ORDER BY doc_id, chunk_id""",
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

@@ -304,3 +304,39 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ip.cast("long").alias("n_ip"),
         n_num.cast("long").alias("n_num"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_id, start_token, n_tokens, chunk_text) — fixed-size
+    context-window chunking with overlap, the standard pre-training /
+    retrieval preprocessing step: whitespace tokens (the tokens() helper's
+    convention), chunk k covering tokens [k*stride, k*stride + max_tokens)
+    with stride = max_tokens - overlap, starts enumerated while
+    start < n_tokens - overlap (one empty chunk for an empty/short doc, so
+    every document survives into the chunk table). Pure codegen — one
+    sequence+explode over row-local arrays, zero shuffles, zero Python;
+    the identical enumeration is range(0, greatest(n-overlap,1), stride)
+    in DuckDB (Spark's inclusive sequence endpoint n-overlap-1 and
+    DuckDB's exclusive range stop n-overlap generate the same start set).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    n = F.size("ws")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(overlap + 1), F.lit(0)), F.lit(stride)
+    )
+    ex = w.select("doc_id", "ws", F.explode(starts).alias("start_token"))
+    piece = F.slice("ws", F.col("start_token") + 1, max_tokens)
+    return ex.select(
+        "doc_id",
+        (F.col("start_token") / stride).cast("int").alias("chunk_id"),
+        "start_token",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

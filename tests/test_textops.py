@@ -687,3 +687,57 @@ def test_quantize_embeddings_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         quantize_embeddings(emb, bits=1)
+
+
+def test_chunk_documents_oracle(spark):
+    """Python reference chunker over hand-built docs, incl. the empty and
+    shorter-than-overlap edge cases (one empty/whole chunk each)."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(150))),
+        (2, "a b c"),
+        (3, ""),
+        (4, "   "),
+        (5, " ".join(f"x{i}" for i in range(64))),  # exactly max_tokens
+        (6, " ".join(f"y{i}" for i in range(65))),  # one past: second chunk
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=64, overlap=16).collect()
+    ]
+    want = []
+    for doc_id, text in rows:
+        ws = [t for t in text.split(" ") if t]
+        n = len(ws)
+        starts = list(range(0, max(n - 16, 1), 48))
+        for s in starts:
+            piece = ws[s : s + 64]
+            want.append((doc_id, s // 48, s, len(piece), " ".join(piece)))
+    assert got == sorted(want)
+
+
+def test_chunk_documents_overlap_reconstruction(spark):
+    """Consecutive chunks overlap by exactly `overlap` tokens, and the
+    chunk set covers every token of the document."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(230))
+    docs = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    chunks = chunk_documents(docs, max_tokens=50, overlap=10).collect()
+    toks = [c.chunk_text.split(" ") for c in sorted(chunks, key=lambda c: c.chunk_id)]
+    for a, b in zip(toks, toks[1:]):
+        assert a[-10:] == b[:10]
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[10:]]
+    assert rebuilt == text.split(" ")
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
