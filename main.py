@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,scc,eigen,buildorder,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,mst,matching,coloring,scc,eigen,buildorder,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -23,7 +23,8 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
-                            "triangles", "kcore", "mis", "scc", "eigen", "buildorder", "match"])
+                            "triangles", "kcore", "mis", "mst", "matching", "coloring",
+                            "scc", "eigen", "buildorder", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -203,6 +204,20 @@ def main(argv=None):
         from subgraph_isomorphism_pregel_spark.operators.mis import maximal_independent_set
 
         result = maximal_independent_set(vertices, edges)
+    elif args.algo == "mst":
+        from subgraph_isomorphism_pregel_spark.operators.mst import boruvka_msf
+
+        if "w" not in edges.columns:
+            raise SystemExit("--algo mst needs a weighted edge table (src,dst,w)")
+        result, _ = boruvka_msf(edges)
+    elif args.algo == "matching":
+        from subgraph_isomorphism_pregel_spark.operators.matching import maximal_matching
+
+        result, _ = maximal_matching(edges)
+    elif args.algo == "coloring":
+        from subgraph_isomorphism_pregel_spark.operators.coloring import greedy_coloring
+
+        result, _ = greedy_coloring(vertices, edges)
     elif args.algo == "scc":
         from subgraph_isomorphism_pregel_spark.operators.scc import scc as run_scc
 
