@@ -408,6 +408,30 @@ COLORING_SALT = "jp1"
 CHUNK_MAX_TOKENS = 64
 CHUNK_OVERLAP = 16
 
+MIXTURE_TARGET = 200
+MIXTURE_SALT = "tm"
+
+
+def q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 language mixture sample of the documents table —
+    rare languages upweighted toward sqrt-proportional shares, applied by
+    the deterministic stratified hash sampler (integer-exact thresholds,
+    so the DuckDB twin reproduces the accept set bit-for-bit)."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, _ = temperature_mixture(
+        docs,
+        domain_col="lang",
+        key_col="doc_id",
+        temperature=0.5,
+        target=MIXTURE_TARGET,
+        salt=MIXTURE_SALT,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking of the documents table: 64-token chunks
@@ -1402,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_ring": q_matching_ring,
         "coloring_ring": q_coloring_ring,
         "chunk_docs": q_chunk_docs,
+        "mixture_docs": q_mixture_docs,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -2910,6 +2935,28 @@ SELECT doc_id,
        CAST(len(words[s + 1 : s + {CHUNK_MAX_TOKENS}]) AS INT) AS n_tokens,
        array_to_string(words[s + 1 : s + {CHUNK_MAX_TOKENS}], ' ') AS chunk_text
 FROM st ORDER BY doc_id, chunk_id""",
+        # integer-exact mixture thresholds: floor(sqrt(n)*1e6) weights
+        # (correctly-rounded sqrt -> engine-identical), exact integer sum,
+        # one HUGEINT division per domain, hex-string bucket compare —
+        # operators/sampling.py temperature_mixture verbatim
+        "mixture_docs": f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS HUGEINT) AS sw
+      FROM c),
+t AS (SELECT sum(sw) AS tot FROM w),
+thr AS (SELECT lang,
+               CASE WHEN (CAST(4294967296 AS HUGEINT) * {MIXTURE_TARGET} * sw)
+                         // (t.tot * n) >= 4294967296
+                    THEN 'gggggggg'
+                    ELSE lpad(lower(to_hex(CAST(
+                      (CAST(4294967296 AS HUGEINT) * {MIXTURE_TARGET} * sw)
+                      // (t.tot * n) AS BIGINT))), 8, '0') END AS th
+        FROM w, t)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN thr ON d.lang = thr.lang
+WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '{MIXTURE_SALT}'), 1, 8) < thr.th
+ORDER BY d.doc_id""",
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

@@ -120,3 +120,54 @@ def hash_topk_per_group(
         .where(F.col("sample_rank") <= k)
         .drop("__b")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    temperature: float = 0.5,
+    target: int = 1000,
+    salt: str = "",
+) -> tuple[DataFrame, dict]:
+    """Temperature-scaled domain mixture sampling — the pre-training
+    data-mixing step: domain d with n_d rows gets weight n_d^T (T < 1
+    upweights rare domains, T=1 is proportional), and a deterministic
+    per-domain keep rate r_d = min(1, target * w_d / (Σw * n_d)) is
+    applied by the stratified hash sampler. Returns (sampled df, rates).
+
+    Engine-exact by construction: weights are floor(n^T * 1e6) INTEGERS
+    (for T=0.5 computed via the correctly-rounded sqrt, so any IEEE
+    engine agrees bit-for-bit), the total is an exact integer sum
+    (order-free), and each threshold is one integer division
+    (16^8 * target * w_d) // (total * n_d) — the float handed to
+    frac_threshold is threshold/2^32, exact in a double because the
+    denominator is a power of two, so int(f * 16^8) round-trips the
+    integer. No float is ever summed or compared across engines.
+
+    The per-domain count collect is metadata, not data: domains are few
+    by definition (languages, sources); at 100 TB it is one map-side-
+    combined groupBy of a handful of rows.
+    """
+    import math
+
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    counts = {
+        r[0]: r[1] for r in df.groupBy(domain_col).count().collect()
+    }
+    if not counts:
+        return df.where(F.lit(False)), {}
+    w = {
+        d: math.floor(
+            (math.sqrt(n) if temperature == 0.5 else float(n) ** temperature)
+            * 1_000_000
+        )
+        for d, n in counts.items()
+    }
+    total = sum(w.values())
+    rates = {}
+    for d in sorted(counts):
+        thr = min(HEX_SPACE, (HEX_SPACE * target * w[d]) // (total * counts[d]))
+        rates[d] = thr / HEX_SPACE
+    return stratified_sample(df, domain_col, rates, key_col, salt=salt), rates

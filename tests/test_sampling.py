@@ -86,3 +86,72 @@ def test_bad_inputs(docs):
         hash_topk_per_group(docs, "source", "doc_id", 0)
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", weights={"a": 0.0})
+
+
+def test_temperature_mixture_upweights_rare_domains(spark):
+    """T=0.5 pulls shares toward sqrt-proportional: the rare domain's keep
+    RATE exceeds the common domain's, and realized counts track
+    target * w_d / Σw within binomial noise."""
+    import math
+
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out, rates = temperature_mixture(
+        df, domain_col="dom", key_col="k", temperature=0.5, target=400, salt="t"
+    )
+    assert rates["small"] > rates["big"]
+    got = {r[0]: r[1] for r in out.groupBy("dom").count().collect()}
+    w = {d: math.floor(math.sqrt(n) * 1e6) for d, n in (("big", 1800), ("small", 200))}
+    tot = sum(w.values())
+    for d, n in (("big", 1800), ("small", 200)):
+        expect = 400 * w[d] / tot
+        assert abs(got[d] - expect) < 4 * math.sqrt(expect)
+
+
+def test_temperature_mixture_t1_is_uniform_rate(spark):
+    """T=1 weights are proportional to counts, so every domain keeps the
+    same fraction target/total (integer-floored thresholds aside)."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, f"d{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    _, rates = temperature_mixture(
+        df, domain_col="dom", key_col="k", temperature=1.0, target=150, salt="u"
+    )
+    assert len(set(rates.values())) == 1
+
+
+def test_temperature_mixture_caps_at_one_and_determinism(spark):
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "tiny" if i < 5 else "big") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out1, rates = temperature_mixture(
+        df, domain_col="dom", key_col="k", temperature=0.5, target=450, salt="v"
+    )
+    assert rates["tiny"] == 1.0  # capped: demanded share exceeds the domain
+    out2, _ = temperature_mixture(
+        df.repartition(16, "dom"), domain_col="dom", key_col="k",
+        temperature=0.5, target=450, salt="v",
+    )
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_temperature_mixture_rejects_bad_temperature(spark):
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k long, dom string")
+    with _pytest.raises(ValueError):
+        temperature_mixture(df, domain_col="dom", key_col="k", temperature=0.0)
