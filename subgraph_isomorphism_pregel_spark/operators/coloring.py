@@ -78,12 +78,13 @@ def greedy_coloring(
         "e0",
     )
     unc = cut(vertices.select("id").distinct(), "u0")
+    n_unc = unc.count()
     colored: DataFrame | None = None
     r = 0
     while True:
         if rounds is not None and r >= rounds:
             break
-        if unc.limit(1).count() == 0:
+        if n_unc == 0:
             break
         r += 1
         # ready: uncolored vertices outranking every uncolored neighbor
@@ -129,9 +130,18 @@ def greedy_coloring(
         else:
             newly = ready.select("id", F.lit(0).alias("color"))
         newly = cut(newly, f"n{r}")
+        # accumulate as a union of the per-round parquet cuts — each leg
+        # is a leaf scan, so the lineage stays flat and the colored set is
+        # never rewritten (re-cutting the union would be O(V x rounds) IO)
         colored = newly if colored is None else colored.unionAll(newly)
-        colored = cut(colored, f"c{r}")
+        # measured: cutting the (shrinking) uncolored set each round beats
+        # deriving it lazily from the colored legs (22.4s vs 24-25s at
+        # sf0.1 — the anti-join against 18 unioned scans recomputes three
+        # times per round inside the ready/neighbor subtrees)
         unc = cut(unc.join(newly, "id", "left_anti"), f"u{r}")
+        # count on the fresh parquet cut; the max-priority uncolored
+        # vertex is always ready, so n_unc strictly decreases
+        n_unc -= newly.count()
     if colored is None:
         colored = spark.createDataFrame([], "id long, color int")
     return colored.select("id", F.col("color").cast("int").alias("color")), r
