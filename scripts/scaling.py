@@ -107,6 +107,28 @@ def run_deferred():
 
 
 out["deferred_sec"], out["match_deferred"] = best(run_deferred)
+
+
+def run_msf():
+    # Boruvka minimum spanning forest with arithmetic weights derived
+    # from the edge table (no extra input): N->4N evidence for the
+    # round-5 weighted-graph family. The weights are integer-valued
+    # doubles, so the consistency total is an exact sum.
+    from pyspark.sql import functions as F
+    from subgraph_isomorphism_pregel_spark.operators.mst import boruvka_msf
+
+    we = e.select(
+        "src", "dst",
+        ((F.col("src") * 7 + F.col("dst") * 13) % 1000003).cast("double").alias("w"),
+    )
+    forest, _ = boruvka_msf(we)
+    agg = forest.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("w").cast("long")).alias("tw")
+    ).collect()[0]
+    return [int(agg["n"]), int(agg["tw"])]
+
+
+out["msf_sec"], out["msf_result"] = best(run_msf)
 print("RESULT " + json.dumps(out))
 """
 
@@ -205,11 +227,18 @@ def main() -> None:
             f"{r[lo]['deferred_sec']}s → {r[hi]['deferred_sec']}s | — | "
             f"**{eff(1 / r[hi]['deferred_sec'], 1 / r[lo]['deferred_sec'], hi // lo)}** |"
         )
+        rows.append(
+            f"| Borůvka spanning forest | local[{lo}]→local[{hi}] | "
+            f"{r[lo]['msf_sec']}s → {r[hi]['msf_sec']}s | "
+            f"{ne / r[lo]['msf_sec']:,.0f} → {ne / r[hi]['msf_sec']:,.0f} edges/s | "
+            f"**{eff(1 / r[hi]['msf_sec'], 1 / r[lo]['msf_sec'], hi // lo)}** |"
+        )
 
     consistency = all(
         r[c]["triangles"] == r[LEVELS[0]]["triangles"]
         and r[c]["match_path3"] == r[LEVELS[0]]["match_path3"]
         and r[c]["match_deferred"] == r[LEVELS[0]]["match_deferred"]
+        and r[c]["msf_result"] == r[LEVELS[0]]["msf_result"]
         for c in LEVELS
     )
     # the planted-triangle family must actually show up (non-vacuous check)
@@ -220,6 +249,7 @@ def main() -> None:
             "triangles": eff(1 / r[hi]["triangles_sec"], 1 / r[lo]["triangles_sec"], hi // lo),
             "match": eff(1 / r[hi]["match_sec"], 1 / r[lo]["match_sec"], hi // lo),
             "deferred": eff(1 / r[hi]["deferred_sec"], 1 / r[lo]["deferred_sec"], hi // lo),
+            "msf": eff(1 / r[hi]["msf_sec"], 1 / r[lo]["msf_sec"], hi // lo),
         }
         for lo, hi in pairs
     }
@@ -265,7 +295,8 @@ Notes:
 - Result consistency across all levels: {"identical" if consistency else "MISMATCH"}
   (triangles={r[LEVELS[0]]['triangles']:,} — planted, non-zero,
   match_path3={r[LEVELS[0]]['match_path3']:,},
-  match_deferred={r[LEVELS[0]]['match_deferred']:,}).
+  match_deferred={r[LEVELS[0]]['match_deferred']:,},
+  msf [edges, total_weight]={r[LEVELS[0]]['msf_result']}).
 - The reference repo publishes no benchmark numbers (only a toy transcript,
   see /root/repo/BASELINE.md); these are this engine's recorded baselines.
 """

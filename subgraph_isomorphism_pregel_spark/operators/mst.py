@@ -161,23 +161,44 @@ def boruvka_msf(
             flat = [(c, root(c)) for c in pairs]
             ptr = spark.createDataFrame(flat, "c long, p long")
         else:
-            # distributed ladder: ceil(log2(#comps)) pointer jumps cover
-            # any chain, built as one lineage and cut once
-            for _ in range(max(1, math.ceil(math.log2(max(n_comp, 2))))):
-                ptr = (
-                    ptr.alias("a")
-                    .join(
-                        ptr.select(
-                            F.col("c").alias("pc"), F.col("p").alias("pp")
-                        ).alias("b"),
-                        F.col("a.p") == F.col("pc"),
-                        "left",
+            # distributed ladder: pointer jumps in batches of 3 with a
+            # convergence probe between batches — min-edge pointer chains
+            # are typically O(log) shallow, so the probe exits after one
+            # or two batches instead of paying the full ceil(log2(#comps))
+            # worst-case ladder of wide self-join shuffles
+            max_jumps = max(1, math.ceil(math.log2(max(n_comp, 2))))
+            done = 0
+            ptr = cut(ptr, f"j{r}_0")
+            while done < max_jumps:
+                batch = min(3, max_jumps - done)
+                nxt = ptr
+                for _ in range(batch):
+                    nxt = (
+                        nxt.alias("a")
+                        .join(
+                            nxt.select(
+                                F.col("c").alias("pc"), F.col("p").alias("pp")
+                            ).alias("b"),
+                            F.col("a.p") == F.col("pc"),
+                            "left",
+                        )
+                        .select(
+                            F.col("a.c").alias("c"),
+                            F.coalesce("pp", "a.p").alias("p"),
+                        )
                     )
-                    .select(
-                        F.col("a.c").alias("c"), F.coalesce("pp", "a.p").alias("p")
-                    )
+                nxt = cut(nxt, f"j{r}_{done + batch}")
+                done += batch
+                changed = (
+                    nxt.alias("n")
+                    .join(ptr.alias("o"), F.col("n.c") == F.col("o.c"))
+                    .where(F.col("n.p") != F.col("o.p"))
+                    .limit(1)
+                    .count()
                 )
-            ptr = cut(ptr, f"j{r}")
+                ptr = nxt
+                if changed == 0:
+                    break
         # 3. contract: relabel surviving edges through the root map and
         # drop the now-internal ones. The root map is broadcast when it
         # came from the driver-side flatten (it is tiny by construction);

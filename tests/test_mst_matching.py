@@ -185,3 +185,17 @@ def test_weighted_ring_fixture_msf_is_the_path(spark, tmp_path):
     want = sorted((i, i + 1, float(1 + i % 7)) for i in range(n - 1))
     assert got == want
     assert 1 < rounds <= math.ceil(math.log2(n)) + 1
+
+
+def test_boruvka_distributed_ladder_path(spark, monkeypatch):
+    """Force the distributed pointer-jump ladder (threshold 0) and check it
+    agrees with the driver-side flatten on the same graph."""
+    from subgraph_isomorphism_pregel_spark.operators import mst as mst_mod
+
+    rows = _random_graph(17, 80, 180)
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    a, _ = boruvka_msf(e)
+    monkeypatch.setattr(mst_mod, "PTR_COLLECT_MAX", 0)
+    b, _ = boruvka_msf(e)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert {tuple(x) for x in b.collect()} == _kruskal(rows, 80)
