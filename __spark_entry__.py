@@ -411,6 +411,18 @@ CHUNK_OVERLAP = 16
 MIXTURE_TARGET = 200
 MIXTURE_SALT = "tm"
 
+SPAN_K = 5  # duplicate-span shingle width
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span scrubbing of the documents table: any word
+    5-gram occurring twice anywhere in the corpus is cut out of every
+    occurrence (substring-level dedup, not whole-document drop)."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_spans(docs, k=SPAN_K)
+
 
 def q_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-0.5 language mixture sample of the documents table —
@@ -1427,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_ring": q_coloring_ring,
         "chunk_docs": q_chunk_docs,
         "mixture_docs": q_mixture_docs,
+        "dedup_spans": q_dedup_spans,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -2957,6 +2970,27 @@ SELECT d.doc_id, d.lang FROM documents d
 JOIN thr ON d.lang = thr.lang
 WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || '{MIXTURE_SALT}'), 1, 8) < thr.th
 ORDER BY d.doc_id""",
+        # duplicate-span scrub: same position enumeration as chunk_docs,
+        # covered indices via unnest(range), survivors via a list
+        # comprehension over 0-based indices
+        "dedup_spans": f"""
+WITH {DOC_WORDS.strip()},
+pos AS (SELECT doc_id, words, unnest(range(0, len(words) - {SPAN_K} + 1)) AS p
+        FROM w WHERE len(words) >= {SPAN_K}),
+occ AS MATERIALIZED (
+  SELECT doc_id, p, array_to_string(words[p + 1 : p + {SPAN_K}], ' ') AS s
+  FROM pos),
+dup AS (SELECT s FROM occ GROUP BY s HAVING count(*) >= 2),
+covs AS (SELECT doc_id, list(DISTINCT i) AS cov FROM (
+           SELECT doc_id, unnest(range(p, p + {SPAN_K})) AS i
+           FROM occ JOIN dup USING (s)) GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+         [w.words[i + 1] FOR i IN range(0, len(w.words))
+          IF cv.cov IS NULL OR NOT list_contains(cv.cov, i)], ' '), '') AS clean_text,
+       CAST(coalesce(len(cv.cov), 0) AS INT) AS n_removed
+FROM w LEFT JOIN covs cv USING (doc_id)
+ORDER BY w.doc_id""",
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

@@ -329,3 +329,63 @@ def dedup_survivors(
         F.col("component").alias("canonical"),
         (F.col("id") == F.col("component")).alias("is_survivor"),
     ).orderBy("doc_id")
+
+
+def dedup_spans(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, clean_text, n_removed) — exact duplicate-SPAN scrubbing,
+    the substring-level dedup of pre-training corpora (spans repeated
+    anywhere in the corpus are cut out of every document, not just whole
+    near-dup documents dropped): a word k-gram occurring MORE THAN ONCE
+    across the corpus (any two positions, same or different doc) marks all
+    k token positions it covers in every occurrence; covered tokens are
+    removed and the survivors rejoined.
+
+    Scale shape: positions ride a row-local sequence+explode; the only
+    shuffle on the wide data is one groupBy(shingle) count over the
+    shingle table (map-side partial count — a Zipfian hot shingle combines
+    before the wire) and one groupBy(doc_id) of covered positions. The
+    duplicated-shingle table is a semi-join filter, never a cross join.
+    k bounds the window exactly — no suffix automaton, no Python.
+    """
+    w = docs.select("doc_id", tokens("text").alias("ws"))
+    n = F.size("ws")
+    pos = w.where(n >= k).select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n - F.lit(k))).alias("p"),
+    )
+    occ = pos.select(
+        "doc_id",
+        "p",
+        F.concat_ws(" ", F.slice("ws", F.col("p") + 1, k)).alias("s"),
+    )
+    dup = (
+        occ.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("s")
+    )
+    covered = (
+        occ.join(dup, "s", "left_semi")
+        .select("doc_id", F.explode(F.sequence("p", F.col("p") + F.lit(k - 1))).alias("i"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("cov"))
+    )
+    return (
+        w.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.filter(
+                    "ws",
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce("cov", F.array().cast("array<int>")), i
+                    ),
+                ),
+            ).alias("clean_text"),
+            F.size(F.coalesce("cov", F.array().cast("array<int>"))).alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )

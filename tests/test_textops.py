@@ -741,3 +741,62 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def _span_oracle(rows, k):
+    from collections import Counter
+
+    ws = {d: [t for t in text.split(" ") if t] for d, text in rows}
+    c = Counter()
+    for w in ws.values():
+        for p in range(len(w) - k + 1):
+            c[" ".join(w[p : p + k])] += 1
+    out = {}
+    for d, w in ws.items():
+        cov = set()
+        for p in range(len(w) - k + 1):
+            if c[" ".join(w[p : p + k])] >= 2:
+                cov.update(range(p, p + k))
+        out[d] = (" ".join(t for i, t in enumerate(w) if i not in cov), len(cov))
+    return out
+
+
+def test_dedup_spans_oracle(spark):
+    """Cross-doc and within-doc 5-gram repeats scrub their spans; unique
+    text and short/empty docs pass through untouched."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "intro words the quick brown fox jumps over something else entirely"),
+        (3, "all unique tokens here nothing repeated anywhere at this point"),
+        (4, "aa bb cc dd ee aa bb cc dd ee tail"),
+        (5, "short doc"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup_spans(docs, k=5).collect()
+    }
+    assert got == _span_oracle(rows, 5)
+    assert got[3][1] == 0 and got[5] == ("short doc", 0) and got[6] == ("", 0)
+
+
+def test_dedup_spans_fuzz(spark):
+    """Random small-vocab corpora (repeats are common) vs the oracle."""
+    import random
+
+    from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_spans
+
+    rng = random.Random(31)
+    rows = [
+        (d, " ".join(rng.choice("abcdefgh") for _ in range(rng.randrange(0, 40))))
+        for d in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup_spans(docs, k=3).collect()
+    }
+    assert got == _span_oracle(rows, 3)
