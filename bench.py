@@ -315,6 +315,35 @@ def main() -> None:
         return decontaminate(tr, bm, k=3).where("contaminated").count()
 
     bench("decontaminate", run_decontaminate)
+
+    def run_dedup_spans():
+        from subgraph_isomorphism_pregel_spark.operators.dedup import dedup_spans
+
+        return dedup_spans(docs, k=5).agg(F.sum("n_removed")).collect()[0][0]
+
+    throughput["span_tokens_removed"] = bench("dedup_spans", run_dedup_spans)
+
+    def run_chunk():
+        from subgraph_isomorphism_pregel_spark.operators.textops import (
+            chunk_documents,
+        )
+
+        return chunk_documents(docs, max_tokens=64, overlap=16).count()
+
+    throughput["n_chunks"] = bench("chunk_documents", run_chunk)
+
+    def run_mixture():
+        from subgraph_isomorphism_pregel_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        out, _ = temperature_mixture(
+            docs, domain_col="lang", key_col="doc_id",
+            temperature=0.5, target=2000, salt="tm",
+        )
+        return out.count()
+
+    throughput["mixture_kept"] = bench("temperature_mixture", run_mixture)
     bench("hll_distinct", lambda: hll_distinct(docs, "text", p=12).count())
     bench("cms_heavy_hitters", lambda: cms_heavy_hitters(docs).count())
 
