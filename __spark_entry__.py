@@ -413,6 +413,37 @@ MIXTURE_SALT = "tm"
 
 SPAN_K = 5  # duplicate-span shingle width
 
+DENSEST_ROUNDS = 8  # peel rounds (fixed-round prefix form, best-of-seen)
+
+
+DENSEST_CORE = 40  # planted clique size on the first ring ids
+
+
+def q_densest_ring_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani parallel peeling on the ring graph with a planted
+    DENSEST_CORE-clique on ids 0..39 — exactly DENSEST_ROUNDS rounds,
+    output the best-density prefix's vertex set. The uniform ring
+    periphery peels away in round 1 and the clique survives as the best
+    prefix, so the gate exercises the peel recurrence non-vacuously
+    (best round > 0; integer-exact peel test; best round picked by the
+    IEEE double m/n with ties to the earlier round, identically in the
+    SQL twin)."""
+    from subgraph_isomorphism_pregel_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    _, e = ring_graph(spark, sf_dir)
+    ids = spark.range(DENSEST_CORE).select(F.col("id").alias("a"))
+    cl = (
+        ids.crossJoin(spark.range(DENSEST_CORE).select(F.col("id").alias("b")))
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    best, _ = densest_subgraph(
+        e.select("src", "dst").unionByName(cl), rounds=DENSEST_ROUNDS
+    )
+    return best.orderBy("id")
+
 
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate-span scrubbing of the documents table: any word
@@ -1440,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "mixture_docs": q_mixture_docs,
         "dedup_spans": q_dedup_spans,
+        "densest_ring_core": q_densest_ring_core,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -1882,6 +1914,53 @@ def _matching_sql() -> str:
         + f"""
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, matched_round
 FROM ({acc}) ORDER BY u, v"""
+    )
+
+
+def _densest_sql() -> str:
+    """Unrolled Bahmani peel rounds — operators/densest.py verbatim:
+    integer peel test 2*deg*n > 5*m, best prefix by double m/n with
+    earlier-round tie-break."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        f"""de0 AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE src < dst
+  UNION
+  SELECT a.i AS u, b.i AS v
+  FROM ids a JOIN ids b ON a.i < b.i
+  WHERE a.i < {DENSEST_CORE} AND b.i < {DENSEST_CORE})""",
+        "dv0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM de0 UNION SELECT DISTINCT v FROM de0)",
+    ]
+    for r in range(1, DENSEST_ROUNDS + 1):
+        ctes.append(
+            f"""dv{r} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT x AS id, count(*) AS deg FROM (
+      SELECT u AS x FROM de{r - 1} UNION ALL SELECT v FROM de{r - 1})
+    GROUP BY x)
+  WHERE 2 * deg * (SELECT count(*) FROM dv{r - 1})
+        > 5 * (SELECT count(*) FROM de{r - 1}))"""
+        )
+        ctes.append(
+            f"""de{r} AS MATERIALIZED (
+  SELECT u, v FROM de{r - 1}
+  WHERE u IN (SELECT id FROM dv{r}) AND v IN (SELECT id FROM dv{r}))"""
+        )
+    hist = " UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT count(*) FROM de{r}) AS m, "
+        f"(SELECT count(*) FROM dv{r}) AS n"
+        for r in range(0, DENSEST_ROUNDS + 1)
+    )
+    allv = " UNION ALL ".join(
+        f"SELECT {r} AS r, id FROM dv{r}" for r in range(0, DENSEST_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+hist AS (SELECT * FROM ({hist}) WHERE n > 0),
+best AS (SELECT r FROM hist ORDER BY CAST(m AS DOUBLE) / n DESC, r ASC LIMIT 1)
+SELECT CAST(id AS BIGINT) AS id FROM ({allv}) av JOIN best USING (r) ORDER BY id"""
     )
 
 
@@ -2991,6 +3070,7 @@ SELECT w.doc_id,
        CAST(coalesce(len(cv.cov), 0) AS INT) AS n_removed
 FROM w LEFT JOIN covs cv USING (doc_id)
 ORDER BY w.doc_id""",
+        "densest_ring_core": _densest_sql(),
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
