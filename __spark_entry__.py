@@ -415,6 +415,22 @@ SPAN_K = 5  # duplicate-span shingle width
 
 DENSEST_ROUNDS = 8  # peel rounds (fixed-round prefix form, best-of-seen)
 
+SHARD_N = 8
+SHARD_SALT = "sh"
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: md5-permuted global rank,
+    round-robin shard assignment (balanced sizes), seeded and
+    engine-reproducible."""
+    from subgraph_isomorphism_pregel_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    out = shuffle_shards(docs, "doc_id", SHARD_N, salt=SHARD_SALT, mode="sort")
+    return out.select("doc_id", "shard", "rank_in_shard").orderBy("doc_id")
+
 
 DENSEST_CORE = 40  # planted clique size on the first ring ids
 
@@ -1472,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_docs": q_mixture_docs,
         "dedup_spans": q_dedup_spans,
         "densest_ring_core": q_densest_ring_core,
+        "shuffle_shards_docs": q_shuffle_shards,
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
@@ -3071,6 +3088,14 @@ SELECT w.doc_id,
 FROM w LEFT JOIN covs cv USING (doc_id)
 ORDER BY w.doc_id""",
         "densest_ring_core": _densest_sql(),
+        "shuffle_shards_docs": f"""
+WITH b AS (SELECT doc_id,
+                  substring(md5(CAST(doc_id AS VARCHAR) || '{SHARD_SALT}'), 1, 8) AS bk
+           FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) - 1 AS rk FROM b)
+SELECT doc_id, CAST(rk % {SHARD_N} AS INT) AS shard,
+       CAST(rk // {SHARD_N} AS BIGINT) AS rank_in_shard
+FROM r ORDER BY doc_id""",
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,

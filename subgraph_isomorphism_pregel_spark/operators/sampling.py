@@ -23,7 +23,7 @@ one stratum per task.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_SPACE = 16**8  # the bucket space: 8 hex chars
@@ -171,3 +171,50 @@ def temperature_mixture(
         thr = min(HEX_SPACE, (HEX_SPACE * target * w[d]) // (total * counts[d]))
         rates[d] = thr / HEX_SPACE
     return stratified_sample(df, domain_col, rates, key_col, salt=salt), rates
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    mode: str = "sort",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the training
+    export step after packing: every row gets (shard, rank_in_shard) for a
+    seeded global permutation, so the written shards are reproducible on
+    any cluster and re-runs resume the same order.
+
+    mode='sort': rank rows by the md5 bucket (ties broken by key), shard
+    round-robin over the global rank — a TRUE permutation with balanced
+    shard sizes (|sizes| differ by at most 1). Costs one global sort; at
+    100 TB use it per-partition-group or prefer mode='hash'.
+    mode='hash': shard = bucket mod n_shards, rank by bucket within the
+    shard via one window — no total order across shards (shard sizes are
+    binomial, not exact), but no global sort either: the scale path.
+
+    Both modes are pure column expressions + one window; the same
+    construction is ANSI-SQL (row_number over the same keys).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    if mode not in ("sort", "hash"):
+        raise ValueError("mode must be 'sort' or 'hash'")
+    b = _bucket(F.col(key_col), salt)
+    if mode == "sort":
+        w = Window.orderBy(b, F.col(key_col))
+        rank = F.row_number().over(w) - 1
+        return df.select(
+            "*",
+            (rank % n_shards).alias("shard"),
+            (rank / n_shards).cast("long").alias("rank_in_shard"),
+        )
+    shard = (
+        F.conv(F.substring(b, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy(shard).orderBy(b, F.col(key_col))
+    return df.select(
+        "*",
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("rank_in_shard"),
+    )

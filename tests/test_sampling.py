@@ -155,3 +155,60 @@ def test_temperature_mixture_rejects_bad_temperature(spark):
     df = spark.createDataFrame([(1, "a")], "k long, dom string")
     with _pytest.raises(ValueError):
         temperature_mixture(df, domain_col="dom", key_col="k", temperature=0.0)
+
+
+def test_shuffle_shards_sort_mode_is_balanced_permutation(spark):
+    from subgraph_isomorphism_pregel_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(103)], "k long")
+    out = shuffle_shards(df, "k", 8, salt="s", mode="sort").collect()
+    sizes = {}
+    pairs = set()
+    for r in out:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+        pairs.add((r.shard, r.rank_in_shard))
+    assert len(pairs) == 103  # (shard, rank) is a bijection over rows
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # balanced
+    # rank_in_shard is dense 0..size-1 per shard
+    for s, n in sizes.items():
+        assert {r for sh, r in pairs if sh == s} == set(range(n))
+
+
+def test_shuffle_shards_python_oracle_and_determinism(spark):
+    import hashlib
+
+    from subgraph_isomorphism_pregel_spark.operators.sampling import shuffle_shards
+
+    keys = list(range(60))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = {
+        r.k: (r.shard, r.rank_in_shard)
+        for r in shuffle_shards(df, "k", 4, salt="z", mode="sort").collect()
+    }
+    order = sorted(keys, key=lambda k: (hashlib.md5(f"{k}z".encode()).hexdigest()[:8], k))
+    want = {k: (i % 4, i // 4) for i, k in enumerate(order)}
+    assert out == want
+    out2 = {
+        r.k: (r.shard, r.rank_in_shard)
+        for r in shuffle_shards(df.repartition(16), "k", 4, salt="z", mode="sort").collect()
+    }
+    assert out2 == out
+
+
+def test_shuffle_shards_hash_mode(spark):
+    from subgraph_isomorphism_pregel_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    out = shuffle_shards(df, "k", 5, salt="h", mode="hash").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.shard, []).append(r.rank_in_shard)
+    assert set(per) <= set(range(5))
+    for ranks in per.values():  # dense within each shard
+        assert sorted(ranks) == list(range(len(ranks)))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "k", 0)
+    with _pytest.raises(ValueError):
+        shuffle_shards(df, "k", 2, mode="nope")
