@@ -192,12 +192,26 @@ def main() -> None:
         print(f"building graph n={n} in {gdir}")
         run(BUILDER, n, gdir)
     results = {}
+    reuse = os.environ.get("SIP_SCALING_REUSE") == "1"
     for cpus in LEVELS:
+        cache = os.path.join(REPO, "BENCH", f"scaling_raw_{cpus}.json")
+        if reuse and os.path.exists(cache):
+            # per-level cache: same script, same graph, same host — lets a
+            # ladder be assembled across invocations without re-timing
+            # levels that already ran (delete BENCH/scaling_raw_*.json to
+            # force a full re-run)
+            with open(cache) as fh:
+                results[cpus] = json.load(fh)
+            print(f"local[{cpus}] from cache {cache}")
+            continue
         print(f"running workloads at local[{cpus}]")
         out = run(WORKER, cpus, gdir, PR_STEPS)
         results[cpus] = json.loads(
             [l for l in out.splitlines() if l.startswith("RESULT ")][-1][len("RESULT "):]
         )
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(cache, "w") as fh:
+            json.dump(results[cpus], fh)
         print(results[cpus])
 
     r = results
