@@ -37,6 +37,11 @@ from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
 cpus = int(sys.argv[1])
 gdir = sys.argv[2]
 steps = int(sys.argv[3])
+# re-measure a subset of jobs (e.g. after an operator change) and
+# min-merge into the level cache: SIP_SCALING_JOBS=msf,match
+JOBS = set(
+    os.environ.get("SIP_SCALING_JOBS", "pagerank,triangles,match,deferred,msf").split(",")
+)
 os.environ["SIP_DRIVER_MEM"] = "48g"
 # P and shuffle partitions FIXED across levels: identical plans,
 # identical message volume — only executor slots vary (the honest
@@ -69,11 +74,13 @@ def run_pagerank():
     return None
 
 
-dt, _ = best(run_pagerank)
-out["pagerank_sec"] = dt
-out["pagerank_edges_per_sec"] = round(steps * n_edges / dt, 1)
+if "pagerank" in JOBS:
+    dt, _ = best(run_pagerank)
+    out["pagerank_sec"] = dt
+    out["pagerank_edges_per_sec"] = round(steps * n_edges / dt, 1)
 
-out["triangles_sec"], out["triangles"] = best(lambda: triangle_count(spark, e))
+if "triangles" in JOBS:
+    out["triangles_sec"], out["triangles"] = best(lambda: triangle_count(spark, e))
 
 
 def run_match():
@@ -84,7 +91,8 @@ def run_match():
         m.unpersist()
 
 
-out["match_sec"], out["match_path3"] = best(run_match)
+if "match" in JOBS:
+    out["match_sec"], out["match_path3"] = best(run_match)
 
 
 def run_deferred():
@@ -106,7 +114,8 @@ def run_deferred():
         m.unpersist()
 
 
-out["deferred_sec"], out["match_deferred"] = best(run_deferred)
+if "deferred" in JOBS:
+    out["deferred_sec"], out["match_deferred"] = best(run_deferred)
 
 
 def run_msf():
@@ -128,7 +137,8 @@ def run_msf():
     return [int(agg["n"]), int(agg["tw"])]
 
 
-out["msf_sec"], out["msf_result"] = best(run_msf)
+if "msf" in JOBS:
+    out["msf_sec"], out["msf_result"] = best(run_msf)
 print("RESULT " + json.dumps(out))
 """
 
@@ -361,9 +371,10 @@ Notes:
   cost at every core count), which caps its single-host strong-scaling
   well below the data-parallel jobs. On a real cluster the fixed stage
   overhead is amortized by executor-side work that IS proportional to
-  cores; the planned local-finish cutover (collect the contracted graph
-  under ~100k edges and finish with a driver-side union-find) removes the
-  tail entirely.
+  cores. The local-finish cutover (operators/mst.py: collect the
+  contracted graph once it is under ~100k cross-component edges and
+  finish with driver-side Kruskal — identical forest under the (w, u, v)
+  total order) removes the tail rounds.
 - The BSP kernel's shuffle story: static CSR structure + per-step state are
   pid-bucketed tables, so the per-superstep cogroups plan with zero
   exchanges; only messages cross the wire (see operators/pregel.py).

@@ -57,10 +57,19 @@ from pyspark.sql import functions as F
 # geometrically (at 10^12 vertices the first rounds stay on the ladder).
 PTR_COLLECT_MAX = 200_000
 
+# Local-finish cutover: once the surviving cross-component edge table
+# shrinks below this, collect it and finish with driver-side Kruskal.
+# The tail rounds of the driver loop are stage-launch-bound (a handful of
+# tiny shuffles each, constant cost at any core count); contraction
+# preserves the MSF and the (w, u, v) total order makes it unique, so the
+# local finish returns EXACTLY the edges the remaining rounds would.
+LOCAL_FINISH_MAX = 100_000
+
 
 def boruvka_msf(
     edges: DataFrame,
     max_rounds: int | None = None,
+    local_finish_max: int = LOCAL_FINISH_MAX,
 ) -> tuple[DataFrame, int]:
     """-> ((u, v, w) minimum-spanning-forest edges, rounds_run).
 
@@ -71,7 +80,10 @@ def boruvka_msf(
     run to completion; Borůvka needs at most ceil(log2 V) rounds); on an
     early cap the result is a partial forest — still a subset of the true
     MSF, because every per-component minimum is an MSF edge (cut
-    property).
+    property). local_finish_max: once fewer cross-component edges than
+    this survive contraction, they are collected and completed with
+    driver-side Kruskal (identical output; 0 disables). rounds_run counts
+    distributed rounds only.
     """
     spark = edges.sparkSession
     workdir = tempfile.mkdtemp(prefix="boruvka_")
@@ -220,6 +232,33 @@ def boruvka_msf(
             .where(F.col("cu") != F.col("cv")),
             f"e{r}",
         )
+        n_live = e.count()
+        if n_live == 0:
+            break
+        if local_finish_max and n_live <= local_finish_max:
+            # driver-side Kruskal over the contracted component graph:
+            # union-find on component ids, edges in (w, u, v) order — the
+            # unique remaining MSF edges, same as running the ladder out
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            picked = []
+            for row in sorted(e.collect(), key=lambda t: (t.w, t.u, t.v)):
+                a, b = find(row.cu), find(row.cv)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+                    picked.append((row.u, row.v, float(row.w)))
+            if picked:
+                local = spark.createDataFrame(picked, "u long, v long, w double")
+                forest = local if forest is None else forest.unionAll(local)
+            break
     if forest is None:
         forest = spark.createDataFrame([], "u long, v long, w double")
     return forest.groupBy("u", "v").agg(F.min("w").alias("w")), r

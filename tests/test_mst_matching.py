@@ -180,7 +180,7 @@ def test_weighted_ring_fixture_msf_is_the_path(spark, tmp_path):
     from subgraph_isomorphism_pregel_spark.sources.graph import weighted_ring_graph
 
     e = weighted_ring_graph(spark, str(tmp_path))
-    forest, rounds = boruvka_msf(e)
+    forest, rounds = boruvka_msf(e, local_finish_max=0)
     got = sorted(map(tuple, forest.collect()))
     want = sorted((i, i + 1, float(1 + i % 7)) for i in range(n - 1))
     assert got == want
@@ -196,6 +196,21 @@ def test_boruvka_distributed_ladder_path(spark, monkeypatch):
     e = spark.createDataFrame(rows, "src long, dst long, w double")
     a, _ = boruvka_msf(e)
     monkeypatch.setattr(mst_mod, "PTR_COLLECT_MAX", 0)
-    b, _ = boruvka_msf(e)
+    b, _ = boruvka_msf(e, local_finish_max=0)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert {tuple(x) for x in b.collect()} == _kruskal(rows, 80)
+
+
+def test_boruvka_local_finish_parity(spark):
+    """The Kruskal cutover returns exactly the forest the remaining
+    distributed rounds would (unique MSF under the total order), in fewer
+    distributed rounds."""
+    rows = _random_graph(23, 120, 260)
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    cut_forest, cut_rounds = boruvka_msf(e)  # default cutover: round 1 then local
+    lad_forest, lad_rounds = boruvka_msf(e, local_finish_max=0)
+    assert sorted(map(tuple, cut_forest.collect())) == sorted(
+        map(tuple, lad_forest.collect())
+    )
+    assert {tuple(x) for x in cut_forest.collect()} == _kruskal(rows, 120)
+    assert cut_rounds < lad_rounds
