@@ -374,7 +374,10 @@ Notes:
   cores. The local-finish cutover (operators/mst.py: collect the
   contracted graph once it is under ~100k cross-component edges and
   finish with driver-side Kruskal — identical forest under the (w, u, v)
-  total order) removes the tail rounds.
+  total order) removes the tail rounds, but MEASURED quiet re-runs moved
+  the walls <2% at every level: the single-host ceiling is the per-round
+  parquet lineage cut of the surviving edge table (disk bandwidth, shared
+  across cores), which a cluster's per-executor disks scale with N.
 - The BSP kernel's shuffle story: static CSR structure + per-step state are
   pid-bucketed tables, so the per-superstep cogroups plan with zero
   exchanges; only messages cross the wire (see operators/pregel.py).
