@@ -919,6 +919,26 @@ def q_corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star pipeline, PageRank leg: synthesize the corpus, derive the
+    import graph, run the BSP kernel's PageRank for PR_STEPS fixed steps,
+    and return the SCORE HISTOGRAM (round(score, 8), n) — id-independent
+    like the components leg, so the oracle rebuilds the abstract (repo,
+    file) graph from the generator formula and unrolls the same recurrence
+    in SQL. The symmetrized import graph has no dangling vertices (both
+    import formulas map some j to itself only disjointly), so the plain
+    leak-free recurrence is exact on both sides."""
+    from subgraph_isomorphism_pregel_spark.sources.corpus import corpus_graph
+
+    v, e = corpus_graph(spark, n_repos=20, files_per_repo=50, seed=7)
+    scores, _ = pagerank(spark, v, e, num_partitions=8, fixed_steps=PR_STEPS)
+    return (
+        scores.groupBy(F.round("score", 8).alias("score_r"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("score_r")
+    )
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -1524,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_star_of_stars_ring": q_match_star_of_stars_ring,
         "match_corpus_wedge": q_match_corpus_wedge,
         "corpus_components": q_corpus_components,
+        "corpus_pagerank": q_corpus_pagerank,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -1632,6 +1653,46 @@ def _pagerank_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _corpus_pagerank_sql() -> str:
+    """Corpus-PageRank oracle: rebuild the abstract (repo, file) import
+    graph from the generator's arithmetic formula (the match_corpus_wedge /
+    corpus_components CTEs), unroll the same fixed-step recurrence as
+    _pagerank_sql over (r, j) keys, and compare the id-independent score
+    histogram. No dangling term: the symmetrized graph has outdeg >= 1
+    everywhere."""
+    d, steps, n = 0.85, PR_STEPS, 20 * 50
+    ctes = [
+        "rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j))",
+        """raw AS (SELECT r, j AS sj, (j*7 + 1 + 7) % 50 AS dj FROM rj
+        UNION
+        SELECT r, j, (j*13 + 5 + 7) % 50 FROM rj)""",
+        "dir AS (SELECT r, sj, dj FROM raw WHERE sj <> dj)",
+        """edges AS MATERIALIZED (
+  SELECT r, sj, dj FROM dir UNION SELECT r, dj AS sj, sj AS dj FROM dir)""",
+        "deg AS (SELECT r, sj, count(*) AS outdeg FROM edges GROUP BY r, sj)",
+        f"r0 AS MATERIALIZED (SELECT r, j, 1.0 / {n} AS score FROM rj)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT v.r, v.j,
+         {1 - d} / {n} + {d} * coalesce(s.contrib, 0) AS score
+  FROM rj v LEFT JOIN (
+    SELECT e.r, e.dj AS j, sum(p.score / dg.outdeg) AS contrib
+    FROM r{t - 1} p
+    JOIN edges e ON p.r = e.r AND p.j = e.sj
+    JOIN deg dg ON dg.r = e.r AND dg.sj = e.sj
+    GROUP BY e.r, e.dj) s ON v.r = s.r AND v.j = s.j)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT round(score, 8) AS score_r, count(*) AS n
+FROM r{steps} GROUP BY score_r ORDER BY score_r"""
     )
 
 
@@ -2941,6 +3002,7 @@ FROM (SELECT max(CASE WHEN r = 1 THEN n_est_micro END) AS n1,
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_supply": _pagerank_sql(),
+        "corpus_pagerank": _corpus_pagerank_sql(),
         "ppr_supply": _ppr_sql(),
         "hits_supply": _hits_sql(),
         "docs_split": _docs_split_sql(),
