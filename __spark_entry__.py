@@ -405,6 +405,10 @@ MATCH_SALT = "mm1"  # matches the engine round-for-round (the mis pattern)
 COLORING_ROUNDS = 8  # Jones-Plassmann rounds (fixed-round prefix form)
 COLORING_SALT = "jp1"
 
+LOUVAIN_ROUNDS = 6  # synchronous local-move rounds (fixed-round form)
+LOUVAIN_BUCKETS = 2
+LOUVAIN_SALT = "lv1"
+
 CHUNK_MAX_TOKENS = 64
 CHUNK_OVERLAP = 16
 
@@ -516,6 +520,22 @@ def q_coloring_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, e = ring_graph(spark, sf_dir)
     col, _ = greedy_coloring(v, e, rounds=COLORING_ROUNDS, salt=COLORING_SALT)
     return col.orderBy("id")
+
+
+def q_louvain_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style community detection on the ring graph — exactly
+    LOUVAIN_ROUNDS synchronous modularity-gain local-move rounds with the
+    fixed md5 bucket schedule; scores are integer-exact (2m·k_{v,c} −
+    k_v·tot'(c)), so the SQL twin replays every move bit-for-bit."""
+    from subgraph_isomorphism_pregel_spark.operators.louvain import (
+        louvain_local_moves,
+    )
+
+    _, e = ring_graph(spark, sf_dir)
+    comm = louvain_local_moves(
+        e, LOUVAIN_ROUNDS, buckets=LOUVAIN_BUCKETS, salt=LOUVAIN_SALT
+    )
+    return comm.orderBy("id")
 
 
 def q_mst_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1504,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_ring": q_mst_ring,
         "matching_ring": q_matching_ring,
         "coloring_ring": q_coloring_ring,
+        "louvain_ring": q_louvain_ring,
         "chunk_docs": q_chunk_docs,
         "mixture_docs": q_mixture_docs,
         "dedup_spans": q_dedup_spans,
@@ -2099,6 +2120,84 @@ def _coloring_sql() -> str:
         + ",\n".join(ctes)
         + f"""
 SELECT CAST(id AS BIGINT) AS id, color FROM c{COLORING_ROUNDS} ORDER BY id"""
+    )
+
+
+def _louvain_sql() -> str:
+    """Unrolled synchronous Louvain local-move rounds —
+    operators/louvain.py verbatim: fixed md5 bucket schedule, integer
+    gain scores m2·k_{v,c} − k_v·(tot(c) − [v∈c]·k_v), argmax with
+    smallest-community tie-break, strict improvement to move. The stay
+    score folds the engine's listed/unlisted split into one expression
+    (coalesce(k_{v,cur}, 0)) — algebraically identical."""
+
+    def active(col, r):
+        return (
+            f"ascii(substr(md5(CAST({col} AS VARCHAR) || ':' || "
+            f"'{LOUVAIN_SALT}'), 1, 1)) % {LOUVAIN_BUCKETS} = "
+            f"{(r - 1) % LOUVAIN_BUCKETS}"
+        )
+
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "ldeg AS MATERIALIZED (SELECT src AS id, count(*) AS k FROM edges GROUP BY src)",
+        "lm2 AS (SELECT sum(k) AS m2 FROM ldeg)",
+        "lc0 AS MATERIALIZED (SELECT id, id AS comm FROM ldeg)",
+    ]
+    for r in range(1, LOUVAIN_ROUNDS + 1):
+        ctes.append(
+            f"lt{r} AS MATERIALIZED (SELECT comm, sum(k) AS tot "
+            f"FROM lc{r - 1} JOIN ldeg USING (id) GROUP BY comm)"
+        )
+        ctes.append(
+            f"""lk{r} AS MATERIALIZED (
+  SELECT e.src, c.comm AS c, count(*) AS kvc
+  FROM edges e JOIN lc{r - 1} c ON e.dst = c.id
+  WHERE {active('e.src', r)}
+  GROUP BY e.src, c.comm)"""
+        )
+        ctes.append(
+            f"""lb{r} AS (
+  SELECT src, c AS bc, score AS best FROM (
+    SELECT k.src, k.c,
+           (SELECT m2 FROM lm2) * k.kvc
+             - d.k * (t.tot - CASE WHEN k.c = cur.comm THEN d.k ELSE 0 END)
+             AS score,
+           row_number() OVER (
+             PARTITION BY k.src
+             ORDER BY (SELECT m2 FROM lm2) * k.kvc
+               - d.k * (t.tot - CASE WHEN k.c = cur.comm THEN d.k ELSE 0 END)
+               DESC, k.c ASC) AS rn
+    FROM lk{r} k
+    JOIN lt{r} t ON k.c = t.comm
+    JOIN lc{r - 1} cur ON k.src = cur.id
+    JOIN ldeg d ON k.src = d.id) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""lst{r} AS (
+  SELECT a.id AS src,
+         (SELECT m2 FROM lm2) * coalesce(sc.kvc, 0) - d.k * (t.tot - d.k)
+           AS stay
+  FROM lc{r - 1} a
+  JOIN ldeg d ON a.id = d.id
+  JOIN lt{r} t ON a.comm = t.comm
+  LEFT JOIN lk{r} sc ON sc.src = a.id AND sc.c = a.comm
+  WHERE {active('a.id', r)})"""
+        )
+        ctes.append(
+            f"""lc{r} AS MATERIALIZED (
+  SELECT c.id, coalesce(m.nc, c.comm) AS comm FROM lc{r - 1} c
+  LEFT JOIN (
+    SELECT b.src AS id, b.bc AS nc FROM lb{r} b
+    JOIN lst{r} s ON b.src = s.src WHERE b.best > s.stay) m
+  ON c.id = m.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(comm AS BIGINT) AS comm
+FROM lc{LOUVAIN_ROUNDS} ORDER BY id"""
     )
 
 
@@ -3090,6 +3189,7 @@ SELECT CAST(i AS BIGINT) AS u, CAST(i + 1 AS BIGINT) AS v,
 FROM ids WHERE i < (SELECT n FROM nn) - 1 ORDER BY u, v""",
         "matching_ring": _matching_sql(),
         "coloring_ring": _coloring_sql(),
+        "louvain_ring": _louvain_sql(),
         # chunk enumeration: DuckDB's exclusive range stop (n - overlap)
         # generates the same start set as Spark's inclusive sequence
         # endpoint (n - overlap - 1); list slice is 1-based inclusive and

@@ -436,6 +436,16 @@ def main() -> None:
         "greedy_coloring_ring", run_coloring, cap=90.0
     )
 
+    def run_louvain():
+        from subgraph_isomorphism_pregel_spark.operators.louvain import louvain
+        from subgraph_isomorphism_pregel_spark.operators.stats import modularity
+
+        comm = louvain(re_, levels=2, rounds_per_level=6, salt="lv1")
+        q = modularity(comm, re_).collect()[0]
+        return [q.n_communities, round(float(q.q_modularity), 6)]
+
+    throughput["louvain_comms_q"] = bench("louvain_ring", run_louvain, cap=120.0)
+
     # the hub/deep-chain section runs LAST: its AQE runtime broadcasts of
     # multi-hundred-MB grouped tables linger in the JVM heap until GC and
     # measurably slow every query that follows (round-5 measurement:

@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,mst,matching,coloring,scc,eigen,buildorder,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,mst,matching,coloring,louvain,scc,eigen,buildorder,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -23,7 +23,7 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
-                            "triangles", "kcore", "mis", "mst", "matching", "coloring",
+                            "triangles", "kcore", "mis", "mst", "matching", "coloring", "louvain",
                             "scc", "eigen", "buildorder", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
@@ -218,6 +218,11 @@ def main(argv=None):
         from subgraph_isomorphism_pregel_spark.operators.coloring import greedy_coloring
 
         result, _ = greedy_coloring(vertices, edges)
+    elif args.algo == "louvain":
+        from subgraph_isomorphism_pregel_spark.operators.louvain import louvain
+        from subgraph_isomorphism_pregel_spark.sources.graph import symmetrize
+
+        result = louvain(symmetrize(edges.select("src", "dst")))
     elif args.algo == "scc":
         from subgraph_isomorphism_pregel_spark.operators.scc import scc as run_scc
 

@@ -67,3 +67,16 @@ def test_cli_coloring(spark, graph_dir, tmp_path):
     for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]:
         assert col[a] != col[b]
     assert max(col.values()) == 2  # triangle 0-2-3 forces exactly 3 colors
+
+
+def test_cli_louvain(spark, graph_dir, tmp_path):
+    out = str(tmp_path / "lv.parquet")
+    assert (
+        cli.main(
+            ["--algo", "louvain", "--edges", str(graph_dir / "edges.parquet"), "--output", out]
+        )
+        == 0
+    )
+    lv = pd.read_parquet(out)
+    assert sorted(lv.columns) == ["comm", "id"]
+    assert sorted(lv["id"].tolist()) == [0, 1, 2, 3]
