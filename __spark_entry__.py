@@ -1369,6 +1369,21 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(docs).orderBy("doc_id")
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training on the documents table —
+    BPE_MERGES merge rounds over the word-frequency table; the learned
+    merge list (rank, left, right, freq) is deterministic (argmax by
+    freq DESC, left, right) and the SQL twin replays every round
+    through the same bracketed-string replace semantics."""
+    from subgraph_isomorphism_pregel_spark.operators.bpe import bpe_train
+
+    mdf, _ = bpe_train(_docs(spark, sf_dir), BPE_MERGES)
+    return mdf.orderBy("rank")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average unigram log-probability of each doc under the corpus's own
     unigram distribution (fixed-point order-independent aggregation)."""
@@ -1505,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": q_pack_efficiency,
         "quality_filter": q_quality_filter,
         "token_count_bpe": q_token_count_bpe,
+        "bpe_merges": q_bpe_merges,
         "lm_score": q_lm_score,
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
@@ -2199,6 +2215,49 @@ def _louvain_sql() -> str:
 SELECT CAST(id AS BIGINT) AS id, CAST(comm AS BIGINT) AS comm
 FROM lc{LOUVAIN_ROUNDS} ORDER BY id"""
     )
+
+
+def _bpe_sql() -> str:
+    """Unrolled BPE training rounds — operators/bpe.py verbatim: the
+    word-frequency table start state, per-round pair counts weighted by
+    word frequency, (cnt DESC, l, r) argmax, and the bracketed-string
+    replace whose left-to-right non-overlapping scan IS the greedy merge
+    (identical semantics in DuckDB's replace and Spark's)."""
+    ctes = [
+        r"""bw0 AS MATERIALIZED (
+  SELECT word,
+         regexp_replace(translate(word, chr(1)||chr(2), ''), '(?s)(.)',
+                        chr(1)||'\1'||chr(2), 'g') AS ws,
+         count(*) AS n
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        ctes.append(
+            f"""bb{r} AS MATERIALIZED (
+  SELECT s[j] AS l, s[j + 1] AS r, sum(n) AS cnt FROM (
+    SELECT string_split(regexp_replace(ws, '^'||chr(1)||'|'||chr(2)||'$',
+                                       '', 'g'), chr(2)||chr(1)) AS s, n
+    FROM bw{r - 1}) t, unnest(range(1, len(s))) AS u(j)
+  GROUP BY 1, 2
+  ORDER BY cnt DESC, l, r LIMIT 1)"""
+        )
+        ctes.append(
+            f"""bw{r} AS MATERIALIZED (
+  SELECT w.word,
+         replace(w.ws, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+                 chr(1)||b.l||b.r||chr(2)) AS ws,
+         w.n
+  FROM bw{r - 1} w CROSS JOIN bb{r} b)"""
+        )
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, l AS \"left\", r AS \"right\", "
+        f"CAST(cnt AS BIGINT) AS freq FROM bb{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows + "\nORDER BY rank"
 
 
 def _khop_sql() -> str:
@@ -3118,6 +3177,7 @@ FROM rec ORDER BY doc_id""",
 FROM rec GROUP BY shard ORDER BY shard""",
         ),
         "quality_filter": _quality_filter_sql(),
+        "bpe_merges": _bpe_sql(),
         "token_count_bpe": r"""
 WITH s0 AS (SELECT doc_id,
             text || ' v' || CAST(doc_id AS VARCHAR) || '.0 #tag!' AS text

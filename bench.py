@@ -332,6 +332,15 @@ def main() -> None:
 
     throughput["n_chunks"] = bench("chunk_documents", run_chunk)
 
+    def run_bpe():
+        from subgraph_isomorphism_pregel_spark.operators.bpe import bpe_train
+
+        mdf, _ = bpe_train(docs, 16)
+        rows = mdf.orderBy("rank").collect()
+        return [len(rows), rows[-1].left + rows[-1].right if rows else ""]
+
+    throughput["bpe_merges_last"] = bench("bpe_train_16", run_bpe, cap=90.0)
+
     def run_mixture():
         from subgraph_isomorphism_pregel_spark.operators.sampling import (
             temperature_mixture,
