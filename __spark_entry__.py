@@ -1371,6 +1371,52 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_MERGES = 8
 
+PIPE_DUP_MOD = 3  # doc triples share the leader's text (exact dupes)
+PIPE_JUNK_MOD = 7  # junk classes trip the quality rules
+
+
+def q_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pre-training data pipeline over one deterministic
+    corpus variant: share each doc triple's leader text (planting exact
+    duplicates), degrade two doc_id classes (planting quality rejects),
+    then run quality_filter -> keep, exact-dedup survivor selection
+    (min doc_id per md5), and context-window chunking — three engine
+    operators composed as one lazy plan; the SQL twin chains the same
+    stage CTEs. Output: (doc_id, chunk_id, n_tokens) of the surviving
+    corpus."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import (
+        chunk_documents,
+        quality_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    leader = docs.select(
+        F.col("doc_id").alias("lead_id"), F.col("text").alias("lead_text")
+    )
+    shared = docs.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % PIPE_DUP_MOD).alias("lead_id"),
+    ).join(leader, "lead_id")
+    m = F.col("doc_id") % PIPE_JUNK_MOD
+    src = shared.select(
+        "doc_id",
+        F.when(m == 3, F.lit("one two"))
+        .when(m == 5, F.concat(F.col("lead_text"), F.repeat(F.lit(" ;;!?."), 40)))
+        .otherwise(F.col("lead_text"))
+        .alias("text"),
+    )
+    kept = quality_filter(src).where("keep").select("doc_id")
+    kdocs = src.join(kept, "doc_id", "left_semi")
+    surv = kdocs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    sdocs = kdocs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    return (
+        chunk_documents(sdocs, max_tokens=CHUNK_MAX_TOKENS, overlap=CHUNK_OVERLAP)
+        .select("doc_id", "chunk_id", "n_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )
+
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training on the documents table —
@@ -1521,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "token_count_bpe": q_token_count_bpe,
         "bpe_merges": q_bpe_merges,
+        "pipeline_docs": q_pipeline_docs,
         "lm_score": q_lm_score,
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
@@ -2215,6 +2262,52 @@ def _louvain_sql() -> str:
 SELECT CAST(id AS BIGINT) AS id, CAST(comm AS BIGINT) AS comm
 FROM lc{LOUVAIN_ROUNDS} ORDER BY id"""
     )
+
+
+def _pipeline_sql() -> str:
+    """The composed pipeline twin: plant dupes + junk, quality-filter
+    (the _quality_filter_sql rules verbatim), exact-dedup survivors
+    (min doc_id per md5), chunk (the chunk_docs enumeration verbatim)."""
+    stop_list = "'the','a','of','to','and','in','is','on','for','with'"
+    stride = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH pp0 AS MATERIALIZED (
+  SELECT d.doc_id,
+         CASE CAST(d.doc_id % {PIPE_JUNK_MOD} AS INT)
+           WHEN 3 THEN 'one two'
+           WHEN 5 THEN l.text || repeat(' ;;!?.', 40)
+           ELSE l.text END AS text
+  FROM documents d
+  JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % {PIPE_DUP_MOD})),
+pw AS (SELECT doc_id, text,
+              list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+       FROM pp0),
+ps AS (SELECT doc_id, len(words) AS n_tokens, length(text) AS n_chars,
+              length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+              len(list_filter(words, x -> x IN ({stop_list}))) AS stops,
+              CASE WHEN len(words) >= 3
+                   THEN list_transform(range(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                   ELSE [] END AS ngs
+       FROM pw),
+pk AS (SELECT doc_id FROM ps
+       WHERE NOT (n_tokens < 5 OR n_tokens > 5000
+                  OR punct / greatest(n_chars, 1) > 0.12
+                  OR stops / greatest(n_tokens, 1) < 0.02
+                  OR (CASE WHEN len(ngs) > 0
+                           THEN 1.0 - len(list_distinct(ngs)) / len(ngs)
+                           ELSE 0.0 END) > 0.15)),
+pd AS (SELECT min(p.doc_id) AS doc_id
+       FROM pp0 p JOIN pk USING (doc_id) GROUP BY md5(p.text)),
+psv AS (SELECT w.doc_id, w.words FROM pw w JOIN pd USING (doc_id)),
+pst AS (SELECT doc_id, words,
+               unnest(range(0, greatest(len(words) - {CHUNK_OVERLAP}, 1),
+                            {stride})) AS s
+        FROM psv)
+SELECT doc_id,
+       CAST(s // {stride} AS INT) AS chunk_id,
+       CAST(len(words[s + 1 : s + {CHUNK_MAX_TOKENS}]) AS INT) AS n_tokens
+FROM pst ORDER BY doc_id, chunk_id"""
 
 
 def _bpe_sql() -> str:
@@ -3178,6 +3271,7 @@ FROM rec GROUP BY shard ORDER BY shard""",
         ),
         "quality_filter": _quality_filter_sql(),
         "bpe_merges": _bpe_sql(),
+        "pipeline_docs": _pipeline_sql(),
         "token_count_bpe": r"""
 WITH s0 AS (SELECT doc_id,
             text || ' v' || CAST(doc_id AS VARCHAR) || '.0 #tag!' AS text

@@ -341,6 +341,14 @@ def main() -> None:
 
     throughput["bpe_merges_last"] = bench("bpe_train_16", run_bpe, cap=90.0)
 
+    def run_pipeline():
+        import __spark_entry__ as entrymod
+
+        out = entrymod.q_pipeline_docs(spark, sf_dir)
+        return out.count()
+
+    throughput["pipeline_chunks"] = bench("pipeline_docs", run_pipeline, cap=90.0)
+
     def run_mixture():
         from subgraph_isomorphism_pregel_spark.operators.sampling import (
             temperature_mixture,
