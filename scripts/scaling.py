@@ -40,7 +40,9 @@ steps = int(sys.argv[3])
 # re-measure a subset of jobs (e.g. after an operator change) and
 # min-merge into the level cache: SIP_SCALING_JOBS=msf,match
 JOBS = set(
-    os.environ.get("SIP_SCALING_JOBS", "pagerank,triangles,match,deferred,msf").split(",")
+    os.environ.get(
+        "SIP_SCALING_JOBS", "pagerank,triangles,match,deferred,msf,louvain"
+    ).split(",")
 )
 os.environ["SIP_DRIVER_MEM"] = "48g"
 # P and shuffle partitions FIXED across levels: identical plans,
@@ -139,6 +141,43 @@ def run_msf():
 
 if "msf" in JOBS:
     out["msf_sec"], out["msf_result"] = best(run_msf)
+
+
+def run_louvain():
+    # Louvain local moves (6 synchronous rounds, md5 bucket schedule):
+    # N->4N evidence for the round-5 community-detection operator. The
+    # consistency key is integer-exact and partition-invariant:
+    # [n_communities, intra-community directed edges, sum of squared
+    # community degree totals] (the exact-rational modularity pieces).
+    from pyspark.sql import functions as F
+    from subgraph_isomorphism_pregel_spark.operators.louvain import (
+        louvain_local_moves,
+    )
+
+    comm = louvain_local_moves(e, rounds=6, buckets=2, salt="sc")
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    a = comm.select(F.col("id").alias("src"), F.col("comm").alias("ca"))
+    b = comm.select(F.col("id").alias("dst"), F.col("comm").alias("cb"))
+    intra = (
+        e.join(a, "src").join(b, "dst")
+        .agg(F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("i2"))
+        .collect()[0]["i2"]
+    )
+    degc = (
+        comm.join(deg, "id", "left")
+        .groupBy("comm")
+        .agg(F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("dc"))
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum(F.col("dc") * F.col("dc")).alias("dc2"),
+        )
+        .collect()[0]
+    )
+    return [int(degc["nc"]), int(intra), int(degc["dc2"])]
+
+
+if "louvain" in JOBS:
+    out["louvain_sec"], out["louvain_result"] = best(run_louvain)
 print("RESULT " + json.dumps(out))
 """
 
@@ -194,7 +233,10 @@ def eff(hi, lo, factor=4):
 
 # result keys that must be IDENTICAL across runs of the same level (and
 # across levels); everything `_sec` is a timing and may be min-merged
-RESULT_KEYS = ("n_edges", "triangles", "match_path3", "match_deferred", "msf_result")
+RESULT_KEYS = (
+    "n_edges", "triangles", "match_path3", "match_deferred", "msf_result",
+    "louvain_result",
+)
 
 
 def merge_min(old: dict, new: dict) -> dict:
@@ -289,13 +331,23 @@ def main() -> None:
             f"{ne / r[lo]['msf_sec']:,.0f} → {ne / r[hi]['msf_sec']:,.0f} edges/s | "
             f"**{eff(1 / r[hi]['msf_sec'], 1 / r[lo]['msf_sec'], hi // lo)}** |"
         )
+        if "louvain_sec" in r[lo] and "louvain_sec" in r[hi]:
+            extra_rows.append(
+                f"| Louvain local moves (6 rounds) | local[{lo}]→local[{hi}] | "
+                f"{r[lo]['louvain_sec']}s → {r[hi]['louvain_sec']}s | "
+                f"{6 * ne / r[lo]['louvain_sec']:,.0f} → "
+                f"{6 * ne / r[hi]['louvain_sec']:,.0f} edges/s | "
+                f"**{eff(1 / r[hi]['louvain_sec'], 1 / r[lo]['louvain_sec'], hi // lo)}** |"
+            )
 
+    # per-key over the levels that HAVE the key: SIP_SCALING_JOBS subsets
+    # may leave a job unmeasured at some level mid-assembly, which is
+    # "not yet measured", not a mismatch
     consistency = all(
-        r[c]["triangles"] == r[LEVELS[0]]["triangles"]
-        and r[c]["match_path3"] == r[LEVELS[0]]["match_path3"]
-        and r[c]["match_deferred"] == r[LEVELS[0]]["match_deferred"]
-        and r[c]["msf_result"] == r[LEVELS[0]]["msf_result"]
+        r[c][k] == r[LEVELS[0]][k]
+        for k in RESULT_KEYS
         for c in LEVELS
+        if k in r[c] and k in r[LEVELS[0]]
     )
     # the planted-triangle family must actually show up (non-vacuous check)
     assert r[LEVELS[0]]["triangles"] > 0, "scaling graph must contain triangles"
@@ -385,7 +437,8 @@ Notes:
   (triangles={r[LEVELS[0]]['triangles']:,} — planted, non-zero,
   match_path3={r[LEVELS[0]]['match_path3']:,},
   match_deferred={r[LEVELS[0]]['match_deferred']:,},
-  msf [edges, total_weight]={r[LEVELS[0]]['msf_result']}).
+  msf [edges, total_weight]={r[LEVELS[0]]['msf_result']},
+  louvain [n_comms, intra2, sum_dc2]={r[LEVELS[0]].get('louvain_result')}).
 - The reference repo publishes no benchmark numbers (only a toy transcript,
   see /root/repo/BASELINE.md); these are this engine's recorded baselines.
 """
