@@ -1165,6 +1165,23 @@ def q_audio_meta_wav(spark, sf_dir):
     return extract_audio_meta(synth_wav(_docs(spark, sf_dir))).orderBy("media_id")
 
 
+def q_audio_features_wav(spark, sf_dir):
+    """REAL PCM SAMPLE decode (not just headers): synth_wav embeds an
+    int16-LE waveform value[i] = (id*31 + i*17) % 2001 - 1000 in the data
+    chunk; extract_audio_features reinterprets the chunk as a numpy <i2
+    array and reduces it to exact integer aggregates (sum of squares, peak
+    |amplitude|, strict zero crossings) + IEEE rms. The oracle never sees
+    the bytes — it regenerates every sample from the closed form with
+    generate_series and aggregates in SQL, so a decode bug (wrong offset,
+    wrong endianness, wrong width) cannot cancel against itself."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav,
+    )
+
+    return extract_audio_features(synth_wav(_docs(spark, sf_dir))).orderBy("media_id")
+
+
 def q_frame_sample(spark, sf_dir):
     """Video-style frame sampling plumbing: chunk each binary payload into
     fixed 32-byte frames JVM-side (array-expression explode, no Python in
@@ -1655,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_png": q_media_meta_png,
         "media_meta_jpeg": q_media_meta_jpeg,
         "audio_meta_wav": q_audio_meta_wav,
+        "audio_features_wav": q_audio_features_wav,
         "frame_sample": q_frame_sample,
         "stream_dedup": q_stream_dedup,
         "icetable_docs": q_icetable_docs,
@@ -3923,6 +3941,35 @@ SELECT media_id,
        channels, sample_rate, CAST(16 AS INT) AS bits_per_sample, n_samples,
        CAST(n_samples AS DOUBLE) * 1000.0 / sample_rate AS duration_ms
 FROM w ORDER BY media_id""",
+        # the oracle REGENERATES the waveform from the generator's closed
+        # form (never touching the WAV bytes) and aggregates it in SQL:
+        # sample i of doc d is (d*31 + i*17) % 2001 - 1000 over the flat
+        # interleaved stream of (frames x channels) values
+        "audio_features_wav": """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 2 AS INT) AS channels,
+         CAST(8000 * (1 + doc_id % 4) AS INT) AS sample_rate,
+         CAST((16 + doc_id % 241) * (1 + doc_id % 2) AS BIGINT) AS n_values
+  FROM documents),
+s AS (
+  SELECT media_id, i, (media_id * 31 + i * 17) % 2001 - 1000 AS v
+  FROM p, LATERAL unnest(range(0, n_values)) AS g(i)),
+z AS (
+  SELECT media_id, v, LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM s),
+agg AS (
+  SELECT media_id,
+         CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         CAST(MAX(ABS(v)) AS INT) AS peak_abs,
+         CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_crossings
+  FROM z GROUP BY media_id)
+SELECT p.media_id, p.channels, p.sample_rate, p.n_values,
+       agg.sum_sq, agg.peak_abs, agg.zero_crossings,
+       sqrt(CAST(agg.sum_sq AS DOUBLE) / p.n_values) AS rms
+FROM p JOIN agg USING (media_id)
+ORDER BY media_id""",
         # byte-sliced frames vs a character-sliced oracle — equal because
         # the synthetic corpus is pure ASCII (asserted: octet_length ==
         # length on every row); hex is uppercase on both engines

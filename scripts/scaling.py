@@ -300,6 +300,11 @@ def main() -> None:
     r = results
     ne = r[LEVELS[0]]["n_edges"]
     pairs = list(zip(LEVELS, LEVELS[1:]))
+    if not pairs:
+        # single-level invocation: a per-job re-measure merged into the
+        # level cache — nothing to pair, so no report to regenerate
+        print(f"cached level {LEVELS[0]}: {r[LEVELS[0]]}")
+        return
     rows = []
     extra_rows = []
     for lo, hi in pairs:

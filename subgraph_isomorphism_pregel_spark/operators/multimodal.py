@@ -18,6 +18,7 @@ import struct
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,19 +78,19 @@ def _parse_jpeg_sof(b: bytes) -> tuple[int, int] | None:
     return None
 
 
-def _parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
-    """(channels, sample_rate, bits_per_sample, n_samples) from a RIFF/WAVE
-    buffer, else None.
+def _parse_wav(b: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, block_align, data_off,
+    data_size) from a RIFF/WAVE buffer, else None.
 
     Walks the RIFF chunk list: validates 'RIFF'<size>'WAVE', then scans
     chunks (<id:4><size:4 LE><payload>) for 'fmt ' (PCM layout: format,
     channels, rate, byte-rate, block-align, bits — RIFF spec / WAVEFORMATEX)
-    and 'data' (n_samples = data size / block align). Both chunks must be
-    present and structurally sound."""
+    and 'data' (recording the payload offset so sample decode can slice the
+    raw PCM stream). Both chunks must be present and structurally sound."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     fmt = None
-    data_size = None
+    data_off = data_size = None
     i = 12
     while i + 8 <= len(b):
         cid = b[i : i + 4]
@@ -99,13 +100,23 @@ def _parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
         elif cid == b"data":
-            data_size = size
+            data_off, data_size = i + 8, size
         i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if fmt is None or data_size is None:
         return None
     _, channels, sample_rate, _, block_align, bits = fmt
     if channels == 0 or block_align == 0:
         return None
+    return channels, sample_rate, bits, block_align, data_off, data_size
+
+
+def _parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(channels, sample_rate, bits_per_sample, n_samples) — the metadata
+    view of _parse_wav (n_samples counts FRAMES: data size / block align)."""
+    p = _parse_wav(b)
+    if p is None:
+        return None
+    channels, sample_rate, bits, block_align, _, data_size = p
     return channels, sample_rate, bits, data_size // block_align
 
 
@@ -162,10 +173,14 @@ def synth_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic minimal PCM WAVs (44-byte RIFF header + silent data)
+    """Deterministic minimal PCM WAVs (44-byte RIFF header + real samples)
     with channels = 1 + id % 2, sample_rate = 8000 * (1 + id % 4), 16-bit,
     n_samples = 16 + id % 241 — the RIFF/fmt/data chunk structure is REAL
-    so the header walk is exercised without an audio library."""
+    so the header walk is exercised without an audio library, and the data
+    chunk carries an int16-LE sawtooth-family waveform
+    (value[i] = (id*31 + i*17) % 2001 - 1000 over the flat interleaved
+    stream) so SAMPLE decode (extract_audio_features) has a closed form an
+    independent oracle can recompute."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,7 +191,8 @@ def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rate = 8000 * (1 + mid % 4)
                 n_samples = 16 + mid % 241
                 block_align = channels * 2
-                data = b"\x00" * (n_samples * block_align)
+                idx = np.arange(n_samples * channels, dtype=np.int64)
+                data = (((mid * 31 + idx * 17) % 2001) - 1000).astype("<i2").tobytes()
                 fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
                 body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack(
                     "<I", len(data)
@@ -241,6 +257,73 @@ def extract_audio_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(meta, AUDIO_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, channels int, sample_rate int, n_values long, "
+    "sum_sq long, peak_abs int, zero_crossings long, rms double"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL PCM sample decode: binary WAV payload -> waveform features via
+    one Arrow-batched mapInPandas pass, numpy over the raw int16 stream —
+    no audio library, no per-sample Python.
+
+    For 16-bit PCM RIFF/WAVE payloads the data chunk is reinterpreted as a
+    flat ``<i2`` array (channel-interleaved stream, n_values = frames x
+    channels) and reduced to exact integer aggregates — sum of squared
+    amplitudes, peak |amplitude|, strict zero crossings (sign products < 0
+    between consecutive stream values) — plus rms = sqrt(sum_sq/n_values)
+    in IEEE double. Non-WAV or non-16-bit payloads yield typed nulls.
+
+    This is the "feature-extract" stage of the multimodal pipeline
+    (SURVEY-plus scope) done for real: unlike image pixel decode (PIL/ffmpeg
+    absent in this env), PCM needs only byte reinterpretation, so the whole
+    path — header walk, sample decode, reduction — is genuine and gated
+    with a closed-form oracle over synth_wav's waveform."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                b = bytes(payload)
+                parsed = _parse_wav(b)
+                if parsed is None or parsed[2] != 16:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "channels": None,
+                            "sample_rate": None,
+                            "n_values": None,
+                            "sum_sq": None,
+                            "peak_abs": None,
+                            "zero_crossings": None,
+                            "rms": None,
+                        }
+                    )
+                    continue
+                channels, rate, _bits, _ba, off, size = parsed
+                s = np.frombuffer(b, dtype="<i2", count=size // 2, offset=off).astype(
+                    np.int64
+                )
+                n = int(s.size)
+                sum_sq = int((s * s).sum())
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "channels": channels,
+                        "sample_rate": rate,
+                        "n_values": n,
+                        "sum_sq": sum_sq,
+                        "peak_abs": int(np.abs(s).max()) if n else 0,
+                        "zero_crossings": int((s[:-1] * s[1:] < 0).sum()) if n > 1 else 0,
+                        "rms": float(np.sqrt(sum_sq / n)) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
 
 
 def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

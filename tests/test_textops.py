@@ -428,6 +428,46 @@ def test_wav_header_decode_is_real(spark, docs):
     assert row["n_bytes"] == 9
 
 
+def test_audio_features_pcm_decode_is_real(spark, docs):
+    """extract_audio_features must decode the ACTUAL int16-LE samples from
+    the data chunk: every aggregate is recomputed here from the generator
+    formula in pure Python (independent of numpy slicing/endianness), and
+    malformed or non-16-bit payloads yield typed nulls."""
+    import math
+    import struct
+
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_audio_features,
+        synth_wav,
+    )
+
+    media = synth_wav(docs.limit(16))
+    feats = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 16
+    for mid, m in feats.items():
+        nv = (16 + mid % 241) * (1 + mid % 2)
+        vals = [(mid * 31 + i * 17) % 2001 - 1000 for i in range(nv)]
+        assert m["channels"] == 1 + mid % 2
+        assert m["sample_rate"] == 8000 * (1 + mid % 4)
+        assert m["n_values"] == nv
+        assert m["sum_sq"] == sum(v * v for v in vals)
+        assert m["peak_abs"] == max(abs(v) for v in vals)
+        assert m["zero_crossings"] == sum(
+            1 for a, b in zip(vals, vals[1:]) if a * b < 0
+        )
+        assert m["rms"] == math.sqrt(m["sum_sq"] / nv)
+
+    # non-WAV payload and a 8-bit-per-sample WAV both yield typed nulls
+    (payload,) = [bytes(r["payload"]) for r in media.limit(1).collect()]
+    eight_bit = payload[:34] + struct.pack("<H", 8) + payload[36:]
+    df = spark.createDataFrame(
+        [(1, b"not audio"), (2, eight_bit)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    for r in rows.values():
+        assert r["sum_sq"] is None and r["rms"] is None and r["n_values"] is None
+
+
 def test_rademacher_dots_packed_equals_sql(spark, emb):
     """The zero-shuffle numpy GEMM projection must be BIT-IDENTICAL to the
     explode+groupBy SQL-expression variant (same quantization, same md5
