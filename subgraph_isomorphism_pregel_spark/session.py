@@ -12,6 +12,30 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _launcher_master() -> str | None:
+    """Master URL chosen by the launcher, if any.
+
+    spark-submit conveys --master three different ways depending on version
+    and wrapper: the spark.master JVM property (picked up by SparkConf), the
+    classic MASTER env var (the /opt/spark launcher scripts), or inside
+    PYSPARK_SUBMIT_ARGS. SPARK_MASTER is this engine's own override knob.
+    """
+    from pyspark.conf import SparkConf
+
+    m = SparkConf().get("spark.master", None)
+    if m:
+        return m
+    for var in ("SPARK_MASTER", "MASTER"):
+        if os.environ.get(var):
+            return os.environ[var]
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "").split()
+    if "--master" in args:
+        i = args.index("--master")
+        if i + 1 < len(args):
+            return args[i + 1]
+    return None
+
+
 def get_spark(
     app_name: str = "sip-spark",
     cores: int | None = None,
@@ -37,9 +61,16 @@ def get_spark(
     warehouse = os.environ.get("SIP_WAREHOUSE") or os.path.join(
         tempfile.gettempdir(), f"sip_warehouse_{os.getpid()}"
     )
+    # Respect a master configured by the launcher (spark-submit --master,
+    # MASTER/SPARK_MASTER env, or an existing cluster conf): hard-coding
+    # local[] here would silently demote a `spark-submit --master yarn/k8s`
+    # run to a single-JVM driver. Only default to local[cores] when nothing
+    # upstream chose a master.
+    external_master = _launcher_master()
+    b = SparkSession.builder.appName(app_name)
+    b = b.master(external_master) if external_master else b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b
         .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
