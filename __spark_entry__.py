@@ -1152,6 +1152,24 @@ def q_media_meta_jpeg(spark, sf_dir):
     )
 
 
+def q_media_meta_gif(spark, sf_dir):
+    """REAL GIF header decode: deterministic minimal GIFs (GIF89a signature
+    + logical screen descriptor + trailer) synthesized from doc_id, then
+    width/height parsed back from the LSD BYTES with stdlib struct — the
+    oracle recomputes the dims from the generator formula instead, so a
+    parse bug cannot cancel out."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        extract_media_meta,
+        synth_gif,
+    )
+
+    return (
+        extract_media_meta(synth_gif(_docs(spark, sf_dir)))
+        .select("media_id", "n_bytes", "width", "height", "format")
+        .orderBy("media_id")
+    )
+
+
 def q_audio_meta_wav(spark, sf_dir):
     """REAL WAV header decode: deterministic minimal PCM RIFF/WAVE files
     synthesized from doc_id, then channels / sample_rate / bit depth /
@@ -1671,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_meta_png": q_media_meta_png,
         "media_meta_jpeg": q_media_meta_jpeg,
+        "media_meta_gif": q_media_meta_gif,
         "audio_meta_wav": q_audio_meta_wav,
         "audio_features_wav": q_audio_features_wav,
         "frame_sample": q_frame_sample,
@@ -3925,6 +3944,15 @@ SELECT doc_id AS media_id,
        CAST(1 + (doc_id * 3) % 1024 AS INT) AS width,
        CAST(1 + (doc_id * 5) % 1024 AS INT) AS height,
        'jpg' AS format
+FROM documents ORDER BY media_id""",
+        # real logical-screen-descriptor parse vs the independent generator
+        # formula (14-byte minimal GIF: signature 6 + LSD 7 + trailer 1)
+        "media_meta_gif": """
+SELECT doc_id AS media_id,
+       CAST(14 AS BIGINT) AS n_bytes,
+       CAST(1 + (doc_id * 11) % 4096 AS INT) AS width,
+       CAST(1 + (doc_id * 13) % 4096 AS INT) AS height,
+       'gif' AS format
 FROM documents ORDER BY media_id""",
         # real RIFF/fmt/data chunk walk vs the generator formula (44-byte
         # header + 2-byte samples x channels); duration is the same IEEE

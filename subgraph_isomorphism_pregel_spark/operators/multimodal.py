@@ -78,6 +78,24 @@ def _parse_jpeg_sof(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _parse_gif_lsd(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a GIF logical screen descriptor, else None.
+
+    Validates the 6-byte version signature (GIF87a/GIF89a) and that the
+    7-byte LSD is present (GIF89a spec §17-18: canvas width and height as
+    little-endian u16 right after the signature). Zero dimensions are
+    structurally invalid — fall back to the caller's fake dims."""
+    if len(b) < 13 or b[:6] not in _GIF_SIGS:
+        return None
+    width, height = struct.unpack("<HH", b[6:10])
+    if width == 0 or height == 0:
+        return None
+    return width, height
+
+
 def _parse_wav(b: bytes) -> tuple[int, int, int, int, int, int] | None:
     """(channels, sample_rate, bits_per_sample, block_align, data_off,
     data_size) from a RIFF/WAVE buffer, else None.
@@ -167,6 +185,31 @@ def synth_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append(
                     {"media_id": mid, "payload": b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"}
                 )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
+def synth_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal GIFs (GIF89a signature + logical screen
+    descriptor + trailer, 14 bytes) with width = 1 + 11*id % 4096,
+    height = 1 + 13*id % 4096 — the LSD is REAL (spec-shaped little-endian
+    u16 canvas dims) so the parse path is exercised without an imaging
+    library. Arrow-batched mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].values:
+                mid = int(mid)
+                w, h = 1 + (11 * mid) % 4096, 1 + (13 * mid) % 4096
+                payload = (
+                    b"GIF89a"
+                    + struct.pack("<HH", w, h)
+                    + b"\x00\x00\x00"  # packed fields, bg color, aspect
+                    + b"\x3b"  # trailer
+                )
+                rows.append({"media_id": mid, "payload": payload})
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
@@ -338,8 +381,9 @@ def extract_media_meta(media: DataFrame, real_decode: bool = False) -> DataFrame
 
     PNG payloads with a structurally valid header get their REAL
     width/height parsed from the IHDR chunk (stdlib struct + CRC check),
-    and JPEG payloads from the SOFn frame header (marker-segment walk) —
-    no imaging library either way. Other formats fall back to the
+    JPEG payloads from the SOFn frame header (marker-segment walk), and
+    GIF payloads from the logical screen descriptor — no imaging library
+    in any case. Other formats fall back to the
     deterministic fake (width/height from the first two bytes of
     sha256(payload)); format comes from a magic-byte sniff either way.
     real_decode=True is the hook where PIL/ffmpeg pixel decode would go —
@@ -352,18 +396,19 @@ def extract_media_meta(media: DataFrame, real_decode: bool = False) -> DataFrame
             for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
                 b = bytes(payload)
                 digest = hashlib.sha256(b).digest()
-                fmt = "png" if b[:4] == b"\x89PNG" else ("jpg" if b[:2] == b"\xff\xd8" else "raw")
-                if fmt == "png":
-                    dims = _parse_png_ihdr(b)
-                elif fmt == "jpg":
-                    dims = _parse_jpeg_sof(b)
+                if b[:4] == b"\x89PNG":
+                    fmt, dims = "png", _parse_png_ihdr(b)
+                elif b[:2] == b"\xff\xd8":
+                    fmt, dims = "jpg", _parse_jpeg_sof(b)
+                elif b[:6] in _GIF_SIGS:
+                    fmt, dims = "gif", _parse_gif_lsd(b)
                 else:
-                    dims = None
+                    fmt, dims = "raw", None
                 if dims is None:
                     if real_decode:
                         raise NotImplementedError(
                             "real pixel decode requires PIL/ffmpeg, not present "
-                            "in this env (only PNG/JPEG headers parse natively)"
+                            "in this env (only PNG/JPEG/GIF headers parse natively)"
                         )
                     dims = (1 + digest[0], 1 + digest[1])
                 rows.append(

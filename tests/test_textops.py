@@ -391,6 +391,38 @@ def test_jpeg_header_decode_is_real(spark, docs):
     assert (row["width"], row["height"]) == (1 + digest[0], 1 + digest[1])
 
 
+def test_gif_header_decode_is_real(spark, docs):
+    """synth_gif builds real logical screen descriptors; extract_media_meta
+    must parse width/height from the LSD BYTES, not the sha256 fake — and
+    a zero-dimension (structurally invalid) LSD must fall back."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        _parse_gif_lsd,
+        synth_gif,
+    )
+
+    media = synth_gif(docs.limit(16))
+    meta = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert len(meta) == 16
+    for mid, m in meta.items():
+        assert m["format"] == "gif" and m["n_bytes"] == 14
+        assert m["width"] == 1 + (11 * mid) % 4096
+        assert m["height"] == 1 + (13 * mid) % 4096
+    # GIF headers parse under real_decode=True too
+    assert extract_media_meta(media, real_decode=True).count() == 16
+
+    (payload,) = [bytes(r["payload"]) for r in media.limit(1).collect()]
+    assert _parse_gif_lsd(payload) is not None
+    assert _parse_gif_lsd(payload[:10]) is None  # truncated LSD
+    assert _parse_gif_lsd(b"GIF89b" + payload[6:]) is None  # bad version
+    zero = payload[:6] + b"\x00\x00" + payload[8:]  # width 0: invalid
+    assert _parse_gif_lsd(zero) is None
+    df = spark.createDataFrame([(1, zero)], "media_id long, payload binary")
+    (row,) = extract_media_meta(df).collect()
+    digest = hashlib.sha256(zero).digest()
+    assert row["format"] == "gif"  # magic still sniffs as gif
+    assert (row["width"], row["height"]) == (1 + digest[0], 1 + digest[1])
+
+
 def test_wav_header_decode_is_real(spark, docs):
     """synth_wav builds real RIFF chunk lists; extract_audio_meta must walk
     fmt/data chunks for every field, and malformed buffers yield nulls."""
