@@ -751,6 +751,28 @@ def q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(spark, v, e).orderBy("id")
 
 
+KCLIQUE_PLANT = 16  # planted clique size: guarantees C(16,4)=1820 4-cliques
+
+
+def q_kclique4_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-clique count (ordered extension over the degree-oriented
+    DAG) on the ring graph with a planted KCLIQUE_PLANT-clique on ids
+    0..15, so the two extension rounds run non-vacuously. The union is
+    deduplicated (planted edges can coincide with ring/chord edges) —
+    the operator's distinct-closure input contract."""
+    from subgraph_isomorphism_pregel_spark.operators.triangles import kclique_count
+
+    _, e = ring_graph(spark, sf_dir)
+    ids = spark.range(KCLIQUE_PLANT).select(F.col("id").alias("a"))
+    cl = (
+        ids.crossJoin(spark.range(KCLIQUE_PLANT).select(F.col("id").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    n = kclique_count(spark, e.select("src", "dst").unionByName(cl).distinct(), k=4)
+    return spark.createDataFrame([(n,)], "cliques4 long")
+
+
 def _ring_matcher(spark, sf_dir):
     v, e = ring_graph(spark, sf_dir)
     return SubgraphMatcher(spark, v, e)
@@ -1650,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_supply": q_kcore_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
+        "kclique4_ring": q_kclique4_ring,
         "match_path3_ring": q_match_path3_ring,
         "match_triangle_ring": q_match_triangle_ring,
         "match_cycle4_ring": q_match_cycle4_ring,
@@ -3536,6 +3559,25 @@ corners AS (
 SELECT v.id, coalesce(t.c, 0) AS tri FROM rv v LEFT JOIN (
   SELECT id, count(*) AS c FROM corners GROUP BY id) t ON v.id = t.id
 ORDER BY v.id""",
+        # 4-cliques counted once via ascending vertex ids over the deduped
+        # union of the ring graph and the planted 16-clique; all six edges
+        # checked explicitly — independent of the engine's DAG orientation
+        "kclique4_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')},
+plant AS (
+  SELECT a.range AS src, b.range AS dst
+  FROM range({KCLIQUE_PLANT}) a, range({KCLIQUE_PLANT}) b
+  WHERE a.range <> b.range),
+ae AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT src, dst FROM plant)
+SELECT CAST(count(*) AS BIGINT) AS cliques4
+FROM ae e1
+JOIN ae e2 ON e1.src = e2.src AND e1.dst < e2.dst
+JOIN ae e3 ON e1.src = e3.src AND e2.dst < e3.dst
+JOIN ae e12 ON e12.src = e1.dst AND e12.dst = e2.dst
+JOIN ae e13 ON e13.src = e1.dst AND e13.dst = e3.dst
+JOIN ae e23 ON e23.src = e2.dst AND e23.dst = e3.dst
+WHERE e1.src < e1.dst""",
         "match_path3_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

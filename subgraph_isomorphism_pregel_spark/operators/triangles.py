@@ -112,6 +112,49 @@ def triangles_per_vertex(spark: SparkSession, vertices: DataFrame, edges: DataFr
     )
 
 
+def kclique_count(spark: SparkSession, edges: DataFrame, k: int = 4) -> int:
+    """Exact k-clique count via ordered extension over the degree-oriented
+    DAG (the kClist / ordered-enumeration scheme; k=3 IS the triangle plan
+    above). Input contract matches triangle_count: the distinct directed
+    closure of an undirected simple graph (both directions, no self loops,
+    no duplicates — duplicate rows would inflate degrees and adjacency
+    arrays).
+
+    Each clique is counted exactly once: a k-clique's vertices sorted by
+    (degree, id) admit exactly one extension path — the initial oriented
+    edge is its two smallest vertices and every exploded candidate is an
+    out-neighbor of ALL current members, hence larger than each of them in
+    the orientation order. The candidate set (sorted array_intersect of
+    the members' out-neighbor arrays) only ever shrinks, so the frontier
+    after i extensions is bounded by the (i+2)-clique count — and oriented
+    out-degrees are O(sqrt(E)) even on hub graphs, the same guarantee the
+    triangle plan rides. Per extension: one join against the adjacency
+    table + one codegen array_intersect; no Python anywhere.
+    """
+    if k < 3:
+        raise ValueError(f"kclique_count: k must be >= 3, got {k}")
+    o = _oriented(edges)
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    c = (
+        o.join(adj.select(F.col("src").alias("u1"), F.col("nbrs").alias("n1")),
+               o.src == F.col("u1"))
+        .join(adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("n2")),
+              o.dst == F.col("u2"))
+        .select(F.array_intersect("n1", "n2").alias("cands"))
+        .where(F.size("cands") > 0)
+    )
+    for _ in range(k - 3):
+        c = (
+            c.select(F.explode("cands").alias("w"), F.col("cands"))
+            .join(adj.select(F.col("src").alias("w2"), F.col("nbrs").alias("nw")),
+                  F.col("w") == F.col("w2"))
+            .select(F.array_intersect("cands", "nw").alias("cands"))
+            .where(F.size("cands") > 0)
+        )
+    row = c.agg(F.sum(F.size("cands")).alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
 def butterflies(
     edges: DataFrame,
     center: str = "src",

@@ -212,6 +212,57 @@ def test_triangles_match_oracle(spark, graph):
     assert sum(got.values()) == 3 * total
 
 
+def test_kclique_count_matches_brute_force(spark, graph):
+    """Ordered-extension k-clique counting vs itertools enumeration for
+    k in {3, 4, 5}; k=3 must equal the dedicated triangle plan."""
+    from itertools import combinations
+
+    from subgraph_isomorphism_pregel_spark.operators.triangles import kclique_count
+
+    v, e, vs, es = graph
+    eset = {(s, t) for s, t in es if s != t}
+    nbrs = {}
+    for s, t in eset:
+        nbrs.setdefault(s, set()).add(t)
+
+    def brute(k):
+        cnt = 0
+        for combo in combinations(sorted(nbrs), k):
+            if all((a, b) in eset for a, b in combinations(combo, 2)):
+                cnt += 1
+        return cnt
+
+    for k in (3, 4, 5):
+        assert kclique_count(spark, e, k=k) == brute(k), k
+    assert kclique_count(spark, e, k=3) == triangle_count(spark, e)
+
+
+def test_kclique_count_planted_clique(spark):
+    """A planted 7-clique plus a disjoint path: counts are the exact
+    binomials C(7,k); the path contributes nothing for k >= 3."""
+    from math import comb
+
+    from subgraph_isomorphism_pregel_spark.operators.triangles import kclique_count
+
+    es = set()
+    for i in range(7):
+        for j in range(7):
+            if i != j:
+                es.add((i, j))
+    for i in range(100, 110):  # disjoint path, no cliques beyond edges
+        es.add((i, i + 1))
+        es.add((i + 1, i))
+    e = spark.createDataFrame(sorted(es), "src long, dst long")
+    for k in (3, 4, 5, 6, 7):
+        assert kclique_count(spark, e, k=k) == comb(7, k), k
+    assert kclique_count(spark, e, k=8) == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kclique_count(spark, e, k=2)
+
+
 def test_clustering_coefficient(spark, graph):
     """coeff = tri / C(deg,2) against a brute-force recomputation; isolated
     vertices (deg < 2) report exactly 0.0."""
