@@ -61,7 +61,10 @@ from subgraph_isomorphism_pregel_spark.operators.similarity import (  # noqa: E4
     cosine_topk,
     embedding_dup_pairs_lsh,
 )
-from subgraph_isomorphism_pregel_spark.operators.triangles import triangle_count  # noqa: E402
+from subgraph_isomorphism_pregel_spark.operators.triangles import (  # noqa: E402
+    kclique_count,
+    triangle_count,
+)
 from subgraph_isomorphism_pregel_spark.session import get_spark  # noqa: E402
 from subgraph_isomorphism_pregel_spark.sources.graph import ring_graph, supply_graph  # noqa: E402
 
@@ -162,6 +165,7 @@ def main() -> None:
     throughput["n_edges_ring"] = ring_edges
 
     throughput["triangles"] = bench("triangle_count", lambda: triangle_count(spark, re_))
+    throughput["cliques4"] = bench("kclique4_count", lambda: kclique_count(spark, re_, k=4))
 
     def run_match_set():
         m = SubgraphMatcher(spark, rv, re_)
