@@ -1127,6 +1127,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=3, n_lists=8, n_probe=2)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 8 subvector blocks, 8-entry codebooks from
+    the smallest vec_ids, exact int64 encode + asymmetric-distance top-k —
+    the compressed-domain scale path; codes + ADC distances are
+    integer-exact so the oracle replays them bit-for-bit."""
+    from subgraph_isomorphism_pregel_spark.operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), k=3, m_sub=8, k_codes=8, n_queries=20)
+
+
 def q_media_meta(spark, sf_dir):
     """Multimodal binary-column plumbing, driver-gated: text payloads ride
     as binary, metadata extracted by the Arrow-batched mapInPandas decoder
@@ -1709,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "pq_topk": q_pq_topk,
         "media_meta": q_media_meta,
         "media_meta_png": q_media_meta_png,
         "media_meta_jpeg": q_media_meta_jpeg,
@@ -2881,6 +2892,48 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _pq_sql(k: int = 3, m_sub: int = 8, k_codes: int = 8, n_queries: int = 20) -> str:
+    """DuckDB twin of pq_topk: same 2^20 quantization, smallest-id
+    codebooks, per-block argmin codes (ties to the smallest code), and
+    asymmetric ADC sums — all integer-exact. The queries' block distances
+    to every codebook entry double as the ADC lookup table, so one `encd`
+    CTE feeds both the encoding and the scoring."""
+    d_sub = f"(SELECT max(len(embedding)) FROM embeddings) // {m_sub}"
+    return f"""
+WITH {EMB_PAIRS.strip().rstrip(',')},
+qq AS MATERIALIZED (
+  SELECT vec_id, pos, CAST(floor(val * 1048576.0) AS BIGINT) AS qv FROM p),
+cbq AS MATERIALIZED (
+  SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS code, pos, qv
+  FROM qq WHERE vec_id IN (
+    SELECT DISTINCT vec_id FROM qq ORDER BY vec_id LIMIT {k_codes})),
+encd AS MATERIALIZED (
+  SELECT v.vec_id, v.pos // ({d_sub}) AS j, c.code,
+         sum((v.qv - c.qv) * (v.qv - c.qv)) AS d
+  FROM qq v JOIN cbq c ON v.pos = c.pos
+  GROUP BY v.vec_id, v.pos // ({d_sub}), c.code),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS r
+    FROM encd) t WHERE r = 1),
+qdist AS MATERIALIZED (
+  SELECT vec_id AS query_id, j, code, d FROM encd
+  WHERE vec_id IN (SELECT DISTINCT vec_id FROM qq ORDER BY vec_id LIMIT {n_queries})),
+adc AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, sum(q.d) AS adc
+  FROM codes v JOIN qdist q ON q.j = v.j AND q.code = v.code
+  WHERE q.query_id <> v.vec_id
+  GROUP BY q.query_id, v.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, CAST(adc AS BIGINT) AS adc
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 _LANDMARK_SEEDS = ["0", "nn.n // 4", "nn.n // 2", "(3 * nn.n) // 4"]
 
 
@@ -3949,6 +4002,7 @@ ORDER BY vec_a, vec_b""",
         "embedding_dups_lsh": _emb_lsh_sql(threshold=0.4),
         "ann_lsh_topk": _ann_lsh_sql(k=3, n_planes=6),
         "ann_ivf_topk": _ann_ivf_sql(k=3, n_lists=8, n_probe=2),
+        "pq_topk": _pq_sql(k=3, m_sub=8, k_codes=8, n_queries=20),
         # stub decode: width/height are bytes 1-2 of sha256(payload); utf-8
         # encoded text can never start with the PNG/JPEG magic bytes, so
         # format is constant 'raw' on this table

@@ -505,3 +505,106 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
             "codes_csv"
         ),
     ).orderBy("vec_id")
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    k_codes: int = 8,
+    n_queries: int | None = 20,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adc): product-quantization ANN — the
+    compressed-domain scale path (IVF-PQ's PQ half; completes the family
+    next to hyperplane LSH and IVF-flat).
+
+    Vectors are 2^20-quantized to int64, split into m_sub subvector blocks,
+    and ENCODED: block j's code is the argmin exact-int64-squared-distance
+    entry of codebook j (ties to the smallest code). Codebooks are the
+    blocks of the k_codes smallest ACTUAL vec_ids (deterministic; a
+    production index trains them offline with the tested fixed-point
+    k-means — float-mean training here would be engine-dependent). Queries
+    (the n_queries smallest vec_ids) score every vector ASYMMETRICALLY:
+    adc = sum over blocks of the exact int64 squared distance between the
+    query's block and the codebook entry the vector's code names — the
+    standard ADC lookup, evaluated as pure codegen arithmetic against the
+    broadcast codebook literal. Top-k per query by (adc asc, neighbor_id).
+
+    Scale shape: the codebook is a driver literal (m_sub*k_codes*d_sub
+    ints); encoding is ONE narrow zero-shuffle projection over the corpus
+    (each vector -> m_sub small ints, a 32x memory cut at dim 64/float32);
+    scoring touches candidates x m_sub lookups, never the original
+    vectors. At 10^12 vectors the codes table IS the index: it fits where
+    the raw vectors cannot, and the scan is bandwidth-bound on 8 bytes a
+    row instead of 256. Everything is integer-exact, so the DuckDB twin
+    reproduces codes and ADC distances bit-for-bit."""
+    dim = len(emb.select("embedding").first()["embedding"])
+    if dim % m_sub != 0:
+        raise ValueError(f"pq_topk: m_sub={m_sub} must divide dim={dim}")
+    d_sub = dim // m_sub
+    qarr = F.expr(
+        "transform(cast(embedding as array<double>),"
+        " v -> CAST(floor(v * 1048576.0) AS BIGINT))"
+    )
+    base = emb.select("vec_id", qarr.alias("qv"))
+
+    # codebooks: blocks of the k_codes smallest actual vec_ids (tiny collect)
+    cb_rows = base.orderBy("vec_id").limit(k_codes).collect()
+    if len(cb_rows) < k_codes:
+        raise ValueError(f"pq_topk: need >= {k_codes} vectors, got {len(cb_rows)}")
+    # cb[j][c] = python list of d_sub ints (block j of the c-th codebook row)
+    cb = [
+        [list(r["qv"][j * d_sub : (j + 1) * d_sub]) for r in cb_rows]
+        for j in range(m_sub)
+    ]
+
+    def lit_arr(vals: list[int]):
+        return F.array(*[F.lit(v).cast("long") for v in vals])
+
+    def sqdist(block_col, entry: list[int]):
+        return F.aggregate(
+            F.zip_with(block_col, lit_arr(entry), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # encode: per block, argmin over the k_codes entries; ties resolve to
+    # the smallest code via array_position's first-occurrence semantics
+    code_cols = []
+    for j in range(m_sub):
+        block = F.slice("qv", j * d_sub + 1, d_sub)
+        dists = F.array(*[sqdist(block, cb[j][c]) for c in range(k_codes)])
+        code_cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    codes = base.select("vec_id", F.array(*code_cols).alias("codes"))
+
+    queries = base.orderBy("vec_id")
+    if n_queries is not None:
+        queries = queries.limit(n_queries)
+    queries = queries.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("quv"))
+
+    # ADC: for vector code c_j in block j, distance contribution is the
+    # exact int64 sqdist between the query's block j and codebook[j][c_j];
+    # CASE over the k_codes literals keeps the whole lookup in codegen
+    contrib = []
+    for j in range(m_sub):
+        qblock = F.slice("quv", j * d_sub + 1, d_sub)
+        cj = F.element_at("codes", j + 1)
+        expr = F.lit(0).cast("long")
+        for c in range(k_codes - 1, -1, -1):
+            expr = F.when(cj == c, sqdist(qblock, cb[j][c])).otherwise(expr)
+        contrib.append(expr)
+    total = contrib[0]
+    for e in contrib[1:]:
+        total = total + e
+    scored = (
+        codes.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), total.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+        .orderBy("query_id", "rank")
+    )

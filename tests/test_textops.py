@@ -872,3 +872,65 @@ def test_dedup_spans_fuzz(spark):
         for r in dedup_spans(docs, k=3).collect()
     }
     assert got == _span_oracle(rows, 3)
+
+
+def test_pq_topk_matches_numpy_replay(spark, emb):
+    """pq_topk's codes and ADC distances replayed exactly in numpy: same
+    2^20 quantization, smallest-id codebooks, argmin-with-smallest-code
+    ties, asymmetric block distances, (adc, neighbor_id) ranking."""
+    import math
+
+    import numpy as np
+
+    from subgraph_isomorphism_pregel_spark.operators.similarity import pq_topk
+
+    k, m_sub, k_codes, n_queries = 4, 8, 8, 6
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    q = {
+        i: np.array([math.floor(float(v) * 1048576.0) for v in vec], dtype=np.int64)
+        for i, vec in rows
+    }
+    dim = len(rows[0][1])
+    d_sub = dim // m_sub
+    cb_ids = ids[:k_codes]
+
+    def block(v, j):
+        return v[j * d_sub : (j + 1) * d_sub]
+
+    def enc_dist(i, j, c):
+        d = block(q[i], j) - block(q[cb_ids[c]], j)
+        return int((d * d).sum())
+
+    codes = {
+        i: [
+            min(range(k_codes), key=lambda c: (enc_dist(i, j, c), c))
+            for j in range(m_sub)
+        ]
+        for i in ids
+    }
+    want = []
+    for qid in ids[:n_queries]:
+        scored = [
+            (sum(enc_dist(qid, j, codes[nid][j]) for j in range(m_sub)), nid)
+            for nid in ids
+            if nid != qid
+        ]
+        scored.sort()
+        want += [
+            (qid, nid, rank + 1, adc) for rank, (adc, nid) in enumerate(scored[:k])
+        ]
+
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc"])
+        for r in pq_topk(emb, k=k, m_sub=m_sub, k_codes=k_codes, n_queries=n_queries).collect()
+    ]
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_topk(emb, m_sub=7)  # 7 does not divide dim 64
