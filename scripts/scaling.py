@@ -391,6 +391,11 @@ def main() -> None:
             "cap these numbers scale WITH N there, which is what the rule's N->4N "
             "criterion measures; the sandbox cannot demonstrate that directly."
         )
+    # louvain may be measured only at the upper levels (its local[1] wall
+    # would be hours) — report its result values from a level that has them
+    louvain_res = next(
+        (r[c]["louvain_result"] for c in LEVELS if "louvain_result" in r[c]), None
+    )
     md = f"""# BENCH/BASELINE — measured throughput and scaling evidence
 
 Environment: single host VM, Spark 4.1 local mode (one JVM per run, fresh
@@ -435,6 +440,11 @@ Notes:
   the walls <2% at every level: the single-host ceiling is the per-round
   parquet lineage cut of the surviving edge table (disk bandwidth, shared
   across cores), which a cluster's per-executor disks scale with N.
+  Louvain shares the same shape (6 driver-looped rounds, each cutting
+  lineage through parquet) and lands in the same efficiency band at the
+  saturated 8->32 pair; it is measured at the two upper levels only (a
+  local[1] run of 6 rounds over 48M edges would take hours for no
+  additional information), both levels fresh on one host.
 - The BSP kernel's shuffle story: static CSR structure + per-step state are
   pid-bucketed tables, so the per-superstep cogroups plan with zero
   exchanges; only messages cross the wire (see operators/pregel.py).
@@ -443,7 +453,7 @@ Notes:
   match_path3={r[LEVELS[0]]['match_path3']:,},
   match_deferred={r[LEVELS[0]]['match_deferred']:,},
   msf [edges, total_weight]={r[LEVELS[0]]['msf_result']},
-  louvain [n_comms, intra2, sum_dc2]={r[LEVELS[0]].get('louvain_result')}).
+  louvain [n_comms, intra2, sum_dc2]={louvain_res}).
 - The reference repo publishes no benchmark numbers (only a toy transcript,
   see /root/repo/BASELINE.md); these are this engine's recorded baselines.
 """
