@@ -222,6 +222,14 @@ def ktruss(
     a persist-only loop grows the LOGICAL plan ~5x per wave and Catalyst
     analysis goes exponential — measured as a single-threaded driver spin
     after ~8 stacked waves even on a 10-edge graph.
+
+    Early exit: a wave that removes zero edges is the fixed point, and
+    every later wave is idempotent by construction (same edge set -> same
+    supports -> same filter), so skipping the remaining waves returns the
+    IDENTICAL edge set the full unroll would — the bounded-`rounds`
+    contract (and the SQL twin's fixed unroll) is unaffected.  The count
+    is read off the parquet footer of the cut we already pay for, so the
+    check costs no extra scan of the data pages.
     """
     import tempfile
 
@@ -240,6 +248,7 @@ def ktruss(
         .distinct(),
         "wave_000",
     )
+    n_prev = e.count()
     for _r in range(rounds):
         sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
             e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
@@ -269,4 +278,8 @@ def ktruss(
             .select("u", "v"),
             f"wave_{_r + 1:03d}",
         )
+        n_now = e.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
     return e

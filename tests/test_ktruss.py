@@ -45,6 +45,21 @@ def test_ktruss_random_matches_python(spark):
     assert got == py_ktruss(und, 4)
 
 
+def test_ktruss_early_exit_matches_full_unroll(spark):
+    # a huge round bound must return the same set as the fixed point —
+    # and must not pay for the unused waves (the zero-removal early exit)
+    import time
+
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5)]
+    t0 = time.monotonic()
+    got = run(spark, und, k=4, rounds=200)
+    wall = time.monotonic() - t0
+    assert got == py_ktruss(und, 4)
+    # 200 recompute waves at ~0.5s each would take minutes; the early
+    # exit stops after the first idempotent wave
+    assert wall < 60
+
+
 def test_ktruss_bounded_rounds_contract(spark):
     # a long chain of triangles peels one wave at a time: after exactly r
     # waves the result equals the python peel bounded at r rounds
