@@ -254,23 +254,23 @@ def ktruss(
             e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
         )
         te = triangle_edges(sym)
-        w = F.explode("common").alias("w")
-        credits = (
-            te.select(
-                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"),
-                F.size("common").alias("c"),
-            )
-            .unionByName(
-                te.select(F.col("src").alias("s"), w)
-                .select(F.least("s", "w").alias("u"), F.greatest("s", "w").alias("v"),
-                        F.lit(1).alias("c"))
-            )
-            .unionByName(
-                te.select(F.col("dst").alias("s"), F.explode("common").alias("w"))
-                .select(F.least("s", "w").alias("u"), F.greatest("s", "w").alias("v"),
-                        F.lit(1).alias("c"))
-            )
+        # all three edge credits of every triangle in ONE pass over te: a
+        # union of three selects re-executes the whole triangle_edges plan
+        # (adjacency groupBy + both joins) per branch, so build the credit
+        # rows as a codegen struct array instead — (src,dst) credited
+        # size(common) once, (src,w) and (dst,w) credited 1 per closing w
+        _edge = lambda a, b, c: F.struct(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v"), c.alias("c")
         )
+        credits = te.select(
+            F.explode(
+                F.concat(
+                    F.array(_edge(F.col("src"), F.col("dst"), F.size("common"))),
+                    F.transform("common", lambda w: _edge(F.col("src"), w, F.lit(1))),
+                    F.transform("common", lambda w: _edge(F.col("dst"), w, F.lit(1))),
+                )
+            ).alias("t")
+        ).select("t.u", "t.v", "t.c")
         supp = credits.groupBy("u", "v").agg(F.sum("c").alias("supp"))
         e = cut(
             e.join(supp, ["u", "v"], "left")
