@@ -99,11 +99,21 @@ def clustering_coefficient(
 def triangles_per_vertex(spark: SparkSession, vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """(id, tri) — number of triangles each vertex participates in (0 included)."""
     te = triangle_edges(edges)
-    corners = (
-        te.select(F.col("src").alias("id"), F.size("common").alias("c"))
-        .unionByName(te.select(F.col("dst").alias("id"), F.size("common").alias("c")))
-        .unionByName(te.select(F.explode("common").alias("id"), F.lit(1).alias("c")))
-    )
+    # all three corner credits in ONE pass over te (a union of selects
+    # re-executes the full triangle_edges plan per branch): src and dst
+    # each credited size(common), every closing vertex credited 1
+    _c = lambda i, c: F.struct(i.alias("id"), c.alias("c"))
+    corners = te.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    _c(F.col("src"), F.size("common")),
+                    _c(F.col("dst"), F.size("common")),
+                ),
+                F.transform("common", lambda w: _c(w, F.lit(1))),
+            )
+        ).alias("t")
+    ).select("t.id", "t.c")
     counts = corners.groupBy("id").agg(F.sum("c").alias("tri"))
     return (
         vertices.select("id")
