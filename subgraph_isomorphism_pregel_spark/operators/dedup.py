@@ -177,15 +177,23 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select("doc_id", *band_cols)
-    # candidate pairs: same bucket in any band
-    cand = None
-    for b in range(bands):
-        l = banded.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        r = banded.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        p = l.join(r, "bk").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # candidate pairs: same bucket in any band. Melt all bands in ONE pass
+    # (posexplode of the band-hash array) and self-join on (band, bucket):
+    # a per-band union of joins would re-execute the signature plan (the
+    # shingle explode + num_hashes aggregates) twice per band — 2*bands
+    # executions — while the melted self-join runs it twice, with an
+    # identical (bi, bk) exchange on both sides that AQE reuses
+    melted = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("bi", "bk")
+    )
+    l = melted.select(F.col("doc_id").alias("doc_a"), "bi", "bk")
+    r = melted.select(F.col("doc_id").alias("doc_b"), "bi", "bk")
+    cand = (
+        l.join(r, ["bi", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     # verify candidates with exact Jaccard (not persisted — see
     # ngram_jaccard_pairs)
     sh = _shingles(docs)

@@ -194,15 +194,21 @@ def embedding_dup_pairs_lsh(
         for j in range(rows_per_band):
             key = key + F.when(F.col(f"dot{b * rows_per_band + j}") > 0, 1 << j).otherwise(0)
         band_cols.append(key.alias(f"band{b}"))
-    banded = dots.select("vec_id", *band_cols)
-
-    cand = None
-    for b in range(bands):
-        l = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
-        r = banded.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bk"))
-        pp = l.join(r, "bk").where(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
-        cand = pp if cand is None else cand.unionByName(pp)
-    cand = cand.distinct()
+    # melt all bands in ONE pass over the projection table and self-join on
+    # (band, bucket): the per-band union of joins re-executed the Rademacher
+    # dot-product plan twice per band (2*bands executions); the melted
+    # self-join runs it twice with an identical (bi, bk) exchange both sides
+    melted = dots.select(
+        "vec_id", F.posexplode(F.array(*band_cols)).alias("bi", "bk")
+    )
+    l = melted.select(F.col("vec_id").alias("vec_a"), "bi", "bk")
+    r = melted.select(F.col("vec_id").alias("vec_b"), "bi", "bk")
+    cand = (
+        l.join(r, ["bi", "bk"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
     # exact cosine verification restricted to candidate pairs — the dot
     # product stays JVM-side as one codegen zip_with/aggregate per pair (one

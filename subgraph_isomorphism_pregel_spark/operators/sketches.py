@@ -133,19 +133,15 @@ def cms_heavy_hitters(
             F.substring(F.md5(F.concat(F.lit(f"{r}:"), F.col("t"))), 1, 8), 16, 10
         ).cast("long") % width
 
-    counters = None
-    for r in range(depth):
-        c = (
-            tok.select(F.lit(r).alias("r"), bucket(r).alias("b"))
-            .groupBy("r", "b")
-            .agg(F.count("*").alias("cnt"))
-        )
-        counters = c if counters is None else counters.unionByName(c)
+    # all depth rows of the sketch in ONE pass over the token explode (a
+    # per-row union re-executes the tokenize+explode plan depth times):
+    # posexplode the per-row bucket array, then one groupBy
+    buckets = F.posexplode(F.array(*[bucket(r) for r in range(depth)])).alias("r", "b")
+    counters = (
+        tok.select(buckets).groupBy("r", "b").agg(F.count("*").alias("cnt"))
+    )
     cand = tok.distinct()
-    probes = None
-    for r in range(depth):
-        pr = cand.select("t", F.lit(r).alias("r"), bucket(r).alias("b"))
-        probes = pr if probes is None else probes.unionByName(pr)
+    probes = cand.select("t", buckets)
     est = (
         probes.join(F.broadcast(counters), ["r", "b"])
         .groupBy("t")
