@@ -1966,10 +1966,16 @@ FROM agg"""
 
 
 def _doc_quantiles_sql() -> str:
+    from decimal import Decimal
+
+    # rank in INTEGER arithmetic over q's exact decimal ratio, mirroring
+    # group_quantiles (double ceil(q*n) rounds up an ulp-high product)
+    ratios = [(q, *Decimal(str(q)).as_integer_ratio()) for q in QUANTILE_QS]
     legs = "\n  UNION ALL\n".join(
         f"""  SELECT r.lang, CAST({q} AS DOUBLE) AS q, r.n_chars AS value
-  FROM ranked r JOIN counts c ON r.lang = c.lang WHERE r.rn = ceil({q} * c.n)"""
-        for q in QUANTILE_QS
+  FROM ranked r JOIN counts c ON r.lang = c.lang
+  WHERE r.rn = ({num} * c.n + {den - 1}) // {den}"""
+        for q, num, den in ratios
     )
     return f"""
 WITH ranked AS (

@@ -255,9 +255,12 @@ def merge_min(old: dict, new: dict) -> dict:
         else:
             out.setdefault(k, v)
     out["runs"] = old.get("runs", 1) + new.get("runs", 1)
-    out["pagerank_edges_per_sec"] = round(
-        PR_STEPS * out["n_edges"] / out["pagerank_sec"], 1
-    )
+    # a SIP_SCALING_JOBS-subset cache may hold no pagerank timing at all —
+    # only recompute the derived throughput when its inputs exist
+    if "pagerank_sec" in out and "n_edges" in out:
+        out["pagerank_edges_per_sec"] = round(
+            PR_STEPS * out["n_edges"] / out["pagerank_sec"], 1
+        )
     return out
 
 

@@ -60,7 +60,11 @@ def bloom_probe(
     built set — no false negatives; false = definitely absent). Use the
     same n_bits/k_hashes as the build."""
     c = F.col(key_col)
-    exploded = probe.select(
+    # probe DISTINCT keys: grouping the exploded rows of a key that appears
+    # m times would compare m*k_hashes hits against k_hashes and report a
+    # present key absent — a false NEGATIVE, the one error class a Bloom
+    # filter must never make
+    exploded = probe.select(key_col).distinct().select(
         key_col,
         F.posexplode(
             F.array(*[_position(c, i, n_bits) for i in range(k_hashes)])

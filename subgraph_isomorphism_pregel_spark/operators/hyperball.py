@@ -256,6 +256,12 @@ def neighborhood_function(
         num_partitions=num_partitions,
         nf_collect=nf,
     )
+    # the kernel votes to halt once every ball stops growing, so an early
+    # convergence leaves fewer than `radius` totals; N(r) is constant from
+    # there on, so pad with the converged value to keep the documented
+    # r = 1..radius contract (effective_diameter indexes all of it)
+    while nf and len(nf) < radius:
+        nf.append(nf[-1])
     rows = [(r + 1, int(v)) for r, v in enumerate(nf)]
     df = spark.createDataFrame(rows, "r int, n_est_micro long")
     return df, metrics
@@ -282,6 +288,8 @@ def effective_diameter(
         spark, vertices, edges, radius=radius, p=p, num_partitions=num_partitions
     )
     rows = {r["r"]: r["n_est_micro"] for r in nf.collect()}
+    if not rows:  # empty vertex set: no supersteps ran, no ball to measure
+        return spark.createDataFrame([(0.0,)], "eff_diameter double"), metrics
     ns = [rows[r] for r in range(1, radius + 1)]
     target = alpha * float(ns[-1])
     if float(ns[0]) >= target:

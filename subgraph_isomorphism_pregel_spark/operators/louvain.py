@@ -219,10 +219,26 @@ def louvain(
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("w").alias("w"))
         )
-        # internal (directed both ways) weight / 2 becomes the self weight
-        selfw = (
-            ec.where(F.col("src") == F.col("dst"))
-            .select(F.col("src").alias("id"), (F.col("w") / 2).cast("long").alias("sw"))
+        # internal (directed both ways) weight / 2 becomes the self weight —
+        # PLUS the self weights the merging supervertices already carried
+        # (they are invisible to `ec`, which is built from inter-vertex
+        # edges only; dropping them would shrink k for every community that
+        # absorbed a supervertex with internal mass, skewing the gain
+        # comparisons from the third level on)
+        internal = ec.where(F.col("src") == F.col("dst")).select(
+            F.col("src").alias("id"), (F.col("w") / 2).cast("long").alias("sw")
         )
+        if selfw is not None:
+            carried = (
+                selfw.join(comm, "id")
+                .groupBy(F.col("comm").alias("id"))
+                .agg(F.sum("sw").alias("sw"))
+            )
+            internal = (
+                internal.unionByName(carried)
+                .groupBy("id")
+                .agg(F.sum("sw").alias("sw"))
+            )
+        selfw = internal
         e = ec.where(F.col("src") != F.col("dst"))
     return mapping

@@ -72,7 +72,11 @@ def maximal_independent_set(
         r += 1
         if rounds is not None and r > rounds:
             break
-        if rounds is None and n_und == 0:
+        if n_und == 0:
+            # fixed point in BOTH modes: every later round runs the full
+            # join pipeline over empty tables and provably adds nothing
+            # (empty undecided set -> empty winners), so a fixed `rounds`
+            # run stops here with the identical output
             break
         # undecided-undecided edges only: both endpoints still in play
         ee = e.join(und.withColumnRenamed("id", "src"), "src", "left_semi").join(

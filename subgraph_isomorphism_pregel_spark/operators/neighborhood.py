@@ -24,9 +24,13 @@ point at web scale."""
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .walks import _cut
 
 
 def khop_neighbors(
@@ -47,6 +51,7 @@ def khop_neighbors(
         fanout = [fanout] * k
     if fanout is not None and len(fanout) != k:
         raise ValueError(f"fanout must have {k} entries")
+    workdir = tempfile.mkdtemp(prefix="khop_")
     e = edges.select("src", "dst").distinct()
     if starts is None:
         starts = e.select(F.col("src").alias("id")).distinct()
@@ -74,13 +79,16 @@ def khop_neighbors(
             cand = cand.withColumn("rn", F.row_number().over(w)).where(
                 F.col("rn") <= fanout[t - 1]
             )
-        new = (
+        # reused by the output union, the seen set, AND the next hop — cut
+        # to parquet so the union's action never recomputes prefix chains
+        # (a persist() could never be released and would leak a cache
+        # entry per hop per call — see walks._cut)
+        new = _cut(
             cand.select("origin", F.col("dst").alias("node"))
             .distinct()
-            .join(seen, ["origin", "node"], "left_anti")
-            # reused by the output union, the seen set, AND the next hop —
-            # persist so the union's action never recomputes prefix chains
-            .persist()
+            .join(seen, ["origin", "node"], "left_anti"),
+            workdir,
+            f"h{t}",
         )
         out = out.unionAll(new.select("origin", "node", F.lit(t).alias("dist")))
         seen = seen.unionAll(new)

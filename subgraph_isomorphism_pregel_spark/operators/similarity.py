@@ -544,7 +544,10 @@ def pq_topk(
     the raw vectors cannot, and the scan is bandwidth-bound on 8 bytes a
     row instead of 256. Everything is integer-exact, so the DuckDB twin
     reproduces codes and ADC distances bit-for-bit."""
-    dim = len(emb.select("embedding").first()["embedding"])
+    head = emb.select("embedding").first()
+    if head is None:
+        raise ValueError(f"pq_topk: need >= {k_codes} vectors, got 0")
+    dim = len(head["embedding"])
     if dim % m_sub != 0:
         raise ValueError(f"pq_topk: m_sub={m_sub} must divide dim={dim}")
     d_sub = dim // m_sub

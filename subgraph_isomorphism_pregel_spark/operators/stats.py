@@ -87,7 +87,14 @@ def group_quantiles(
     value_col: str,
     qs: list[float] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    """-> (group, q double, value) exact discrete quantiles per group."""
+    """-> (group, q double, value) exact discrete quantiles per group.
+
+    Convention: Q(q) = value at rank ceil(q*n), with the rank computed in
+    INTEGER arithmetic over q's exact decimal ratio — ceil of the IEEE
+    double q*n rounds up a rank whenever the product lands an ulp above
+    the exact integer (0.07*100 = 7.000000000000001 -> rank 8, not 7)."""
+    from decimal import Decimal
+
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError("qs must be fractions in (0, 1]")
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
@@ -98,8 +105,9 @@ def group_quantiles(
     r = ranked.join(counts, group_col)
     out = None
     for q in qs:
+        num, den = Decimal(str(q)).as_integer_ratio()
         part = r.where(
-            F.col("rn") == F.ceil(F.lit(float(q)) * F.col("n"))
+            F.col("rn") == F.expr(f"({num} * n + {den - 1}) DIV {den}")
         ).select(
             group_col,
             F.lit(float(q)).alias("q"),

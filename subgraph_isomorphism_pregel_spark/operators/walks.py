@@ -22,8 +22,22 @@ per origin touches each hub at most walk_len times — no d^2 blowup)."""
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut(df: DataFrame, workdir: str, name: str) -> DataFrame:
+    """Materialize a per-step frontier to parquet and read it back: each
+    frontier feeds BOTH the output union and the next hop, so it must be
+    computed once — a persist() would do that too, but the walk returns
+    lazily, so there is no point the operator could unpersist and every
+    call would leak CacheManager entries for the session's lifetime (the
+    same reason the other iterative operators cut through parquet)."""
+    path = f"{workdir}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def random_walks(
@@ -40,6 +54,7 @@ def random_walks(
     (default: every distinct src)."""
     if walk_len < 1 or walks_per_vertex < 1:
         raise ValueError("walk_len and walks_per_vertex must be >= 1")
+    workdir = tempfile.mkdtemp(prefix="walks_")
     e = edges.select("src", "dst").distinct()
     if starts is None:
         starts = e.select(F.col("src").alias("id")).distinct()
@@ -62,15 +77,13 @@ def random_walks(
                 F.lit(salt),
             )
         )
-        nxt = (
+        nxt = _cut(
             cand.withColumn("b", bucket)
             .groupBy("origin", "walk_no")
             .agg(F.min(F.struct(F.col("b"), F.col("dst"))).alias("m"))
-            .select("origin", "walk_no", F.col("m.dst").alias("node"))
-            # each frontier feeds BOTH the output union and the next hop —
-            # without a persist the union's action recomputes every prefix
-            # chain (O(T^2) joins); frontiers are |starts|*W rows, tiny
-            .persist()
+            .select("origin", "walk_no", F.col("m.dst").alias("node")),
+            workdir,
+            f"f{t}",
         )
         out = out.unionAll(
             nxt.select("origin", "walk_no", F.lit(t).alias("step"), "node")
@@ -114,6 +127,7 @@ def node2vec_walks(
         raise ValueError("p and q must be positive")
     from pyspark.sql import Window
 
+    workdir = tempfile.mkdtemp(prefix="n2v_")
     e = edges.select("src", "dst").distinct()
     if starts is None:
         starts = e.select(F.col("src").alias("id")).distinct()
@@ -176,11 +190,12 @@ def node2vec_walks(
             F.sum(wgt).over(part).alias("tot"),
             u.alias("u"),
         )
-        nxt = (
+        nxt = _cut(
             scored.where(F.col("cw") >= F.col("u") * F.col("tot"))
             .groupBy("origin", "walk_no")
-            .agg(F.min("d").alias("node"))
-            .persist()
+            .agg(F.min("d").alias("node")),
+            workdir,
+            f"f{t}",
         )
         out = out.unionAll(
             nxt.select("origin", "walk_no", F.lit(t).alias("step"), "node")

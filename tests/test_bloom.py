@@ -42,6 +42,24 @@ def test_bloom_membership_and_replay(spark):
     assert 0 < fp < len(unseen)
 
 
+def test_bloom_duplicate_probe_keys_no_false_negative(spark):
+    """A probe key appearing m times must still read maybe_present=True when
+    it is in the built set (grouping the exploded rows without a distinct
+    would count m*k hits != k and report a present key absent)."""
+    build = spark.createDataFrame([(7,), (9,)], "doc_id long")
+    probe = spark.createDataFrame([(7,), (7,), (7,), (9,), (1,)], "doc_id long")
+    n_bits, k = 1024, 3
+    bits = bloom_build(build, "doc_id", n_bits=n_bits, k_hashes=k)
+    rows = bloom_probe(bits, probe, "doc_id", n_bits=n_bits, k_hashes=k).collect()
+    assert len(rows) == 5  # every probe row comes back, duplicates included
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["doc_id"], set()).add(r["maybe_present"])
+    assert by_key[7] == {True} and by_key[9] == {True}
+    want_bits = {p for x in (7, 9) for p in py_positions(x, k, n_bits)}
+    assert by_key[1] == {py_positions(1, k, n_bits).issubset(want_bits)}
+
+
 def test_bloom_bad_inputs(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):

@@ -126,3 +126,26 @@ def test_effective_diameter_interpolation(spark):
         want = 2.0 + (target - ns[2]) / (ns[3] - ns[2])
     assert d == pytest.approx(round(want, 6), abs=1e-9)
     assert 1.0 <= d <= 3.0
+
+
+def test_effective_diameter_early_convergence(spark):
+    """A graph whose balls saturate before `radius` rounds: the kernel
+    halts early and the neighborhood function must pad to the converged
+    value instead of crashing (N(r) is constant once every ball stops
+    growing)."""
+    from subgraph_isomorphism_pregel_spark.operators.hyperball import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    # undirected star: diameter 2, so radius=4 converges after round 2
+    n = 6
+    edges = [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)]
+    v, e = _graph(spark, n, edges)
+    nf, _ = neighborhood_function(spark, v, e, radius=4, p=4, num_partitions=2)
+    rows = {r["r"]: r["n_est_micro"] for r in nf.collect()}
+    assert sorted(rows) == [1, 2, 3, 4]  # full 1..radius contract
+    assert rows[2] == rows[3] == rows[4]  # constant past convergence
+    out, _ = effective_diameter(spark, v, e, radius=4, p=4, num_partitions=2)
+    d = out.collect()[0]["eff_diameter"]
+    assert 1.0 <= d <= 2.0  # the star's mass arrives by round 2

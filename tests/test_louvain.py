@@ -30,6 +30,8 @@ def _sym(edges):
 def _moves_oracle(edges, rounds, buckets, salt, selfw=None):
     adj = _sym(edges)
     sw = selfw or {}
+    for v in sw:  # a fully-merged supervertex may carry only a self weight
+        adj.setdefault(v, {})
     deg = {v: sum(nb.values()) + 2 * sw.get(v, 0) for v, nb in adj.items()}
     m2 = sum(deg.values())
     comm = {v: v for v in adj}
@@ -80,7 +82,13 @@ def _full_oracle(edges, levels, rounds, buckets, salt):
             ca, cb = comm[a], comm[b]
             key = (min(ca, cb), max(ca, cb))
             agg[key] = agg.get(key, 0) + w
-        sw = {a: w for (a, b), w in agg.items() if a == b}
+        new_sw = {a: w for (a, b), w in agg.items() if a == b}
+        # carry the self weights the merging supervertices already held —
+        # internal mass is invisible to the inter-vertex edge aggregation
+        for v, s in (sw or {}).items():
+            c = comm[v]
+            new_sw[c] = new_sw.get(c, 0) + s
+        sw = new_sw
         cur = [(a, b, w) for (a, b), w in agg.items() if a != b]
     return mapping
 
@@ -167,3 +175,25 @@ def test_unweighted_default_weight_is_one(spark):
     df = spark.createDataFrame(rows, "src long, dst long")
     got = {r.id: r.comm for r in louvain_local_moves(df, 4, salt="u").collect()}
     assert got == _moves_oracle(edges, 4, 2, "u")
+
+
+def test_three_level_louvain_carries_self_weights(spark):
+    """levels=3 on a graph that fully merges cliques at level 1: the
+    contracted supervertices carry internal mass as self weights, which
+    must ACCUMULATE through the next contraction (dropping them skews
+    every k from level 3 on). Spark vs the corrected python replay."""
+    # 6 cliques of 5, chained in a cycle by weak bridges
+    edges = []
+    for c in range(6):
+        base = c * 5
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j, 4))
+        edges.append((base + 4, ((c + 1) % 6) * 5, 1))
+    got = {
+        r.id: r.comm
+        for r in louvain(
+            _sym_df(spark, edges), levels=3, rounds_per_level=6, salt="l3"
+        ).collect()
+    }
+    assert got == _full_oracle(edges, 3, 6, 2, "l3")

@@ -9,6 +9,8 @@ from subgraph_isomorphism_pregel_spark.operators.stats import group_quantiles
 
 
 def brute(rows, qs):
+    from decimal import Decimal
+
     by_g = {}
     for g, v in rows:
         by_g.setdefault(g, []).append(v)
@@ -16,7 +18,11 @@ def brute(rows, qs):
     for g, vals in by_g.items():
         vals.sort()
         for q in qs:
-            out[(g, q)] = vals[math.ceil(q * len(vals)) - 1]
+            # exact rank ceil(q*n) over q's decimal ratio — python's double
+            # product has the same ulp-high failure as Spark's (0.07*100)
+            num, den = Decimal(str(q)).as_integer_ratio()
+            rank = (num * len(vals) + den - 1) // den
+            out[(g, q)] = vals[rank - 1]
     return out
 
 
@@ -45,6 +51,20 @@ def test_group_quantiles_duplicate_values(spark):
         for r in group_quantiles(df, "lang", "n_chars", qs=[0.5, 0.51]).collect()
     }
     assert got == {0.5: 1, 0.51: 9}
+
+
+def test_group_quantiles_ulp_exact_rank(spark):
+    """q*n landing an ulp ABOVE the exact integer must not shift the rank:
+    0.07 * 100 = 7.000000000000001 as doubles, so a double-ceil picks rank
+    8 — the exact-decimal rule demands rank 7."""
+    assert math.ceil(0.07 * 100) == 8  # the trap this test pins down
+    rows = [("a", v) for v in range(1, 101)]  # value == rank
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {
+        r["q"]: r["value"]
+        for r in group_quantiles(df, "lang", "n_chars", qs=[0.07, 0.29]).collect()
+    }
+    assert got == {0.07: 7, 0.29: 29}
 
 
 def test_group_quantiles_bad_inputs(spark):
