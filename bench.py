@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -66,13 +67,20 @@ from subgraph_isomorphism_pregel_spark.operators.triangles import (  # noqa: E40
     triangle_count,
 )
 from subgraph_isomorphism_pregel_spark.session import get_spark  # noqa: E402
-from subgraph_isomorphism_pregel_spark.sources.graph import ring_graph, supply_graph  # noqa: E402
+from subgraph_isomorphism_pregel_spark.sources.graph import (  # noqa: E402
+    SUPPLIER_ID_OFFSET,
+    ring_graph,
+    supply_graph,
+)
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # sf from the dirname's trailing sf<number>; any other layout (custom
+    # SPARK_GRAFT_SF_DIR) falls back to 0.1 rather than crashing float()
+    m_sf = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = m_sf.group(1) if m_sf else "0.1"
     spark = get_spark("sip-bench", cores=cpus, shuffle_partitions=cpus)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 3))
@@ -255,10 +263,8 @@ def main() -> None:
     # on the uniform low-degree ring the join pipeline is FASTER (its
     # frontier never blows up; the assembly's extra jobs dominate) — both
     # are measured so the tradeoff stays visible
-    assert (
-        bench("match_twin_paths_pipeline", run_fact_pipeline)
-        == throughput["match_factorized_twin_paths"]
-    )
+    t_pipe = bench("match_twin_paths_pipeline", run_fact_pipeline)
+    assert t_pipe == throughput["match_factorized_twin_paths"]
 
 
     # the north-star pipeline itself: synthesize the source-code corpus
@@ -382,7 +388,7 @@ def main() -> None:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         pairs = li.select(
             F.col("l_partkey").alias("src"),
-            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+            (F.col("l_suppkey") + SUPPLIER_ID_OFFSET).alias("dst"),
         ).distinct()
         # num_partitions=None -> auto by doubled-edge volume (32 fixed
         # partitions measured 13.3s vs 8.6s auto on the 1.18M-edge doubled
@@ -533,10 +539,8 @@ def main() -> None:
             m.unpersist()
 
     throughput["match_factorized_hub"] = bench("match_factorized_hub", run_hub_fact)
-    assert (
-        bench("match_hub_pipeline", run_hub_pipeline)
-        == throughput["match_factorized_hub"]
-    )
+    t_hub_pipe = bench("match_hub_pipeline", run_hub_pipeline)
+    assert t_hub_pipe == throughput["match_factorized_hub"]
 
     # NESTED (two-level) factorization (round 5): a branch whose INTERNAL
     # same-label conflicts sit two levels below the top split. Query:
@@ -580,10 +584,8 @@ def main() -> None:
     throughput["match_deep_chain_auto"] = bench(
         "match_deep_chain_auto", lambda: run_deep("auto")
     )
-    assert (
-        bench("match_deep_chain_nested_forced", lambda: run_deep(True))
-        == throughput["match_deep_chain_auto"]
-    )
+    t_deep_forced = bench("match_deep_chain_nested_forced", lambda: run_deep(True))
+    assert t_deep_forced == throughput["match_deep_chain_auto"]
     hub_e.unpersist()
     hub_v.unpersist()
     # nudge the ContextCleaner so the big broadcast blocks are dropped

@@ -15,12 +15,10 @@ column keeps the key space bounded per watermark window.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windowed import EVENTS_SCHEMA
+from .windowed import drain, events_stream
 
 DEDUP_KEYS = ["user_id", "event_type", "bucket_ts"]
 
@@ -53,11 +51,7 @@ def run_dedup_availablenow(
     """Drain an events parquet directory (possibly containing replayed /
     duplicated files) as a stream through dedup_events into an in-memory
     sink; returns the sink table after the stream finishes."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(events_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
-        events_dir = os.path.dirname(events_dir)
-    stream = reader.parquet(events_dir)
+    stream = events_stream(spark, events_dir)
     q = (
         dedup_events(stream)
         .writeStream.format("memory")
@@ -66,5 +60,5 @@ def run_dedup_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q)
     return spark.table(out_table)

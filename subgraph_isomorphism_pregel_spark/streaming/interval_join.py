@@ -17,12 +17,10 @@ STREAMING drain (AvailableNow) reproduces the exact batch join result.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windowed import EVENTS_SCHEMA
+from .windowed import drain, events_stream
 
 
 def interval_join(
@@ -70,11 +68,7 @@ def interval_join(
 
 
 def _event_stream(spark: SparkSession, events_dir: str, event_type: str) -> DataFrame:
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(events_dir):
-        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
-        events_dir = os.path.dirname(events_dir)
-    return reader.parquet(events_dir).where(F.col("event_type") == event_type)
+    return events_stream(spark, events_dir).where(F.col("event_type") == event_type)
 
 
 def run_attribution_availablenow(
@@ -99,5 +93,5 @@ def run_attribution_availablenow(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q)
     return spark.table(out_table)

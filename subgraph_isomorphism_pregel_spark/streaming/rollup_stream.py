@@ -20,6 +20,7 @@ EQUAL the batch aggregate exactly (asserted in tests)."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions import fixed_point_sum
 from ..operators.timeagg import time_bucket
 from ..sources import icetable
-from .windowed import EVENTS_SCHEMA
+from .windowed import EVENTS_SCHEMA, drain
 
 
 def rollup_leaf(events: DataFrame, bucket_seconds: int = 900) -> DataFrame:
@@ -78,12 +79,17 @@ def rollup_stream_availablenow(
         rows.unpersist()
 
     ckpt = tempfile.mkdtemp(prefix="rollup_stream_ckpt_")
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    try:
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain(q, timeout=600)
+    finally:
+        # the checkpoint is fresh per call and never resumed — remove the
+        # state-store/offset files instead of leaking a dir per invocation
+        shutil.rmtree(ckpt, ignore_errors=True)
     return icetable.read_table(spark, table_path)

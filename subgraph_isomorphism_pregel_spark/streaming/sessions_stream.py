@@ -27,16 +27,14 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from .windowed import EVENTS_SCHEMA, drain
+
 OUT_SCHEMA = (
     "user_id long, session_no long, n_events long, "
     "first_ts timestamp, last_ts timestamp, total_value double"
 )
 STATE_SCHEMA = (
     "next_no long, open_start long, open_last long, open_n long, open_val long"
-)
-EVENTS_SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
 )
 
 _US = 1_000_000
@@ -202,5 +200,5 @@ def run_availablenow_sessions(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q)
     return spark.table(out_table)

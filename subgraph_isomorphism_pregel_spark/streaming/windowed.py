@@ -20,6 +20,27 @@ EVENTS_SCHEMA = (
 )
 
 
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-stream reader over the events table, shared by every streaming
+    module (one copy of the schema + the single-file shim). Accepts a
+    directory or a single parquet file — the file source requires a
+    directory, so a file path becomes its parent + a pathGlobFilter."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if os.path.isfile(events_dir):
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    return reader.parquet(events_dir)
+
+
+def drain(q, timeout: int = 300) -> None:
+    """Wait for an AvailableNow drain to finish. awaitTermination(timeout)
+    returns False on expiry — ignoring that would hand back a partial,
+    still-mutating sink table; stop the query and raise instead."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"streaming drain still running after {timeout}s")
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window (window_start, event_type, n, total_value); watermark
     bounds state for late data when the source is unbounded."""
@@ -34,12 +55,7 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 def run_availablenow(spark: SparkSession, events_dir: str, out_table: str = "stream_counts") -> DataFrame:
     """Drain the events parquet as a stream into an in-memory sink; returns
     the sink table DataFrame after the stream finishes."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if os.path.isfile(events_dir):
-        # single-file table: the file stream source requires a directory
-        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
-        events_dir = os.path.dirname(events_dir)
-    stream = reader.parquet(events_dir)
+    stream = events_stream(spark, events_dir)
     q = (
         windowed_counts(stream)
         .writeStream.format("memory")
@@ -48,5 +64,5 @@ def run_availablenow(spark: SparkSession, events_dir: str, out_table: str = "str
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain(q)
     return spark.table(out_table)
