@@ -44,6 +44,7 @@ from subgraph_isomorphism_pregel_spark.operators.similarity import (
     lsh_topk,
 )
 from subgraph_isomorphism_pregel_spark.operators.textops import (
+    collocations,
     fingerprint,
     langid,
     repetition_score,
@@ -1066,6 +1067,10 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_docs(spark, sf_dir))
 
 
+def q_collocations(spark, sf_dir):
+    return collocations(_docs(spark, sf_dir), min_count=5, k=20)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -1708,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "redact_pii": q_redact_pii,
         "tfidf_topk": q_tfidf_topk,
+        "collocations": q_collocations,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3871,6 +3877,27 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, term ASC) AS rnk FROM s)
 SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""",
+        "collocations": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+tok AS (SELECT unnest(words) AS wd FROM w),
+tots AS (SELECT (SELECT count(*) FROM tok) AS nt,
+                (SELECT CAST(coalesce(sum(greatest(len(words) - 1, 0)), 0) AS BIGINT)
+                 FROM w) AS np),
+uni AS (SELECT wd, count(*) AS w_n FROM tok GROUP BY wd),
+bg AS (SELECT unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+              unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+       FROM w WHERE len(words) >= 2),
+pair AS (SELECT w1, w2, count(*) AS pair_n FROM bg GROUP BY w1, w2
+         HAVING count(*) >= 5),
+s AS (SELECT w1, w2, pair_n, u1.w_n AS w1_n, u2.w_n AS w2_n,
+        round(ln((pair_n / np) / ((u1.w_n / nt) * (u2.w_n / nt))), 6) AS pmi
+      FROM pair JOIN uni u1 ON pair.w1 = u1.wd
+                JOIN uni u2 ON pair.w2 = u2.wd
+      CROSS JOIN tots),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rnk
+      FROM s)
+SELECT w1, w2, pair_n, w1_n, w2_n, pmi, rnk FROM r WHERE rnk <= 20
+ORDER BY rnk""",
         "redact_pii": r"""
 WITH s AS (SELECT doc_id,
   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.'

@@ -13,6 +13,8 @@ and every operator has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql:
 - repetition_score duplicate word-n-gram fraction (the Gopher-style
                    repetition filter for LLM training corpora)
 - tfidf_topk       per-document top-k terms by tf * ln(N/df)
+- collocations     corpus top-k bigram collocations by pointwise mutual
+                   information over a count floor
 """
 
 from __future__ import annotations
@@ -340,3 +342,74 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def collocations(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
+    """(w1, w2, pair_n, w1_n, w2_n, pmi, rnk) — corpus top-k bigram
+    collocations by pointwise mutual information, the classic
+    phrase-detection / tokenizer-vocabulary signal for training corpora:
+
+        pmi = ln( P(w1,w2) / (P(w1) * P(w2)) )
+
+    with P(w1,w2) = pair_n / n_bigrams and P(w) = w_n / n_tokens, keeping
+    only bigrams seen >= min_count times (PMI is noise without a count
+    floor). The expression is evaluated in a FIXED operation order —
+    (pair_n / n_bigrams) / ((w1_n / n_tokens) * (w2_n / n_tokens)), one
+    ln, one round(6) — mirrored token-for-token by the DuckDB oracle so
+    the doubles agree bit-for-bit.
+
+    Scale shape: bigrams come from a row-local parallel slice of the token
+    array (zero self-joins, pure codegen), one (w1, w2) groupBy with
+    map-side combine; the unigram table is vocabulary-sized so AQE
+    broadcasts both joins back; the corpus totals are one 1-row aggregate.
+    The top-k window runs on the min_count-filtered pair table only
+    (frequent-bigram-sized, not corpus-sized)."""
+    w = docs.select(tokens("text").alias("ws"))
+    tot = w.agg(
+        F.sum(F.size("ws")).alias("nt"),
+        F.sum(F.greatest(F.size("ws") - F.lit(1), F.lit(0))).alias("np"),
+    ).collect()[0]
+    n_tokens, n_bigrams = int(tot["nt"] or 0), int(tot["np"] or 0)
+    if n_bigrams == 0:
+        raise ValueError("collocations: corpus has no bigrams")
+    body = F.size("ws") - F.lit(1)
+    pair = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), body),
+                    F.slice("ws", F.lit(2), body),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+    )
+    uni = (
+        w.select(F.explode("ws").alias("wd"))
+        .groupBy("wd")
+        .agg(F.count("*").alias("w_n"))
+    )
+    s = (
+        pair.join(uni.select(F.col("wd").alias("w1"), F.col("w_n").alias("w1_n")), "w1")
+        .join(uni.select(F.col("wd").alias("w2"), F.col("w_n").alias("w2_n")), "w2")
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("pair_n") / F.lit(n_bigrams))
+            / ((F.col("w1_n") / F.lit(n_tokens)) * (F.col("w2_n") / F.lit(n_tokens)))
+        ),
+        6,
+    )
+    rw = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        s.withColumn("pmi", pmi)
+        .withColumn("rnk", F.row_number().over(rw))
+        .where(F.col("rnk") <= k)
+        .select("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi", "rnk")
+        .orderBy("rnk")
+    )

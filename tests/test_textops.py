@@ -934,3 +934,42 @@ def test_pq_topk_matches_numpy_replay(spark, emb):
 
     with _pytest.raises(ValueError):
         pq_topk(emb, m_sub=7)  # 7 does not divide dim 64
+
+
+def test_collocations(spark, docs):
+    """Top-k PMI bigrams on the sf0.001 corpus equal a pure-Python
+    recomputation of counts, the fixed-order PMI formula, and the
+    deterministic (pmi desc, w1, w2) rank."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import collocations
+
+    corpus = [py_tokens(r["text"]) for r in docs.collect()]
+    nt = sum(len(t) for t in corpus)
+    np_ = sum(max(len(t) - 1, 0) for t in corpus)
+    uni, pairs = {}, {}
+    for toks in corpus:
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    min_count, k = 2, 10
+    scored = []
+    for (a, b), c in pairs.items():
+        if c < min_count:
+            continue
+        pmi = round(math.log((c / np_) / ((uni[a] / nt) * (uni[b] / nt))), 6)
+        scored.append((a, b, c, uni[a], uni[b], pmi))
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    want = [(a, b, c, ua, ub, pmi, i + 1)
+            for i, (a, b, c, ua, ub, pmi) in enumerate(scored[:k])]
+    got = [tuple(r) for r in
+           collocations(docs, min_count=min_count, k=k).collect()]
+    assert got == want
+    assert 0 < len(got) <= k
+
+
+def test_collocations_empty_corpus(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import collocations
+
+    d = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no bigrams"):
+        collocations(d)
