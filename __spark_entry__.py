@@ -655,6 +655,20 @@ def q_adamic_adar_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(e, k=AA_TOPK).orderBy("rank")
 
 
+def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted part—part co-purchase graph: the one-mode projection of the
+    order→part membership table (weight = # orders containing both parts,
+    kept at weight >= 2)."""
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import (
+        cooccurrence_projection,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cooccurrence_projection(
+        li, group_col="l_orderkey", item_col="l_partkey", min_weight=2
+    )
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -1650,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
+        "copurchase_graph": q_copurchase_graph,
         "walks_ring": q_walks_ring,
         "node2vec_ring": q_node2vec_ring,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3442,6 +3457,15 @@ WHERE d.doc_id % {DECONTAM_MOD} <> 0 ORDER BY d.doc_id""",
         "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),
         "adamic_adar_supply": _adamic_adar_sql(),
+        "copurchase_graph": """
+WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 1024),
+k AS (SELECT m.g, m.i FROM m JOIN sz USING (g)),
+p AS (SELECT a.i AS item_a, b.i AS item_b
+      FROM k a JOIN k b ON a.g = b.g AND a.i < b.i)
+SELECT item_a, item_b, count(*) AS weight
+FROM p GROUP BY item_a, item_b HAVING count(*) >= 2
+ORDER BY item_a, item_b""",
         "walks_ring": _walks_sql(),
         "node2vec_ring": _node2vec_sql(),
         "quantize_embeddings": """

@@ -1,5 +1,7 @@
-"""Link prediction over an undirected graph: common-neighbor and
-Adamic-Adar scores for non-adjacent vertex pairs.
+"""Link prediction and graph construction over an undirected graph:
+common-neighbor / Adamic-Adar scores for non-adjacent vertex pairs, and
+the weighted one-mode co-occurrence projection of a bipartite membership
+table (co-purchase / co-citation graph building).
 
     cn(u,v) = |N(u) ∩ N(v)|
     aa(u,v) = sum_{z in N(u) ∩ N(v)} 1 / ln(deg(z))
@@ -59,3 +61,54 @@ def adamic_adar_topk(
     # rank window runs over only the k surviving rows (single tiny task)
     w = Window.orderBy(F.desc("aa_r"), F.asc("u"), F.asc("v"))
     return top.select("u", "v", "cn", "aa_r", F.row_number().over(w).alias("rank"))
+
+
+def cooccurrence_projection(
+    members: DataFrame,
+    group_col: str = "group_id",
+    item_col: str = "item_id",
+    max_group_size: int = 1024,
+    min_weight: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, weight) — weighted ONE-MODE projection of a
+    bipartite membership table (group contains item): an undirected edge
+    between two items weighted by the number of groups holding both.
+    The co-purchase / co-citation / co-occurrence graph builder — the
+    usual first step before running the link-graph algorithms on
+    entity-affinity data.
+
+    Spark shape: one distinct over (group, item), then a self-join on the
+    group key with item_a < item_b and a (item_a, item_b) count — the
+    group-size filter, the self-join, and nothing else shuffle, and they
+    all hash on the same group key so the exchange is reused. Pure
+    codegen throughout.
+
+    Scale guard: a group of n members emits n*(n-1)/2 pairs, so one
+    10^6-member hub group would emit ~5*10^11 rows. `max_group_size`
+    drops oversized groups BEFORE the self-join (the standard projection
+    mitigation — giant groups carry ~no pairwise signal); the cut is a
+    group-keyed semi-filter, so pruned pairs are never materialized.
+    `min_weight` prunes the long tail of weight-1 edges after the count."""
+    if max_group_size < 2:
+        raise ValueError("max_group_size must be >= 2")
+    m = members.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    keep = (
+        m.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_group_size)
+        .select("g")
+    )
+    m = m.join(keep, "g")
+    pairs = (
+        m.select("g", F.col("i").alias("item_a"))
+        .join(m.select("g", F.col("i").alias("item_b")), "g")
+        .where(F.col("item_a") < F.col("item_b"))
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+        .orderBy("item_a", "item_b")
+    )

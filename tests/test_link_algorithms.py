@@ -415,3 +415,36 @@ def test_weighted_pagerank_matches_python(spark, graph):
     for x in ids:
         assert abs(got[x] - rank[idx[x]]) < 1e-9, x
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_cooccurrence_projection(spark):
+    """Hand-built membership table: exact pair weights, item_a < item_b
+    orientation, min_weight pruning, and the max_group_size skew guard."""
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import (
+        cooccurrence_projection,
+    )
+
+    rows = [
+        # group 1: items 10, 20, 30  -> pairs (10,20) (10,30) (20,30)
+        (1, 10), (1, 20), (1, 30),
+        # group 2: items 10, 20 (20 duplicated -> distinct collapses it)
+        (2, 10), (2, 20), (2, 20),
+        # group 3: singleton -> no pairs
+        (3, 40),
+        # group 4: 5 items -> dropped by max_group_size=4
+        (4, 10), (4, 20), (4, 30), (4, 40), (4, 50),
+    ]
+    m = spark.createDataFrame(rows, ["group_id", "item_id"])
+    got = {(r["item_a"], r["item_b"]): r["weight"]
+           for r in cooccurrence_projection(m, max_group_size=4).collect()}
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+    # min_weight prunes the weight-1 tail
+    got2 = {(r["item_a"], r["item_b"]): r["weight"]
+            for r in cooccurrence_projection(
+                m, max_group_size=4, min_weight=2).collect()}
+    assert got2 == {(10, 20): 2}
+    # without the guard, group 4 contributes its 10 pairs
+    got3 = cooccurrence_projection(m).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got3} >= {(40, 50), (30, 40)}
+    with pytest.raises(ValueError, match="max_group_size"):
+        cooccurrence_projection(m, max_group_size=1)
