@@ -312,6 +312,25 @@ def main() -> None:
 
     bench("repetition_score", lambda: repetition_score(docs).count())
     bench("tfidf_topk", lambda: tfidf_topk(docs).count())
+
+    def run_collocations():
+        from subgraph_isomorphism_pregel_spark.operators.textops import collocations
+
+        return collocations(docs, min_count=5, k=20).count()
+
+    bench("collocations_pmi", run_collocations)
+
+    def run_copurchase():
+        from subgraph_isomorphism_pregel_spark.operators.linkpred import (
+            cooccurrence_projection,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return cooccurrence_projection(
+            li, group_col="l_orderkey", item_col="l_partkey", min_weight=2
+        ).count()
+
+    bench("copurchase_projection", run_copurchase)
     bench("quality_filter", lambda: quality_filter(docs).count())
     bench("lm_score", lambda: lm_score(docs).count())
     bench(
