@@ -448,3 +448,34 @@ def test_cooccurrence_projection(spark):
     assert {(r["item_a"], r["item_b"]) for r in got3} >= {(40, 50), (30, 40)}
     with pytest.raises(ValueError, match="max_group_size"):
         cooccurrence_projection(m, max_group_size=1)
+
+
+def test_cooccurrence_projection_random_parity(spark):
+    """Seeded random bipartite membership tables: projection == a brute-force
+    itertools recomputation, across group-size caps and weight floors."""
+    from itertools import combinations
+
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import (
+        cooccurrence_projection,
+    )
+
+    rng = random.Random(20260819)
+    for trial in range(3):
+        rows = [(rng.randrange(12), rng.randrange(15)) for _ in range(120)]
+        cap = rng.choice([2, 4, 1024])
+        floor = rng.choice([1, 2])
+        groups = {}
+        for g, i in set(rows):
+            groups.setdefault(g, set()).add(i)
+        want = {}
+        for members in groups.values():
+            if len(members) > cap:
+                continue
+            for a, b in combinations(sorted(members), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        want = {p: w for p, w in want.items() if w >= floor}
+        m = spark.createDataFrame(rows, ["group_id", "item_id"])
+        got = {(r["item_a"], r["item_b"]): r["weight"]
+               for r in cooccurrence_projection(
+                   m, max_group_size=cap, min_weight=floor).collect()}
+        assert got == want, (trial, cap, floor)
