@@ -362,8 +362,8 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
     array (zero self-joins, pure codegen), one (w1, w2) groupBy with
     map-side combine; the unigram table is vocabulary-sized so AQE
     broadcasts both joins back; the corpus totals are one 1-row aggregate.
-    The top-k window runs on the min_count-filtered pair table only
-    (frequent-bigram-sized, not corpus-sized)."""
+    The top-k is a TakeOrdered over the min_count-filtered pair table (no
+    global sort materialization); the rank window sees only k rows."""
     w = docs.select(tokens("text").alias("ws"))
     tot = w.agg(
         F.sum(F.size("ws")).alias("nt"),
@@ -405,11 +405,15 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
         ),
         6,
     )
-    rw = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
+    top = (
         s.withColumn("pmi", pmi)
-        .withColumn("rnk", F.row_number().over(rw))
-        .where(F.col("rnk") <= k)
-        .select("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi", "rnk")
-        .orderBy("rnk")
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
     )
+    # rank window runs over only the k surviving rows (single tiny task);
+    # the limit itself is a TakeOrdered — no global sort materialization
+    rw = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        "w1", "w2", "pair_n", "w1_n", "w2_n", "pmi",
+        F.row_number().over(rw).alias("rnk"),
+    ).orderBy("rnk")
