@@ -175,6 +175,23 @@ def q_wpagerank_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
 
 
+KATZ_ALPHA = 0.05
+KATZ_STEPS = 4
+
+
+def q_katz_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality on the ring graph: exact int64 path counts
+    on the kernel, alpha^t fold in fixed step order — floats enter only
+    through the fold, so the scores hash-match the unrolled SQL replay."""
+    from subgraph_isomorphism_pregel_spark.operators.eigen import katz_centrality
+
+    v, e = ring_graph(spark, sf_dir)
+    scores, _ = katz_centrality(
+        spark, v, e, alpha=KATZ_ALPHA, steps=KATZ_STEPS, num_partitions=16
+    )
+    return scores.orderBy("id")
+
+
 def q_graph_stats_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row global summary of the ring graph (degree moments,
     reciprocity, degree assortativity) — integer aggregates, float math
@@ -1695,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quantiles": q_doc_quantiles,
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
+        "katz_ring": q_katz_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "modularity_supply": q_modularity_supply,
@@ -1958,6 +1976,40 @@ def _wpagerank_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(score, 8) AS score_r FROM r{steps} ORDER BY id"
+    )
+
+
+def _katz_sql() -> str:
+    """Katz oracle: integer path counts n_t unrolled KATZ_STEPS times over
+    the ring edges (BIGINT sums — order-free exact), accumulator folded in
+    the SAME fixed order as katz_program (alpha^t literals are the very
+    Python doubles the kernel multiplies by), so the doubles match
+    bit-for-bit."""
+    steps = KATZ_STEPS
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "n0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS cnt FROM rv)",
+        "a0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS acc FROM rv)",
+    ]
+    for t in range(1, steps + 1):
+        a_t = KATZ_ALPHA**t
+        ctes.append(
+            f"""n{t} AS MATERIALIZED (
+  SELECT v.id, CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt
+  FROM rv v LEFT JOIN (
+    SELECT e.dst AS id, sum(n.cnt) AS cnt
+    FROM n{t - 1} n JOIN edges e ON n.id = e.src
+    GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT a.id, a.acc + {a_t!r} * CAST(n.cnt AS DOUBLE) AS acc
+  FROM a{t - 1} a JOIN n{t} n ON a.id = n.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, acc AS score FROM a{steps} ORDER BY id"
     )
 
 
@@ -3619,6 +3671,7 @@ FROM codeg""",
         "doc_quantiles": _doc_quantiles_sql(),
         "graph_stats_ring": _graph_stats_sql(),
         "wpagerank_ring": _wpagerank_sql(),
+        "katz_ring": _katz_sql(),
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "modularity_supply": _modularity_sql(),

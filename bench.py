@@ -424,6 +424,17 @@ def main() -> None:
 
     bench("eigencentrality_4steps", run_eigen)
 
+    def run_katz():
+        from subgraph_isomorphism_pregel_spark.operators.eigen import katz_centrality
+
+        kv_, ke_ = ring_graph(spark, sf_dir)
+        scored, _ = katz_centrality(
+            spark, kv_, ke_, alpha=0.05, steps=4, num_partitions=None
+        )
+        return scored.count()
+
+    bench("katz_4steps", run_katz)
+
     def run_hyperball():
         hv, he = ring_graph(spark, sf_dir)
         est, _ = hyperball(spark, hv, he, radius=3, p=4, num_partitions=None)

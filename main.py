@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,mst,matching,coloring,louvain,scc,eigen,buildorder,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,mis,mst,matching,coloring,louvain,scc,eigen,katz,buildorder,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -24,7 +24,7 @@ def parse_args(argv):
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
                             "triangles", "kcore", "mis", "mst", "matching", "coloring", "louvain",
-                            "scc", "eigen", "buildorder", "match"])
+                            "scc", "eigen", "katz", "buildorder", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
     p.add_argument("--corpus", help="corpus parquet (repo,path,commit,lang,content) to derive the graph from")
@@ -52,7 +52,9 @@ def parse_args(argv):
     p.add_argument("--seeds", default=None,
                    help="comma-separated seed ids for --algo ppr (default: 10 smallest)")
     p.add_argument("--steps", type=int, default=5,
-                   help="fixed iterations for --algo hits/eigen")
+                   help="fixed iterations for --algo hits/eigen/katz")
+    p.add_argument("--alpha", type=float, default=0.05,
+                   help="attenuation for --algo katz")
     p.add_argument("--max-hops", type=int, default=64, help="superstep bound for --algo sssp/wsssp/buildorder")
     p.add_argument("--k", type=int, default=3, help="core order for --algo kcore")
     p.add_argument("--tol", type=float, default=1e-6)
@@ -192,6 +194,14 @@ def main(argv=None):
             spark, vertices, edges, steps=args.steps, num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "katz":
+        from subgraph_isomorphism_pregel_spark.operators.eigen import katz_centrality
+
+        result, metrics = katz_centrality(
+            spark, vertices, edges, alpha=args.alpha, steps=args.steps,
+            num_partitions=args.partitions, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume, checkpoint_every=args.checkpoint_every,
         )
     elif args.algo == "buildorder":
         from subgraph_isomorphism_pregel_spark.operators.toposort import build_order

@@ -479,3 +479,49 @@ def test_cooccurrence_projection_random_parity(spark):
                for r in cooccurrence_projection(
                    m, max_group_size=cap, min_weight=floor).collect()}
         assert got == want, (trial, cap, floor)
+
+
+def katz_oracle(vs, es, alpha, steps):
+    ids = sorted(vs)
+    idx = {x: i for i, x in enumerate(ids)}
+    cnt = np.ones(len(ids), dtype=np.int64)
+    acc = np.zeros(len(ids))
+    for t in range(1, steps + 1):
+        new = np.zeros(len(ids), dtype=np.int64)
+        for s, d in es:
+            new[idx[d]] += cnt[idx[s]]
+        cnt = new
+        acc = acc + (alpha**t) * cnt.astype(np.float64)
+    return {x: acc[idx[x]] for x in ids}
+
+
+def test_katz_matches_oracle_bit_exact(spark, graph):
+    """Truncated Katz == a numpy integer-path-count + fixed-order-fold
+    replay, EXACTLY (no tolerance): counts are integers and the float fold
+    order is deterministic."""
+    from subgraph_isomorphism_pregel_spark.operators.eigen import katz_centrality
+
+    v, e, vs, es = graph
+    scores, metrics = katz_centrality(spark, v, e, alpha=0.1, steps=4,
+                                      num_partitions=8)
+    got = {r["id"]: r["score"] for r in scores.collect()}
+    want = katz_oracle(vs, es, alpha=0.1, steps=4)
+    assert got == want
+    assert len(metrics) > 0
+
+
+def test_katz_partition_invariance_and_contracts(spark):
+    from subgraph_isomorphism_pregel_spark.operators.eigen import katz_centrality
+
+    v, e = toy_graph(spark)
+    a = {r["id"]: r["score"]
+         for r in katz_centrality(spark, v, e, alpha=0.05, steps=3,
+                                  num_partitions=2)[0].collect()}
+    b = {r["id"]: r["score"]
+         for r in katz_centrality(spark, v, e, alpha=0.05, steps=3,
+                                  num_partitions=7)[0].collect()}
+    assert a == b  # bit-exact across partitionings (integer scatter sums)
+    with pytest.raises(ValueError, match="steps"):
+        katz_centrality(spark, v, e, steps=0)
+    with pytest.raises(ValueError, match="alpha"):
+        katz_centrality(spark, v, e, alpha=1.5)
