@@ -175,6 +175,16 @@ def q_wpagerank_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.select("id", F.round("score", 8).alias("score_r")).orderBy("id")
 
 
+def q_negative_edges_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampled negative (non-)edges on the ring graph —
+    the reproducible link-prediction training table: 2 negatives per source,
+    md5-bucketed through the dense vertex rank, real edges anti-joined out."""
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import negative_edges
+
+    _, e = ring_graph(spark, sf_dir)
+    return negative_edges(e, k=2, salt="v1")
+
+
 KATZ_ALPHA = 0.05
 KATZ_STEPS = 4
 
@@ -1713,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats_ring": q_graph_stats_ring,
         "wpagerank_ring": q_wpagerank_ring,
         "katz_ring": q_katz_ring,
+        "negative_edges_ring": q_negative_edges_ring,
         "components_supply": q_components_supply,
         "labelprop_supply": q_labelprop_supply,
         "modularity_supply": q_modularity_supply,
@@ -3672,6 +3683,31 @@ FROM codeg""",
         "graph_stats_ring": _graph_stats_sql(),
         "wpagerank_ring": _wpagerank_sql(),
         "katz_ring": _katz_sql(),
+        "negative_edges_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')},
+e2 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+v2 AS (SELECT DISTINCT id FROM
+        (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)),
+nneg AS (SELECT count(*) AS n FROM v2),
+vr AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS r FROM v2),
+srcs AS (SELECT DISTINCT src FROM e2),
+cand0 AS (SELECT src, CAST(j AS INT) AS j,
+            CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+                  || CAST(j AS VARCHAR) || ':v1'), 1, 8)) AS UBIGINT)
+              % (SELECT n FROM nneg) AS r
+          FROM srcs CROSS JOIN (SELECT unnest(range(14)) AS j)),
+cand1 AS (SELECT c.src, c.j, vr.id AS neg_dst
+          FROM cand0 c JOIN vr ON vr.r = c.r
+          WHERE c.src <> vr.id),
+cand2 AS (SELECT src, j, neg_dst FROM cand1
+          QUALIFY row_number() OVER (PARTITION BY src, neg_dst ORDER BY j) = 1),
+cand3 AS (SELECT c.* FROM cand2 c
+          WHERE NOT EXISTS (SELECT 1 FROM e2
+                            WHERE e2.src = c.src AND e2.dst = c.neg_dst)),
+ranked AS (SELECT src, neg_dst, j,
+             row_number() OVER (PARTITION BY src ORDER BY j) AS rk
+           FROM cand3)
+SELECT src, neg_dst, j FROM ranked WHERE rk <= 2 ORDER BY src, j""",
         "components_supply": _cc_sql(),
         "labelprop_supply": _lp_sql(),
         "modularity_supply": _modularity_sql(),

@@ -1,7 +1,8 @@
 """Link prediction and graph construction over an undirected graph:
-common-neighbor / Adamic-Adar scores for non-adjacent vertex pairs, and
-the weighted one-mode co-occurrence projection of a bipartite membership
-table (co-purchase / co-citation graph building).
+common-neighbor / Adamic-Adar scores for non-adjacent vertex pairs, the
+weighted one-mode co-occurrence projection of a bipartite membership
+table (co-purchase / co-citation graph building), and deterministic
+hash-sampled negative edges (the link-prediction training table).
 
     cn(u,v) = |N(u) ∩ N(v)|
     aa(u,v) = sum_{z in N(u) ∩ N(v)} 1 / ln(deg(z))
@@ -111,4 +112,81 @@ def cooccurrence_projection(
         .agg(F.count("*").alias("weight"))
         .where(F.col("weight") >= min_weight)
         .orderBy("item_a", "item_b")
+    )
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 3,
+    salt: str = "v1",
+    oversample: int | None = None,
+) -> DataFrame:
+    """(src, neg_dst, j) — up to k deterministic hash-sampled NON-edges per
+    source vertex: the negative-sampling table for link-prediction / GNN
+    training. Candidate j for source u targets the vertex whose dense rank
+    is md5(u:j:salt)[:8] mod |V|; candidates that hit a real edge, a self
+    loop, or a repeated target (same (src, neg_dst) at a higher j) are
+    dropped, and the first k survivors by j are kept — fully deterministic
+    across partitioning, cluster size, and engine (md5 is the only
+    randomness), so training-set negatives are reproducible.
+
+    Spark shape: pure codegen — one sequence-explode over sources (k +
+    padding candidates each), the hash mapped through a dense-rank vertex
+    table, one left-anti join against the edge list, two src-partitioned
+    windows. The dense-rank table is one global sort of the VERTEX set
+    (the id→position map negative sampling fundamentally needs when ids
+    aren't contiguous); everything downstream is linear in k·|V|.
+
+    `oversample` pads the candidate list (default 3k+8); a source adjacent
+    to nearly everything can still return fewer than k rows — deterministic
+    truncation, not an error."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = oversample if oversample is not None else 3 * k + 8
+    if m < k:
+        raise ValueError("oversample must be >= k")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    vr = verts.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("r")
+    )
+    cand = e.select("src").distinct().select(
+        "src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("src"), F.col("j"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    cand = (
+        cand.withColumn("r", bucket)
+        .join(vr, "r")
+        .select("src", "j", F.col("id").alias("neg_dst"))
+        .where(F.col("src") != F.col("neg_dst"))
+    )
+    first = Window.partitionBy("src", "neg_dst").orderBy("j")
+    cand = (
+        cand.withColumn("dup", F.row_number().over(first))
+        .where(F.col("dup") == 1)
+        .drop("dup")
+    )
+    cand = cand.join(
+        e.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"], "left_anti"
+    )
+    rk = Window.partitionBy("src").orderBy("j")
+    return (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= k)
+        .select("src", "neg_dst", "j")
+        .orderBy("src", "j")
     )

@@ -525,3 +525,43 @@ def test_katz_partition_invariance_and_contracts(spark):
         katz_centrality(spark, v, e, steps=0)
     with pytest.raises(ValueError, match="alpha"):
         katz_centrality(spark, v, e, alpha=1.5)
+
+
+def test_negative_edges(spark):
+    """Negatives are real NON-edges, no self loops, <= k per source, kept in
+    candidate-j order, deduplicated per (src, neg_dst), and exactly equal to
+    a pure-Python md5 replay; repartitioning does not change the table."""
+    import hashlib
+
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import negative_edges
+
+    v, e = toy_graph(spark)
+    es = {(r["src"], r["dst"]) for r in e.collect()}
+    ids = sorted({x for p in es for x in p})
+    n = len(ids)
+    k, m, salt = 2, 14, "v1"
+    want = []
+    for u in sorted({s for s, _ in es}):
+        seen, kept = set(), 0
+        for j in range(m):
+            h = hashlib.md5(f"{u}:{j}:{salt}".encode()).hexdigest()
+            t = ids[int(h[:8], 16) % n]
+            if t == u or t in seen:
+                continue
+            seen.add(t)
+            if (u, t) in es:
+                continue
+            want.append((u, t, j))
+            kept += 1
+            if kept == k:
+                break
+    got = [tuple(r) for r in negative_edges(e, k=k, salt=salt).collect()]
+    assert got == want
+    assert all((s, d) not in es and s != d for s, d, _ in got)
+    got2 = [tuple(r) for r in negative_edges(e.repartition(13), k=k,
+                                             salt=salt).collect()]
+    assert got2 == got
+    with pytest.raises(ValueError, match="k must"):
+        negative_edges(e, k=0)
+    with pytest.raises(ValueError, match="oversample"):
+        negative_edges(e, k=5, oversample=3)
