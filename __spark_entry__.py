@@ -1112,6 +1112,12 @@ def q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), min_count=5, k=20)
 
 
+def q_token_entropy(spark, sf_dir):
+    from subgraph_isomorphism_pregel_spark.operators.textops import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -1758,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "tfidf_topk": q_tfidf_topk,
         "collocations": q_collocations,
+        "token_entropy": q_token_entropy,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3990,6 +3997,19 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, term ASC) AS rnk FROM s)
 SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""",
+        "token_entropy": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+              count(*) AS n_distinct FROM tf GROUP BY doc_id),
+q AS (SELECT tf.doc_id,
+        CAST(floor((c / n) * ln(c / n) * 1e9 + 0.5) AS BIGINT) AS q
+      FROM tf JOIN nd USING (doc_id)),
+s AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS qs FROM q GROUP BY doc_id)
+SELECT s.doc_id, nd.n AS n_tokens, nd.n_distinct,
+       round(-(qs / 1e9), 6) AS entropy_r
+FROM s JOIN nd USING (doc_id) ORDER BY doc_id""",
         "collocations": f"""
 WITH {DOC_WORDS.strip().rstrip(',')},
 tok AS (SELECT unnest(words) AS wd FROM w),

@@ -15,6 +15,8 @@ and every operator has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql:
 - tfidf_topk       per-document top-k terms by tf * ln(N/df)
 - collocations     corpus top-k bigram collocations by pointwise mutual
                    information over a count floor
+- token_entropy    per-document Shannon entropy of the token distribution
+                   (gibberish / boilerplate detector)
 """
 
 from __future__ import annotations
@@ -417,3 +419,48 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 20) -> DataFrame:
         "w1", "w2", "pair_n", "w1_n", "w2_n", "pmi",
         F.row_number().over(rw).alias("rnk"),
     ).orderBy("rnk")
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, entropy_r) — Shannon entropy (nats)
+    of each document's OWN token distribution,
+
+        H = -sum_t (c_t / n) * ln(c_t / n),
+
+    the gibberish / boilerplate detector corpus filters pair with
+    repetition_score: H ~ 0 flags one token repeated n times, H = ln(n)
+    flags all-distinct noise, natural prose sits in between. Documents
+    with no tokens produce no row (no distribution to measure).
+
+    Each term's contribution is quantized to 9 decimals and summed as
+    int64 (the `fixed_point_sum` discipline), so the per-doc aggregate is
+    order-independent and bit-identical across engines — the only float
+    exposure is ln's last ulp, the same carried by lm_score/tfidf.
+
+    Scale shape: one map-side-combined groupBy(doc_id, term), one
+    groupBy(doc_id) for totals, one join back on doc_id sharing the same
+    hash key. No Python anywhere."""
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    nd = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    contrib = tf.join(nd, "doc_id").withColumn(
+        "q", F.floor(p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.first("n_distinct").alias("n_distinct"),
+            F.sum("q").alias("qs"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(-(F.col("qs") / F.lit(1e9)), 6).alias("entropy_r"),
+        )
+        .orderBy("doc_id")
+    )

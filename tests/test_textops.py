@@ -973,3 +973,38 @@ def test_collocations_empty_corpus(spark):
     d = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="no bigrams"):
         collocations(d)
+
+
+def test_token_entropy(spark, docs):
+    """Closed-form rows (uniform -> ln k, constant -> 0) plus an exact
+    quantized-sum replay over the sf0.001 corpus."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import token_entropy
+
+    d = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b"), (4, "  ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in token_entropy(d).collect()}
+    assert set(got) == {1, 2, 3}  # tokenless doc 4 has no distribution
+    assert got[1]["entropy_r"] == 0.0 and got[1]["n_distinct"] == 1
+    assert got[2]["entropy_r"] == round(math.log(4), 6)
+    assert got[3]["entropy_r"] == round(math.log(2), 6)
+    assert got[3]["n_tokens"] == 4 and got[3]["n_distinct"] == 2
+
+    corpus = {r["doc_id"]: py_tokens(r["text"]) for r in docs.collect()}
+    want = {}
+    for did, toks in corpus.items():
+        if not toks:
+            continue
+        cnt = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        qs = sum(
+            math.floor((c / n) * math.log(c / n) * 1e9 + 0.5)
+            for c in cnt.values()
+        )
+        want[did] = (n, len(cnt), round(-(qs / 1e9), 6))
+    got2 = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_r"])
+            for r in token_entropy(docs).collect()}
+    assert got2 == want
