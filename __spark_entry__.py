@@ -1620,6 +1620,36 @@ def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(ev, bucket_seconds=GAPFILL_BUCKET_S)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: users completing each
+    prefix in strict time order, with conversion rates vs step 1."""
+    from subgraph_isomorphism_pregel_spark.operators.funnel import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, steps=FUNNEL_STEPS)
+
+
+def q_markov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types along each
+    user's time-ordered sequence (row-normalized, ties on event_id)."""
+    from subgraph_isomorphism_pregel_spark.operators.funnel import markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(ev)
+
+
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: distinct users active at each epoch-day offset
+    from their cohort (first-event) day."""
+    from subgraph_isomorphism_pregel_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
 DECONTAM_MOD = 37  # doc_id % MOD == 0 plays the benchmark/eval set
 
 
@@ -1691,6 +1721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
         "gapfill_events": q_gapfill_events,
+        "funnel_events": q_funnel_events,
+        "markov_events": q_markov_events,
+        "retention_events": q_retention_events,
         "hyperball_ring": q_hyperball_ring,
         "neighborhood_fn_ring": q_neighborhood_fn_ring,
         "effdiam_ring": q_effdiam_ring,
@@ -3497,6 +3530,39 @@ FROM s0 ORDER BY doc_id""",
         "hyperball_ring": _hyperball_sql(),
         "neighborhood_fn_ring": _neighborhood_fn_sql(),
         "effdiam_ring": _effdiam_sql(),
+        "funnel_events": f"""
+WITH s1 AS (SELECT user_id AS u, min(ts) AS t0 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t0 FROM events e
+       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t0
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t0 FROM events e
+       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t0
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id),
+c AS (SELECT CAST(1 AS INT) AS step_no, '{FUNNEL_STEPS[0]}' AS step, count(*) AS users FROM s1
+      UNION ALL SELECT CAST(2 AS INT), '{FUNNEL_STEPS[1]}', count(*) FROM s2
+      UNION ALL SELECT CAST(3 AS INT), '{FUNNEL_STEPS[2]}', count(*) FROM s3)
+SELECT step_no, step, users,
+       round(CAST(users AS DOUBLE) / first_value(users) OVER (ORDER BY step_no), 6) AS conv_r
+FROM c ORDER BY step_no""",
+        "markov_events": """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+cnt AS (SELECT prev_type, next_type, count(*) AS n FROM seq
+        WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+tot AS (SELECT prev_type, sum(n) AS tot FROM cnt GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob_r
+FROM cnt c JOIN tot t USING (prev_type)
+ORDER BY prev_type, next_type""",
+        "retention_events": """
+WITH act AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
+coh AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u)
+SELECT c.cohort_day, a.day - c.cohort_day AS offset_day, count(DISTINCT a.u) AS users
+FROM act a JOIN coh c USING (u)
+GROUP BY c.cohort_day, offset_day ORDER BY cohort_day, offset_day""",
         "gapfill_events": f"""
 WITH b AS (SELECT event_type,
                   CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)

@@ -331,6 +331,19 @@ def main() -> None:
         ).count()
 
     bench("copurchase_projection", run_copurchase)
+
+    def run_event_behavior():
+        from subgraph_isomorphism_pregel_spark.operators.funnel import (
+            funnel,
+            markov_transitions,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_tr = markov_transitions(ev).count()
+        steps = funnel(ev, ["view", "click", "purchase"]).collect()
+        return n_tr + sum(r.users for r in steps)
+
+    bench("event_behavior", run_event_behavior)
     bench("quality_filter", lambda: quality_filter(docs).count())
     bench("lm_score", lambda: lm_score(docs).count())
     bench(
