@@ -670,6 +670,19 @@ def q_walks_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("origin", "walk_no", "step")
 
 
+RICH_CLUB_KS = [1, 2, 4, 8, 16, 32]
+
+
+def q_rich_club_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) of the supply graph at six degree
+    thresholds — hub-core density via two histogram suffix sums, one
+    data scan regardless of |ks|."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import rich_club
+
+    _, e = supply_graph(spark, sf_dir)
+    return rich_club(e, ks=RICH_CLUB_KS)
+
+
 AA_TOPK = 20
 
 
@@ -1731,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
         "copurchase_graph": q_copurchase_graph,
+        "rich_club_supply": q_rich_club_supply,
         "walks_ring": q_walks_ring,
         "node2vec_ring": q_node2vec_ring,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3592,6 +3606,23 @@ FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} <> 0 ORDER BY d.doc_id""",
         "build_order_dag": _build_order_sql(),
         "kmeans_embeddings": _kmeans_sql(),
+        "rich_club_supply": f"""
+WITH {SUPPLY_EDGES.strip().rstrip(',')},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+deg AS (SELECT id, count(*) AS deg
+        FROM (SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+        GROUP BY id),
+ed AS (SELECT least(du.deg, dv.deg) AS mindeg
+       FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
+ks AS (SELECT CAST(unnest({RICH_CLUB_KS}) AS BIGINT) AS k),
+nk AS (SELECT ks.k, count(d.id) AS n_k FROM ks LEFT JOIN deg d ON d.deg > ks.k GROUP BY ks.k),
+ek AS (SELECT ks.k, count(e.mindeg) AS e_k FROM ks LEFT JOIN ed e ON e.mindeg > ks.k GROUP BY ks.k)
+SELECT nk.k, nk.n_k, ek.e_k,
+       round(CASE WHEN nk.n_k >= 2
+                  THEN 2.0 * ek.e_k / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS phi_r
+FROM nk JOIN ek USING (k) ORDER BY k""",
         "adamic_adar_supply": _adamic_adar_sql(),
         "copurchase_graph": """
 WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

@@ -149,3 +149,58 @@ def test_modularity_single_community_is_nonpositive(spark):
     row = modularity(ldf, edf).collect()[0]
     assert row["n_communities"] == 1
     assert row["q_modularity"] == 0.0  # all intra, one community: 1 - 1
+
+
+def brute_rich_club(edges, ks):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    out = {}
+    for k in ks:
+        rich = {x for x, d in deg.items() if d > k}
+        e_k = sum(1 for u, v in und if u in rich and v in rich)
+        n_k = len(rich)
+        phi = round(2.0 * e_k / (n_k * (n_k - 1)), 6) if n_k >= 2 else 0.0
+        out[k] = (n_k, e_k, phi)
+    return out
+
+
+def test_rich_club_matches_bruteforce(spark):
+    from subgraph_isomorphism_pregel_spark.operators.stats import rich_club
+
+    # hub core: 4-clique {0,1,2,3} plus pendant leaves on 0 and 4..9 chain
+    edges = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(0, 10), (0, 11), (0, 12), (4, 5), (5, 6), (6, 7), (3, 4)]
+    )
+    ks = [0, 1, 2, 3]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.k: (r.n_k, r.e_k, r.phi_r) for r in rich_club(edf, ks=ks).collect()}
+    assert got == brute_rich_club(edges, ks)
+    # the 4-clique is a perfect rich club above degree 2
+    assert got[2][2] == 1.0
+
+
+def test_rich_club_direction_and_dupes_ignored(spark):
+    from subgraph_isomorphism_pregel_spark.operators.stats import rich_club
+
+    a = spark.createDataFrame([(0, 1), (1, 0), (1, 2), (1, 2)], "src long, dst long")
+    b = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert rich_club(a, ks=[0, 1]).collect() == rich_club(b, ks=[0, 1]).collect()
+
+
+def test_rich_club_contracts(spark):
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.stats import rich_club
+
+    edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        rich_club(edf, ks=[])
+    with _pytest.raises(ValueError):
+        rich_club(edf, ks=[-1])
+    # threshold above every degree: empty club, phi = 0
+    row = rich_club(edf, ks=[5]).collect()[0]
+    assert (row.n_k, row.e_k, row.phi_r) == (0, 0, 0.0)
