@@ -1125,6 +1125,21 @@ def q_collocations(spark, sf_dir):
     return collocations(_docs(spark, sf_dir), min_count=5, k=20)
 
 
+BM25_TERMS = ["spark", "merge", "window", "slow"]
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 15
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-15 documents for a fixed 4-term query — postings
+    filtered to the query terms before any shuffle, |Q|-row broadcast df,
+    fixed-point per-term sums."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), BM25_TERMS, k=BM25_TOPK, k1=BM25_K1, b=BM25_B
+    )
+
+
 def q_token_entropy(spark, sf_dir):
     from subgraph_isomorphism_pregel_spark.operators.textops import token_entropy
 
@@ -1810,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "redact_pii": q_redact_pii,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "collocations": q_collocations,
         "token_entropy": q_token_entropy,
         "dedup_exact": q_dedup_exact,
@@ -4094,6 +4110,29 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         ORDER BY score DESC, term ASC) AS rnk FROM s)
 SELECT doc_id, term, tf, df, score, rnk FROM r WHERE rnk <= 3
 ORDER BY doc_id, rnk""",
+        "bm25_topk": f"""
+WITH {DOC_WORDS.strip().rstrip(',')},
+dl AS (SELECT doc_id, CAST(len(words) AS INT) AS dl FROM w),
+g AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             CAST(count(*) AS DOUBLE) AS n FROM dl),
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+       GROUP BY doc_id, term),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (SELECT tf.doc_id,
+        CAST(floor(
+          ln((g.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+          * (tf.tf * {BM25_K1 + 1.0!r})
+          / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl.dl / g.avgdl))
+          * 1000000000.0 + 0.5) AS BIGINT) AS q
+      FROM tf JOIN dfx USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN g),
+s AS (SELECT doc_id, count(*) AS n_hit, round(sum(q) / 1000000000.0, 6) AS score_r
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_hit, score_r,
+       CAST(row_number() OVER (ORDER BY score_r DESC, doc_id ASC) AS INT) AS rank
+FROM s ORDER BY score_r DESC, doc_id ASC LIMIT {BM25_TOPK}""",
         "token_entropy": f"""
 WITH {DOC_WORDS.strip().rstrip(',')},
 t AS (SELECT doc_id, unnest(words) AS term FROM w),

@@ -157,6 +157,71 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, n_hit, score_r, rank) — top-k documents by Okapi BM25
+    against a fixed bag of query terms:
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s(d, t) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    n_hit = how many query terms the document contains. Per-term
+    contributions are quantized to 9 decimals and summed as int64 (the
+    `fixed_point_sum` discipline) so the per-doc score is
+    order-independent; the rounded score ranks with doc_id tiebreak, so
+    the top-k is engine-exact.
+
+    Scale shape: the query-term filter lands BEFORE the (doc, term)
+    groupBy — only postings of the |Q| query terms (a tiny fraction of
+    the corpus) ever shuffle; df is a |Q|-row broadcast; dl/avgdl come
+    from one scan-level aggregate with no explode. The final top-k is a
+    TakeOrdered (no global sort materialization). Docs containing no
+    query term score 0 and produce no row."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    terms = sorted(set(query_terms))
+    n_docs = docs.count()
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    tot = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).first()
+    avgdl = float(tot["s"]) / float(tot["c"]) if tot["c"] else 0.0
+    hits = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .withColumn("q", F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"), F.sum("q").alias("qs"))
+        .select(
+            "doc_id", "n_hit", F.round(F.col("qs") / F.lit(1e9), 6).alias("score_r")
+        )
+    )
+    top = scored.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "n_hit", "score_r", F.row_number().over(w).alias("rank")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — winnowing-style fingerprint: the lexicographic min of
     md5 over all 8-char substrings (rolling k-grams). Documents shorter than

@@ -1008,3 +1008,76 @@ def test_token_entropy(spark, docs):
     got2 = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_r"])
             for r in token_entropy(docs).collect()}
     assert got2 == want
+
+
+def brute_bm25(rows, terms, k1=1.2, b=0.75):
+    import math
+
+    toks = {d: t.split() for d, t in rows}
+    toks = {d: [x for x in t if x] for d, t in toks.items()}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+    out = {}
+    for d, t in toks.items():
+        qs = 0
+        n_hit = 0
+        for q in sorted(set(terms)):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            n_hit += 1
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            c = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(t) / avgdl))
+            qs += math.floor(c * 1e9 + 0.5)
+        if n_hit:
+            out[d] = (n_hit, round(qs / 1e9, 6))
+    return out
+
+
+def test_bm25_matches_bruteforce(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import bm25_topk
+
+    rows = [
+        (0, "spark join spark merge fast"),
+        (1, "the quick brown fox"),
+        (2, "spark"),                      # short doc, high tf-density
+        (3, "merge merge merge merge merge merge merge merge"),
+        (4, "slow window slow window spark merge"),
+        (5, "a b c d e f g h i j k l m n o p q r s t spark"),  # long doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "merge", "slow"]
+    got = {r.doc_id: (r.n_hit, r.score_r, r.rank) for r in bm25_topk(docs, terms, k=10).collect()}
+    want = brute_bm25(rows, terms)
+    assert {d: v[:2] for d, v in got.items()} == want
+    # doc 1 has no query term -> no row
+    assert 1 not in got
+    # ranking is by rounded score desc then doc_id
+    ranked = sorted(got.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert [kv[1][2] for kv in ranked] == list(range(1, len(got) + 1))
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from subgraph_isomorphism_pregel_spark.operators.textops import bm25_topk
+
+    # 'common' appears everywhere, 'rare' once; same tf in the probe doc
+    rows = [(i, "common filler") for i in range(9)] + [(9, "common rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score_r for r in bm25_topk(docs, ["rare"], k=3).collect()}
+    common = {r.doc_id: r.score_r for r in bm25_topk(docs, ["common"], k=30).collect()}
+    assert got[9] > common[9]
+
+
+def test_bm25_contracts(spark):
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, ["x"], k=0)
+    # no doc contains the term -> empty result, not an error
+    assert bm25_topk(docs, ["absent"], k=5).count() == 0
