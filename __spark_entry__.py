@@ -1678,6 +1678,15 @@ def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev)
 
 
+def q_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (>3 population sigmas) via exact
+    integer moments — the telemetry outlier screen."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import zscore_anomalies
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return zscore_anomalies(ev, threshold=3.0, quant_scale=100)
+
+
 DECONTAM_MOD = 37  # doc_id % MOD == 0 plays the benchmark/eval set
 
 
@@ -1752,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": q_funnel_events,
         "markov_events": q_markov_events,
         "retention_events": q_retention_events,
+        "anomalies_events": q_anomalies_events,
         "hyperball_ring": q_hyperball_ring,
         "neighborhood_fn_ring": q_neighborhood_fn_ring,
         "effdiam_ring": q_effdiam_ring,
@@ -3587,6 +3597,23 @@ SELECT c.prev_type, c.next_type, c.n,
        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob_r
 FROM cnt c JOIN tot t USING (prev_type)
 ORDER BY prev_type, next_type""",
+        "anomalies_events": """
+WITH b AS (SELECT event_id AS id, event_type AS grp, value,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q
+           FROM events),
+m AS (SELECT grp, count(*) AS n, CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM b GROUP BY grp),
+z AS (SELECT b.id, b.grp, b.value,
+             round(CASE WHEN sqrt(CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                                  - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)) > 0
+                        THEN (CAST(m.n AS DOUBLE) * CAST(b.q AS DOUBLE) - CAST(m.s AS DOUBLE))
+                             / sqrt(CAST(m.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+                                    - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE))
+                        ELSE 0.0 END, 6) AS z_r
+      FROM b JOIN m USING (grp))
+SELECT id AS event_id, grp AS event_type, value, z_r
+FROM z WHERE abs(z_r) > 3.0 ORDER BY id""",
         "retention_events": """
 WITH act AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
 coh AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u)

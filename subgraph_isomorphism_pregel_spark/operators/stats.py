@@ -153,6 +153,71 @@ def rich_club(edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
     )
 
 
+def zscore_anomalies(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.0,
+    quant_scale: int = 100,
+) -> DataFrame:
+    """(id, group, value, z_r) — rows whose value sits more than
+    `threshold` population standard deviations from their group's mean:
+    the per-metric outlier screen of a telemetry / data-quality pipeline.
+
+    Engine-exact by the integer-moments trick: values are quantized to
+    int64 at `quant_scale` (round-half-up), the three per-group moments
+    (n, sum q, sum q^2) are INTEGER aggregates — order-free — and the
+    z-score is evaluated in doubles from those integers in one fixed
+    operation order,
+
+        z = (n*q - s) / sqrt(n*ss - s*s)
+
+    (the n-scaled form of (q - mean)/std_pop), so both engines produce
+    identical bits. int64 headroom: sum(q^2) must stay below 2^63 —
+    ~10^8 rows per group at |value| <= 10^5 and scale 100; past that,
+    re-quantize coarser or move the moments to partial-histogram form.
+
+    Spark shape: one map-side-combined groupBy over the group key (a
+    |groups|-row table), broadcast back into the scan, one filter — the
+    event data is scanned twice and shuffled never (the moment aggregate
+    moves |groups| rows)."""
+    if threshold <= 0 or quant_scale <= 0:
+        raise ValueError("threshold and quant_scale must be positive")
+    q = F.floor(F.col(value_col) * F.lit(float(quant_scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("value"),
+        q.alias("q"),
+    )
+    mom = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    q_d = F.col("q").cast("double")
+    den = F.sqrt(n_d * ss_d - s_d * s_d)
+    z = F.when(den > 0, (n_d * q_d - s_d) / den).otherwise(F.lit(0.0))
+    return (
+        base.join(F.broadcast(mom), "grp")
+        .withColumn("z_r", F.round(z, 6))
+        .where(F.abs("z_r") > threshold)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("value").alias(value_col),
+            "z_r",
+        )
+        .orderBy(id_col)
+    )
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,

@@ -204,3 +204,44 @@ def test_rich_club_contracts(spark):
     # threshold above every degree: empty club, phi = 0
     row = rich_club(edf, ks=[5]).collect()[0]
     assert (row.n_k, row.e_k, row.phi_r) == (0, 0, 0.0)
+
+
+def test_zscore_anomalies_matches_bruteforce(spark):
+    import math
+
+    from subgraph_isomorphism_pregel_spark.operators.stats import zscore_anomalies
+
+    rows = (
+        [(i, "a", 10.0 + (i % 3)) for i in range(20)]
+        + [(100, "a", 500.0)]            # clear outlier in group a
+        + [(200 + i, "b", 1.0) for i in range(5)]
+        + [(300, "b", 1.0)]              # constant group b: std 0, no rows
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_id: r.z_r for r in zscore_anomalies(df, threshold=3.0).collect()}
+
+    qs = {e: math.floor(v * 100.0 + 0.5) for e, g, v in rows if g == "a"}
+    n = len(qs)
+    s = sum(qs.values())
+    ss = sum(q * q for q in qs.values())
+    den = math.sqrt(float(n) * float(ss) - float(s) * float(s))
+    want = {
+        e: round((float(n) * float(q) - float(s)) / den, 6)
+        for e, q in qs.items()
+        if abs(round((float(n) * float(q) - float(s)) / den, 6)) > 3.0
+    }
+    assert got == want and 100 in got
+    # constant group produced nothing (den == 0 guard)
+    assert all(e < 200 for e in got)
+
+
+def test_zscore_anomalies_contracts(spark):
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.stats import zscore_anomalies
+
+    df = spark.createDataFrame([(0, "a", 1.0)], "event_id long, event_type string, value double")
+    with _pytest.raises(ValueError):
+        zscore_anomalies(df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        zscore_anomalies(df, quant_scale=0)
