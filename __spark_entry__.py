@@ -1282,6 +1282,40 @@ def q_media_meta_gif(spark, sf_dir):
     )
 
 
+def q_bmp_pixel_stats(spark, sf_dir):
+    """REAL image PIXEL decode (not just headers): synth_bmp embeds a
+    closed-form RGB gradient in a true 24-bit uncompressed BMP (bottom-up
+    rows, 4-byte stride padding); decode_bmp_stats parses the headers with
+    stdlib struct, reinterprets the pixel rows with numpy, and reduces to
+    exact int64 channel sums PLUS position-weighted sums (weight = y*W + x,
+    top-down) that are sensitive to row order and stride. The oracle never
+    sees the bytes — it re-enumerates every pixel from the generator
+    formula with generate_series cross joins and aggregates in SQL, so a
+    flip/stride/padding bug cannot cancel against itself."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        decode_bmp_stats,
+        synth_bmp,
+    )
+
+    return decode_bmp_stats(synth_bmp(_docs(spark, sf_dir))).orderBy("media_id")
+
+
+def q_bmp_resize4(spark, sf_dir):
+    """REAL image resize: nearest-neighbor 4x4 downsample of the decoded
+    BMP pixels, emitted as a deterministic RGB CSV (the engine-portable
+    array convention). The oracle recomputes the sampled coordinates
+    (floor(i*W/4), floor(j*H/4)) and channel values from the generator
+    formula and string-aggregates them in the same (j, i, rgb) order."""
+    from subgraph_isomorphism_pregel_spark.operators.multimodal import (
+        resize_bmp_nearest,
+        synth_bmp,
+    )
+
+    return resize_bmp_nearest(synth_bmp(_docs(spark, sf_dir)), 4, 4).orderBy(
+        "media_id"
+    )
+
+
 def q_audio_meta_wav(spark, sf_dir):
     """REAL WAV header decode: deterministic minimal PCM RIFF/WAVE files
     synthesized from doc_id, then channels / sample_rate / bit depth /
@@ -1854,6 +1888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_png": q_media_meta_png,
         "media_meta_jpeg": q_media_meta_jpeg,
         "media_meta_gif": q_media_meta_gif,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "bmp_resize4": q_bmp_resize4,
         "audio_meta_wav": q_audio_meta_wav,
         "audio_features_wav": q_audio_features_wav,
         "frame_sample": q_frame_sample,
@@ -4379,6 +4415,56 @@ SELECT doc_id AS media_id,
        CAST(1 + (doc_id * 13) % 4096 AS INT) AS height,
        'gif' AS format
 FROM documents ORDER BY media_id""",
+        # real BMP PIXEL decode vs the independent generator formula: the
+        # oracle re-enumerates every pixel (no bytes involved) and checks
+        # exact channel sums + position-weighted sums (row-order-sensitive)
+        "bmp_pixel_stats": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(4 + (doc_id * 3) % 7 AS BIGINT) AS h
+  FROM documents),
+px AS (
+  SELECT media_id, w, h, gx.x AS x, gy.y AS y,
+         (media_id + 3 * gx.x + 7 * gy.y) % 256 AS r,
+         (2 * media_id + 5 * gx.x + 11 * gy.y) % 256 AS g,
+         (media_id + gx.x * gy.y) % 256 AS b
+  FROM d, LATERAL unnest(range(0, w)) AS gx(x),
+          LATERAL unnest(range(0, h)) AS gy(y))
+SELECT media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((y * w + x) * r) AS BIGINT) AS wsum_r,
+       CAST(SUM((y * w + x) * g) AS BIGINT) AS wsum_g,
+       CAST(SUM((y * w + x) * b) AS BIGINT) AS wsum_b
+FROM px GROUP BY media_id ORDER BY media_id""",
+        # real nearest-neighbor resize vs recomputed sample coordinates
+        "bmp_resize4": """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(4 + (doc_id * 3) % 7 AS BIGINT) AS h
+  FROM documents),
+s AS (
+  SELECT media_id,
+         gj.j AS j, gi.i AS i,
+         (gi.i * w) // 4 AS sx, (gj.j * h) // 4 AS sy
+  FROM d, LATERAL unnest(range(0, 4)) AS gj(j),
+          LATERAL unnest(range(0, 4)) AS gi(i)),
+v AS (
+  SELECT media_id, j, i,
+         (media_id + 3 * sx + 7 * sy) % 256 AS r,
+         (2 * media_id + 5 * sx + 11 * sy) % 256 AS g,
+         (media_id + sx * sy) % 256 AS b
+  FROM s)
+SELECT media_id,
+       string_agg(CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) || ','
+                    || CAST(b AS VARCHAR), ',' ORDER BY j, i) AS thumb_csv
+FROM v GROUP BY media_id ORDER BY media_id""",
         # real RIFF/fmt/data chunk walk vs the generator formula (44-byte
         # header + 2-byte samples x channels); duration is the same IEEE
         # double expression n_samples * 1000.0 / rate on both sides

@@ -1,14 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns; decode/feature-extraction run
-as Arrow-batched pandas UDFs over mapInPandas. PNG HEADER decode is REAL:
-width/height come from parsing the IHDR chunk with stdlib ``struct`` (CRC32
-verified), no imaging library needed. Pixel-level decode of other formats is
-STUBBED: a clearly marked deterministic fake (metadata derived from the
-bytes themselves) with ``real_decode=True`` raising NotImplementedError for
-non-PNG payloads (PIL/ffmpeg not present in this environment). The
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
-real and tested.
+as Arrow-batched pandas UDFs over mapInPandas. PNG/JPEG/GIF HEADER decode is
+REAL (stdlib ``struct`` parses of IHDR/SOFn/LSD, CRC32-verified for PNG), and
+PIXEL-level decode is REAL for the two formats that need only byte
+reinterpretation: 24-bit uncompressed BMP (``decode_bmp_stats`` /
+``resize_bmp_nearest`` — stride/bottom-up handling, exact integer channel
+aggregates, nearest-neighbor resize) and 16-bit PCM WAV
+(``extract_audio_features``). Pixel decode of COMPRESSED formats
+(PNG/JPEG/GIF image data) is STUBBED: a clearly marked deterministic fake
+with ``real_decode=True`` raising NotImplementedError (PIL/ffmpeg not
+present in this environment). The Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested throughout.
 """
 
 from __future__ import annotations
@@ -246,6 +249,206 @@ def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, int] | None:
+    """(width, signed_height, pixel_data_offset) from a 24-bit uncompressed
+    BMP (BITMAPINFOHEADER or later), else None.
+
+    Validates the 'BM' magic, header size, planes==1, bpp==24, BI_RGB
+    compression. Negative height means top-down row order (per the spec);
+    positive means the usual bottom-up. Truncated / non-BMP buffers return
+    None rather than garbage."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (off,) = struct.unpack("<I", b[10:14])
+    hsz, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", b[14:34])
+    if hsz < 40 or planes != 1 or bpp != 24 or comp != 0:
+        return None
+    if w <= 0 or h == 0 or off < 54 or off > len(b):
+        return None
+    return w, h, off
+
+
+def _bmp_pixels(b: bytes) -> np.ndarray | None:
+    """(H, W, 3) uint8 array in TOP-DOWN row order, channels BGR as stored,
+    decoded from a 24-bit uncompressed BMP — pure struct + numpy byte
+    reinterpretation (stride = row bytes padded to 4, bottom-up flip when
+    height > 0). None for non-BMP / truncated payloads."""
+    parsed = _parse_bmp(b)
+    if parsed is None:
+        return None
+    w, h, off = parsed
+    top_down = h < 0
+    hh = -h if top_down else h
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(b) < off + stride * hh:
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * hh, offset=off).reshape(
+        hh, stride
+    )[:, :row_bytes]
+    if not top_down:
+        arr = arr[::-1]
+    return arr.reshape(hh, w, 3)
+
+
+def synth_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 24-bit uncompressed BMPs (full pixel data, bottom-up
+    rows, 4-byte row padding) from integer ids — the REAL-pixel-decode test
+    payload. Dimensions and per-channel gradients are closed-form in the id
+    so an independent oracle can re-enumerate every pixel:
+
+        W = 8 + id % 9          (8..16 — W*3 mod 4 varies, so padding varies)
+        H = 4 + (id * 3) % 7    (4..10)
+        r(x, y) = (id   + 3*x +  7*y) % 256     (x, y TOP-DOWN coordinates)
+        g(x, y) = (2*id + 5*x + 11*y) % 256
+        b(x, y) = (id   + x*y)        % 256
+
+    Pixel rows are built with vectorized numpy (no per-pixel Python) and
+    stored bottom-up BGR per the BMP spec, so a decoder that mishandles the
+    flip or the padding fails the position-weighted oracle sums."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col].values:
+                mid = int(mid)
+                w = 8 + mid % 9
+                h = 4 + (mid * 3) % 7
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = ((mid + 3 * x + 7 * y) % 256).astype(np.uint8)
+                g = ((2 * mid + 5 * x + 11 * y) % 256).astype(np.uint8)
+                bl = ((mid + x * y) % 256).astype(np.uint8)
+                bgr = np.stack(
+                    [np.broadcast_to(bl, (h, w)), g, np.broadcast_to(r, (h, w))],
+                    axis=-1,
+                )
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                padded = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+                padded[:, :row_bytes] = bgr.reshape(h, row_bytes)
+                data = padded[::-1].tobytes()
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+                )
+                payload = (
+                    struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+                    + info
+                    + data
+                )
+                rows.append({"media_id": mid, "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, "media_id long, payload binary")
+
+
+BMP_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, wsum_r long, wsum_g long, wsum_b long"
+)
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """REAL image PIXEL decode: 24-bit uncompressed BMP payload -> exact
+    per-channel integer statistics via one Arrow-batched mapInPandas pass,
+    numpy over the raw pixel rows — no imaging library, no per-pixel Python.
+
+    Emits, per image: width, height, n_pixels, plain channel sums
+    (sum_r/g/b) and POSITION-WEIGHTED sums wsum_c = sum over pixels of
+    (y*W + x) * c with (x, y) in top-down coordinates. The weighted sums are
+    the honesty device: plain sums are invariant to row order, but a decoder
+    that forgets the bottom-up flip, miscomputes the 4-byte row stride, or
+    swallows padding bytes breaks wsum (and padding breaks n_pixels/sums
+    too). All aggregates are int64-exact, so the DuckDB oracle re-enumerates
+    every pixel from the generator formula and must match bit-for-bit.
+    Non-BMP / truncated payloads yield typed nulls.
+
+    100 TB shape: per-row work is a bounded numpy reduction over one
+    payload; no shuffle at all (narrow map), so the operator scales with
+    scan bandwidth like any columnar projection."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                px = _bmp_pixels(bytes(payload))
+                if px is None:
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "width": None,
+                            "height": None,
+                            "n_pixels": None,
+                            "sum_r": None,
+                            "sum_g": None,
+                            "sum_b": None,
+                            "wsum_r": None,
+                            "wsum_g": None,
+                            "wsum_b": None,
+                        }
+                    )
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                ch = px.astype(np.int64)
+                weight = np.arange(h, dtype=np.int64)[:, None] * w + np.arange(
+                    w, dtype=np.int64
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": h * w,
+                        "sum_r": int(ch[..., 2].sum()),
+                        "sum_g": int(ch[..., 1].sum()),
+                        "sum_b": int(ch[..., 0].sum()),
+                        "wsum_r": int((weight * ch[..., 2]).sum()),
+                        "wsum_g": int((weight * ch[..., 1]).sum()),
+                        "wsum_b": int((weight * ch[..., 0]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(stats, BMP_STATS_SCHEMA)
+
+
+def resize_bmp_nearest(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL image resize: nearest-neighbor downsample of a decoded 24-bit
+    BMP to out_w x out_h, emitted as a deterministic CSV of RGB ints (the
+    engine-portable array convention used by quantize_embeddings).
+
+    Sample grid: source pixel (sx, sy) = (floor(i*W/out_w), floor(j*H/out_h))
+    for output (i, j); thumb_csv concatenates r,g,b per sampled pixel in
+    row-major (j, i) order. Pure numpy fancy-indexing per payload; narrow
+    map, no shuffle. Non-BMP payloads yield a null thumb."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("output dims must be >= 1")
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                px = _bmp_pixels(bytes(payload))
+                if px is None:
+                    rows.append({"media_id": int(mid), "thumb_csv": None})
+                    continue
+                h, w = px.shape[0], px.shape[1]
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                samp = px[np.ix_(ys, xs)][..., ::-1]  # BGR -> RGB
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "thumb_csv": ",".join(
+                            str(int(v)) for v in samp.reshape(-1)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(thumb, "media_id long, thumb_csv string")
 
 
 MEDIA_META_SCHEMA = (
