@@ -695,6 +695,16 @@ def q_adamic_adar_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar_topk(e, k=AA_TOPK).orderBy("rank")
 
 
+def q_jaccard_links_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the supply graph by neighborhood Jaccard
+    coefficient cn / (deg(u) + deg(v) - cn) — the degree-normalized twin of
+    adamic_adar_supply (one extra degree join on the post-agg pair stream)."""
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import jaccard_topk
+
+    _, e = supply_graph(spark, sf_dir)
+    return jaccard_topk(e, k=AA_TOPK).orderBy("rank")
+
+
 def q_copurchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted part—part co-purchase graph: the one-mode projection of the
     order→part membership table (weight = # orders containing both parts,
@@ -1802,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_order_dag": q_build_order_dag,
         "kmeans_embeddings": q_kmeans_embeddings,
         "adamic_adar_supply": q_adamic_adar_supply,
+        "jaccard_links_supply": q_jaccard_links_supply,
         "copurchase_graph": q_copurchase_graph,
         "rich_club_supply": q_rich_club_supply,
         "walks_ring": q_walks_ring,
@@ -2772,6 +2783,31 @@ SELECT u, v, cn, aa_r,
 FROM cand ORDER BY aa_r DESC, u, v LIMIT {AA_TOPK}"""
 
 
+def _jaccard_links_sql() -> str:
+    """Same wedge cube as _adamic_adar_sql, but degree-normalized by the
+    ENDPOINT degrees: jac = cn / (deg(u) + deg(v) - cn), one IEEE division
+    of exact integers rounded to 6dp before the rank — linkpred.py
+    jaccard_topk verbatim."""
+    return f"""
+WITH {SUPPLY_EDGES.strip().rstrip(',')},
+deg AS (SELECT src AS z, count(*) AS deg FROM edges GROUP BY src),
+wed AS (
+  SELECT e1.dst AS u, e2.dst AS v, count(*) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst),
+cand AS (
+  SELECT w.u, w.v, w.cn,
+         round(CAST(w.cn AS DOUBLE)
+               / CAST(du.deg + dv.deg - w.cn AS DOUBLE), 6) AS jac_r
+  FROM wed w
+  JOIN deg du ON du.z = w.u
+  JOIN deg dv ON dv.z = w.v
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.u AND e.dst = w.v))
+SELECT u, v, cn, jac_r,
+       CAST(row_number() OVER (ORDER BY jac_r DESC, u, v) AS INT) AS rank
+FROM cand ORDER BY jac_r DESC, u, v LIMIT {AA_TOPK}"""
+
+
 def _kmeans_sql() -> str:
     """Fixed-point Lloyd's, unrolled: quantize -> (assign, floor-mean) x T
     -> final assign. Integer arithmetic end-to-end, so this reproduces the
@@ -3703,6 +3739,7 @@ SELECT nk.k, nk.n_k, ek.e_k,
                   ELSE 0.0 END, 6) AS phi_r
 FROM nk JOIN ek USING (k) ORDER BY k""",
         "adamic_adar_supply": _adamic_adar_sql(),
+        "jaccard_links_supply": _jaccard_links_sql(),
         "copurchase_graph": """
 WITH m AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
 sz AS (SELECT g FROM m GROUP BY g HAVING count(*) <= 1024),

@@ -64,6 +64,68 @@ def adamic_adar_topk(
     return top.select("u", "v", "cn", "aa_r", F.row_number().over(w).alias("rank"))
 
 
+def jaccard_topk(
+    edges: DataFrame,
+    k: int = 20,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Top-k non-adjacent pairs by neighborhood Jaccard coefficient
+
+        jac(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+                 = cn / (deg(u) + deg(v) - cn)
+
+    -> (u, v, cn, jac_r, rank). Same wedge cube as adamic_adar_topk (one
+    self-join on the wedge center), but the weight needs the ENDPOINT
+    degrees, not the center's: the union size comes from two broadcast
+    joins of the degree table onto the aggregated (u, v, cn) rows — one
+    row per candidate pair, not per wedge, so the extra joins touch the
+    post-aggregation stream only (un-hinted: at web scale the degree
+    table is one row per vertex — too big to force-broadcast — so AQE
+    picks broadcast at small SF and shuffle-hash past the threshold). cn >= 1 for any emitted pair, so the
+    denominator deg(u)+deg(v)-cn >= 1 — never zero. jac is one IEEE
+    division of exact integers rounded to 6dp before ranking, so the
+    global top-k is engine-independent; ties break on (u, v).
+
+    Scale: identical wedge volume to adamic_adar_topk (sum_z deg(z)^2);
+    `max_center_degree` prunes super-hub centers before the join. NOTE
+    that unlike Adamic-Adar, dropping a center z shrinks cn but NOT the
+    degrees in the denominator, so pruned Jaccard stays a lower bound."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "z")
+    cdeg = deg if max_center_degree is None else deg.where(
+        F.col("deg") <= max_center_degree
+    )
+    wedges = (
+        e.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("v")), "z")
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(cdeg.select("z")), "z", "left_semi")
+    )
+    scores = wedges.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    cand = (
+        scores.join(adj, ["u", "v"], "left_anti")
+        .join(deg.select(F.col("z").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("z").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jac_r"),
+        )
+    )
+    top = cand.orderBy(F.desc("jac_r"), F.asc("u"), F.asc("v")).limit(k)
+    w = Window.orderBy(F.desc("jac_r"), F.asc("u"), F.asc("v"))
+    return top.select("u", "v", "cn", "jac_r", F.row_number().over(w).alias("rank"))
+
+
 def cooccurrence_projection(
     members: DataFrame,
     group_col: str = "group_id",

@@ -186,6 +186,65 @@ def test_adamic_adar_hub_filter(spark):
     assert [(r["u"], r["v"], r["cn"]) for r in filt] == [(0, 9, 2), (1, 2, 1)]
 
 
+def jaccard_brute(es, k):
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for s, t in es:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    rows = []
+    ids = sorted(nbrs)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            if v in nbrs[u]:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if not cn:
+                continue
+            jac = round(cn / len(nbrs[u] | nbrs[v]), 6)
+            rows.append((u, v, cn, jac))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return [(u, v, cn, j, i + 1) for i, (u, v, cn, j) in enumerate(rows[:k])]
+
+
+def test_jaccard_topk_matches_brute_force(spark, graph):
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import jaccard_topk
+
+    v, e, vs, es = graph
+    got = [
+        (r["u"], r["v"], r["cn"], r["jac_r"], r["rank"])
+        for r in jaccard_topk(e, k=15).orderBy("rank").collect()
+    ]
+    assert got == jaccard_brute(es, 15)
+
+
+def test_jaccard_topk_hub_filter_and_contracts(spark):
+    """Pruning a hub CENTER shrinks cn but never the endpoint degrees —
+    pruned Jaccard is a lower bound on the exact score."""
+    import pytest as _pytest
+
+    from subgraph_isomorphism_pregel_spark.operators.linkpred import jaccard_topk
+
+    es = [(0, i) for i in range(1, 8)] + [(1, 9), (2, 9)]
+    sym = es + [(b, a) for a, b in es]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    full = {(r["u"], r["v"]): r["jac_r"] for r in jaccard_topk(e, k=100).collect()}
+    filt = {
+        (r["u"], r["v"]): r["jac_r"]
+        for r in jaccard_topk(e, k=100, max_center_degree=5).collect()
+    }
+    assert set(filt) <= set(full)
+    for p, jac in filt.items():
+        assert jac <= full[p] + 1e-12, p
+    # exact spot value on the unfiltered graph: u=1 (nbrs {0,9}),
+    # v=2 (nbrs {0,9}) share both neighbors -> jac = 2/2 = 1.0
+    assert full[(1, 2)] == 1.0
+    with _pytest.raises(ValueError):
+        jaccard_topk(e, k=0)
+
+
 def test_connected_components_matches_oracle(spark, graph):
     v, e, vs, es = graph
     comp, _ = connected_components(spark, v, e, num_partitions=8)
