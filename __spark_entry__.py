@@ -310,6 +310,23 @@ def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
+def q_bipartite_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness over the disjoint-cycles fixture via the
+    double-cover reduction (two runs of the hash-min CC kernel, zero new
+    kernel code). The fixture mixes even- and odd-length cycles at every sf,
+    and the oracle computes (component, size, bipartite) in CLOSED FORM from
+    the ring-length formula — it never builds a cover, so a reduction bug
+    cannot cancel."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        bipartite_components,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.graph import multi_ring_graph
+
+    v, e = multi_ring_graph(spark, sf_dir)
+    out, _ = bipartite_components(spark, v, e, num_partitions=4)
+    return out.orderBy("component")
+
+
 def q_butterflies_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Butterfly (bipartite 4-cycle) count over the part—supplier bipartite
     edge set — the bipartite analog of the triangle gate."""
@@ -1837,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
         "scc_dag_cycles": q_scc_dag_cycles,
+        "bipartite_rings": q_bipartite_rings,
         "butterflies_supply": q_butterflies_supply,
         "landmarks_ring": q_landmarks_ring,
         "harmonic_ring": q_harmonic_ring,
@@ -3852,6 +3870,17 @@ FROM r ORDER BY doc_id""",
         "wsssp_ring": _wsssp_sql(),
         # SCC oracle: mutual transitive reachability over the identical
         # SQL-built directed fixture; scc(v) = min id mutually reachable
+        # closed-form bipartiteness: ring r of the disjoint-cycles fixture
+        # has (n-1-r)//17 + 1 members and is bipartite iff that is even;
+        # hash-min CC labels it r (the ring minimum) — the oracle never
+        # builds a double cover, so a reduction bug cannot cancel
+        "bipartite_rings": """
+WITH nn AS (SELECT count(*) AS n FROM part),
+r AS (SELECT unnest(range(0, 17)) AS r)
+SELECT CAST(r AS BIGINT) AS component,
+       CAST(((SELECT n FROM nn) - 1 - r) // 17 + 1 AS BIGINT) AS n_vertices,
+       (((SELECT n FROM nn) - 1 - r) // 17 + 1) % 2 = 0 AS is_bipartite
+FROM r ORDER BY component""",
         # with v (v itself included via the LEFT JOIN + least)
         "scc_dag_cycles": """
 WITH RECURSIVE

@@ -120,3 +120,70 @@ def connected_components(
         checkpoint_every=checkpoint_every,
     )
     return components_df(final), metrics
+
+
+def bipartite_components(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_partitions: int | None = 32,
+    max_steps: int = 200,
+) -> tuple[DataFrame, list[dict]]:
+    """Per-component bipartiteness test -> (component, n_vertices,
+    is_bipartite) via the DOUBLE COVER reduction: each vertex v becomes
+    two cover vertices (2v, 2v+1) and each undirected edge {u, w} becomes
+    the parity-flipping cover edges 2u—2w+1 and 2u+1—2w. A component is
+    bipartite iff its cover splits into TWO components — equivalently,
+    cover_comp(2v) != cover_comp(2v+1) for its vertices (all of them agree,
+    so bool_or over the component is exact, not a heuristic).
+
+    No new kernel code: two runs of the existing hash-min CC vertex
+    program (original graph for labels/sizes, cover graph for parity), one
+    id-arithmetic projection between them, one groupBy. The cover doubles
+    |V| and |E| and at most doubles the flood diameter; everything else —
+    frontier scatter, packed min-combine, checkpoint story — is inherited.
+    `edges` must already hold both directions of every undirected edge
+    (the CC input contract; sources.graph.symmetrize).
+
+    Reference scope note: bipartiteness is added breadth (not in the
+    reference's algorithm set), but the reduction exercises the same
+    framework path as /root/reference/src/basic/Vertex.h hash-min flooding.
+    """
+    comp, m1 = connected_components(
+        spark, vertices, edges, num_partitions, max_steps
+    )
+    ids = vertices.select("id")
+    cover_v = (
+        ids.select((F.col("id") * 2).alias("id"))
+        .unionByName(ids.select((F.col("id") * 2 + 1).alias("id")))
+        .withColumn("label", F.lit(0).cast("int"))
+    )
+    cover_e = edges.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+    ).unionByName(
+        edges.select(
+            (F.col("src") * 2 + 1).alias("src"), (F.col("dst") * 2).alias("dst")
+        )
+    )
+    cover, m2 = connected_components(
+        spark, cover_v, cover_e, num_partitions, max_steps
+    )
+    even = cover.where(F.col("id") % 2 == 0).select(
+        (F.col("id") / 2).cast("long").alias("id"), F.col("component").alias("c0")
+    )
+    odd = cover.where(F.col("id") % 2 == 1).select(
+        ((F.col("id") - 1) / 2).cast("long").alias("id"),
+        F.col("component").alias("c1"),
+    )
+    flags = even.join(odd, "id").select(
+        "id", (F.col("c0") == F.col("c1")).alias("odd_cycle")
+    )
+    out = (
+        comp.join(flags, "id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            (~F.max("odd_cycle")).alias("is_bipartite"),
+        )
+    )
+    return out, m1 + m2

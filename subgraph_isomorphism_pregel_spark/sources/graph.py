@@ -236,6 +236,43 @@ def ring_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return vertices, edges
 
 
+def multi_ring_graph(
+    spark: SparkSession, sf_dir: str, rings: int = 17
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic DISJOINT-CYCLES fixture over part's key space — the
+    bipartiteness test graph: vertex i belongs to ring r = i % rings, and
+    ring r is the cycle r, r+rings, r+2*rings, ... (edge i — i+rings, the
+    last member wrapping back to r). Ring r has
+
+        len(r) = (n - 1 - r) // rings + 1
+
+    members, so for any n not a multiple of `rings` the fixture contains
+    BOTH even- and odd-length cycles (odd `rings` keeps that true across
+    the sf ladder): even cycles are bipartite, odd ones are not — the
+    per-component answer is closed-form in (n, r), which makes the
+    bipartite_components operator oracle-checkable without the oracle ever
+    touching a double cover. Requires n >= 2*rings so every ring is a real
+    cycle (length >= 2). Min id in ring r is r, so hash-min CC labels
+    component r as r."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    if n < 2 * rings:
+        raise ValueError(f"need at least {2 * rings} vertices, got {n}")
+    min_key = part.agg(F.min("p_partkey")).collect()[0][0]
+    ids = part.select((F.col("p_partkey") - F.lit(min_key)).alias("i"))
+    succ = ids.select(
+        F.col("i").alias("src"),
+        F.when(F.col("i") + rings < n, F.col("i") + rings)
+        .otherwise(F.col("i") % rings)
+        .alias("dst"),
+    )
+    edges = symmetrize(succ)
+    vertices = ids.select(
+        F.col("i").alias("id"), (F.col("i") % 4).cast("int").alias("label")
+    )
+    return vertices, edges
+
+
 def weighted_ring_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic WEIGHTED undirected graph over part's key space.
 

@@ -624,3 +624,87 @@ def test_negative_edges(spark):
         negative_edges(e, k=0)
     with pytest.raises(ValueError, match="oversample"):
         negative_edges(e, k=5, oversample=3)
+
+
+def bipartite_brute(vs, es):
+    """component-min -> (size, is_bipartite) via BFS 2-coloring."""
+    from collections import defaultdict, deque
+
+    nbrs = defaultdict(set)
+    for s, t in es:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    color, out = {}, {}
+    for v0 in sorted(vs):
+        if v0 in color:
+            continue
+        comp, ok, color[v0] = [v0], True, 0
+        q = deque([v0])
+        while q:
+            x = q.popleft()
+            for y in nbrs[x]:
+                if y not in color:
+                    color[y] = 1 - color[x]
+                    comp.append(y)
+                    q.append(y)
+                elif color[y] == color[x]:
+                    ok = False
+        out[min(comp)] = (len(comp), ok)
+    return out
+
+
+def test_bipartite_components_matches_brute_force(spark, graph):
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        bipartite_components,
+    )
+
+    v, e, vs, es = graph
+    out, metrics = bipartite_components(spark, v, e, num_partitions=8)
+    got = {
+        r["component"]: (r["n_vertices"], r["is_bipartite"]) for r in out.collect()
+    }
+    assert got == bipartite_brute(vs, es)
+    assert len(metrics) > 0  # both CC runs report superstep metrics
+
+
+def test_bipartite_multi_ring_closed_form(spark):
+    """The disjoint-cycles fixture: ring r has (n-1-r)//17 + 1 members and
+    is bipartite iff that is even — the formula the DuckDB oracle uses."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        bipartite_components,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.graph import multi_ring_graph
+
+    v, e = multi_ring_graph(spark, "/root/testdata/sf0.001")
+    n = v.count()
+    out, _ = bipartite_components(spark, v, e, num_partitions=4)
+    got = {
+        r["component"]: (r["n_vertices"], r["is_bipartite"]) for r in out.collect()
+    }
+    want = {
+        r: ((n - 1 - r) // 17 + 1, ((n - 1 - r) // 17 + 1) % 2 == 0)
+        for r in range(17)
+    }
+    assert got == want
+    assert len({b for _, b in got.values()}) == 2  # both verdicts present
+
+
+def test_bipartite_even_cycle_and_odd_chord(spark):
+    """A 6-cycle is bipartite; adding one chord that creates an odd cycle
+    flips the verdict for the whole component."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        bipartite_components,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.graph import symmetrize
+
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    v = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "id long, label int"
+    )
+    e = symmetrize(spark.createDataFrame(cyc, "src long, dst long"))
+    (row,) = bipartite_components(spark, v, e, num_partitions=2)[0].collect()
+    assert (row["component"], row["n_vertices"], row["is_bipartite"]) == (0, 6, True)
+    e2 = symmetrize(spark.createDataFrame(cyc + [(0, 2)], "src long, dst long"))
+    (row,) = bipartite_components(spark, v, e2, num_partitions=2)[0].collect()
+    assert (row["component"], row["n_vertices"], row["is_bipartite"]) == (0, 6, False)
