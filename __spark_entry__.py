@@ -1173,6 +1173,14 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(_docs(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed-unigram log-likelihood ratio of the
+    English-document model vs the raw corpus model (target lang = 'en')."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), target_langs=("en",))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -1901,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "collocations": q_collocations,
         "token_entropy": q_token_entropy,
+        "dsir_weights": q_dsir_weights,
         "dedup_exact": q_dedup_exact,
         "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4275,6 +4284,28 @@ s AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS qs FROM q GROUP BY doc_id)
 SELECT s.doc_id, nd.n AS n_tokens, nd.n_distinct,
        round(-(qs / 1e9), 6) AS entropy_r
 FROM s JOIN nd USING (doc_id) ORDER BY doc_id""",
+        "dsir_weights": """
+WITH w AS (SELECT doc_id, lang,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+      FROM documents),
+t AS (SELECT doc_id, lang IN ('en') AS is_t, unnest(words) AS tok FROM w),
+b AS (SELECT doc_id, is_t,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS bucket FROM t),
+c AS (SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             count(*) AS cr
+      FROM b GROUP BY bucket),
+tot AS (SELECT CAST(sum(ct) + 4096 AS DOUBLE) AS tt,
+               CAST(sum(cr) + 4096 AS DOUBLE) AS rt FROM c),
+l AS (SELECT bucket,
+             CAST(floor(ln(((CAST(ct AS DOUBLE) + 1.0) * rt)
+                           / ((CAST(cr AS DOUBLE) + 1.0) * tt)) * 1e9 + 0.5)
+                  AS BIGINT) AS q
+      FROM c, tot),
+d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS qs
+      FROM b JOIN l USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(qs / 1e9 / n_tokens, 6) AS llr_avg
+FROM d ORDER BY doc_id""",
         "collocations": f"""
 WITH {DOC_WORDS.strip().rstrip(',')},
 tok AS (SELECT unnest(words) AS wd FROM w),

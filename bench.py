@@ -45,6 +45,7 @@ from subgraph_isomorphism_pregel_spark.operators.dedup import (  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.sketches import cms_heavy_hitters, hll_distinct  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.packing import pack_documents  # noqa: E402
 from subgraph_isomorphism_pregel_spark.operators.textops import (  # noqa: E402
+    dsir_weights,
     lm_score,
     quality_filter,
     repetition_score,
@@ -312,6 +313,7 @@ def main() -> None:
 
     bench("repetition_score", lambda: repetition_score(docs).count())
     bench("tfidf_topk", lambda: tfidf_topk(docs).count())
+    bench("dsir_weights", lambda: dsir_weights(docs).count())
 
     def run_collocations():
         from subgraph_isomorphism_pregel_spark.operators.textops import collocations

@@ -17,6 +17,8 @@ and every operator has an exact DuckDB-SQL twin in __spark_entry__.oracle_sql:
                    information over a count floor
 - token_entropy    per-document Shannon entropy of the token distribution
                    (gibberish / boilerplate detector)
+- dsir_weights     DSIR importance weights: hashed-unigram log-likelihood
+                   ratio of a target-domain model vs the raw corpus model
 """
 
 from __future__ import annotations
@@ -526,6 +528,82 @@ def token_entropy(docs: DataFrame) -> DataFrame:
             "n_tokens",
             "n_distinct",
             F.round(-(F.col("qs") / F.lit(1e9)), 6).alias("entropy_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_langs: tuple[str, ...] = ("en",),
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(doc_id, n_tokens, llr_avg) — DSIR-style importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): each document is scored by the average log-likelihood
+    ratio of its hashed unigram features under a TARGET model (documents
+    whose ``lang`` is in `target_langs`) vs the RAW corpus model,
+
+        llr_avg = (1/n) * sum_tok ln( p_target(b(tok)) / p_raw(b(tok)) ),
+
+    with b(tok) = int(md5(tok)[:8], 16) % n_buckets (the paper's hashed
+    n-gram generalization: a FIXED feature space regardless of vocabulary
+    size) and add-one smoothing over the bucket space. Positive weights
+    mean "looks like the target domain"; importance resampling keeps
+    documents with probability proportional to exp(llr). Documents with no
+    tokens produce no row.
+
+    Every per-token contribution is the bucket's llr quantized to 9
+    decimals and summed as int64 (the `fixed_point_sum` discipline), so
+    the per-doc aggregate is order-independent and bit-identical across
+    engines; the only float exposure is ln's last ulp, the same carried by
+    tfidf/lm_score/token_entropy.
+
+    Scale shape: one map-side-combined groupBy(bucket) over the exploded
+    tokens (the bucket table is FIXED at n_buckets rows no matter the
+    corpus size — that is the point of feature hashing), one 2-value
+    driver aggregate for the totals, then a broadcast join of the tiny
+    bucket LUT back onto the tokens and one groupBy(doc_id). At 100 TB the
+    LUT is still n_buckets rows: nothing here grows with the data except
+    the two well-keyed shuffles."""
+    tok = docs.select(
+        "doc_id",
+        F.col("lang").isin(*target_langs).alias("is_t"),
+        F.explode(tokens("text")).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    counts = (
+        tok.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        .cache()
+    )
+    tot = counts.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r")).collect()[0]
+    t_tot = float((tot["t"] or 0) + n_buckets)
+    r_tot = float((tot["r"] or 0) + n_buckets)
+    # identical op order to the SQL twin: (ct+1)*(R+B) then /, one ln
+    llr = F.log(
+        ((F.col("ct") + F.lit(1.0)) * F.lit(r_tot))
+        / ((F.col("cr") + F.lit(1.0)) * F.lit(t_tot))
+    )
+    lut = counts.select(
+        "bucket", F.floor(llr * F.lit(1e9) + F.lit(0.5)).cast("long").alias("q")
+    )
+    return (
+        tok.join(F.broadcast(lut), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("qs"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("qs") / F.lit(1e9) / F.col("n_tokens"), 6).alias(
+                "llr_avg"
+            ),
         )
         .orderBy("doc_id")
     )

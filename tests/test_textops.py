@@ -1186,3 +1186,56 @@ def test_bmp_resize_nearest(spark, docs):
     )
     (row,) = resize_bmp_nearest(junk).collect()
     assert row["thumb_csv"] is None
+
+
+def test_dsir_weights(spark, docs):
+    """Exact python replay of the hashed-unigram LLR pipeline (same md5
+    bucketing, add-one smoothing, and 1e-9 quantized sum) on a closed-form
+    fixture and on the sf0.001 corpus."""
+    from subgraph_isomorphism_pregel_spark.operators.textops import dsir_weights
+
+    def replay(rows, target_langs=("en",), n_buckets=4096):
+        bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+        ct, cr = {}, {}
+        for _, text, lang in rows:
+            for t in py_tokens(text):
+                b = bucket(t)
+                cr[b] = cr.get(b, 0) + 1
+                if lang in target_langs:
+                    ct[b] = ct.get(b, 0) + 1
+        t_tot = float(sum(ct.values()) + n_buckets)
+        r_tot = float(sum(cr.values()) + n_buckets)
+        q = {
+            b: math.floor(
+                math.log(((ct.get(b, 0) + 1.0) * r_tot) / ((cr[b] + 1.0) * t_tot))
+                * 1e9
+                + 0.5
+            )
+            for b in cr
+        }
+        want = {}
+        for did, text, lang in rows:
+            toks = py_tokens(text)
+            if not toks:
+                continue
+            qs = sum(q[bucket(t)] for t in toks)
+            want[did] = (len(toks), round(qs / 1e9 / len(toks), 6))
+        return want
+
+    rows = [(1, "aa aa bb", "en"), (2, "aa cc", "de"), (3, "  ", "en")]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["llr_avg"])
+        for r in dsir_weights(d).collect()
+    }
+    assert got == replay(rows)  # tokenless doc 3 has no row
+    # target-language tokens must score strictly above the disjoint
+    # non-target token on this fixture
+    assert got[1][1] > got[2][1]
+
+    corpus = [(r["doc_id"], r["text"], r["lang"]) for r in docs.collect()]
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["llr_avg"])
+        for r in dsir_weights(docs).collect()
+    }
+    assert got2 == replay(corpus)
