@@ -833,6 +833,17 @@ def q_triangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles_per_vertex(spark, v, e).orderBy("id")
 
 
+def q_rectangles_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-cycle (rectangle) count on the ring graph via wedge
+    endpoint-pair aggregation."""
+    from subgraph_isomorphism_pregel_spark.operators.triangles import (
+        rectangle_stats,
+    )
+
+    _, e = ring_graph(spark, sf_dir)
+    return rectangle_stats(spark, e)
+
+
 KCLIQUE_PLANT = 16  # planted clique size: guarantees C(16,4)=1820 4-cliques
 
 
@@ -1880,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_supply": q_kcore_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
+        "rectangles_ring": q_rectangles_ring,
         "kclique4_ring": q_kclique4_ring,
         "match_path3_ring": q_match_path3_ring,
         "match_triangle_ring": q_match_triangle_ring,
@@ -3995,6 +4007,18 @@ corners AS (
 SELECT v.id, coalesce(t.c, 0) AS tri FROM rv v LEFT JOIN (
   SELECT id, count(*) AS c FROM corners GROUP BY id) t ON v.id = t.id
 ORDER BY v.id""",
+        # 4-cycles: every rectangle u-x-w-y-u is C(common,2) at BOTH
+        # opposite-corner pairs, so sum C(n,2) over ordered pairs / 2
+        "rectangles_ring": f"""
+WITH {RING_GRAPH.strip().rstrip(',')},
+cn AS (
+  SELECT a.dst AS u, b.dst AS w, count(*) AS n
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst)
+SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_wedges,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS max_copaths,
+       CAST(coalesce(sum(n * (n - 1) // 2) // 2, 0) AS BIGINT) AS c4_count
+FROM cn""",
         # 4-cliques counted once via ascending vertex ids over the deduped
         # union of the ring graph and the planted 16-clique; all six edges
         # checked explicitly — independent of the engine's DAG orientation

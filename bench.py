@@ -176,6 +176,15 @@ def main() -> None:
     throughput["triangles"] = bench("triangle_count", lambda: triangle_count(spark, re_))
     throughput["cliques4"] = bench("kclique4_count", lambda: kclique_count(spark, re_, k=4))
 
+    def run_rectangles():
+        from subgraph_isomorphism_pregel_spark.operators.triangles import (
+            rectangle_stats,
+        )
+
+        return rectangle_stats(spark, re_).collect()[0]["c4_count"]
+
+    throughput["rectangles"] = bench("rectangle_count", run_rectangles)
+
     def run_match_set():
         m = SubgraphMatcher(spark, rv, re_)
         try:

@@ -293,3 +293,49 @@ def ktruss(
             break
         n_prev = n_now
     return e
+
+
+def rectangle_stats(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """One row (n_wedges, max_copaths, c4_count) — exact 4-cycle
+    (rectangle) count via wedge aggregation, the unipartite sibling of
+    `butterflies`:
+
+      1. wedge = a length-2 path u - x - w keyed by its ORDERED endpoint
+         pair (u < w); generated by the self-join of the symmetrized edge
+         table on the center x, so a hub center becomes many rows across
+         tasks (AQE skew-split handles it) instead of one giant in-row
+         pair array;
+      2. co-path counts n(u, w) = # distinct centers = # common neighbors;
+      3. every 4-cycle u - x - w - y - u is two common neighbors {x, y} of
+         BOTH opposite-corner pairs {u, w} and {x, y}, so
+
+             c4 = (1/2) * sum over u<w of C(n(u, w), 2),
+
+         all in exact int64 arithmetic (the sum is provably even).
+
+    Input contract: `edges` symmetrized and distinct, no self loops (the
+    triangle module's contract).
+
+    Scale shape: total wedge volume is sum_x C(deg(x), 2) — the inherent
+    cost of exact rectangle counting (Chiba-Nishizeki); both shuffles are
+    map-side combinable (the wedge join co-partitions on x, the co-path
+    groupBy on (u, w)), and the final aggregate is one row. On graphs with
+    unbounded hubs, cap or sample centers above a degree threshold before
+    the join (biased estimator) — not done here: this operator is the
+    exact kernel."""
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    a = e.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+    b = e.select(F.col("src").alias("x"), F.col("dst").alias("w"))
+    cn = (
+        a.join(b, "x")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    return cn.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_wedges"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_copaths"),
+        F.coalesce(F.expr("sum(n * (n - 1) DIV 2) DIV 2"), F.lit(0)).alias(
+            "c4_count"
+        ),
+    )
