@@ -384,6 +384,21 @@ def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OLAP CUBE over (event_type, hour-of-day) with SQL grouping id:
+    every subset of the dimensions in one pass (finest cells, both
+    one-dimension marginals, grand total)."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import cube_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    micros = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    ev = ev.withColumn("hh", F.floor(micros / F.lit(3_600_000_000)) % 24)
+    out = cube_agg(ev, dims=["event_type", "hh"], value_col="value")
+    return out.orderBy(
+        F.asc("gid"), F.asc_nulls_first("event_type"), F.asc_nulls_first("hh")
+    )
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on the events table: for every purchase, the user's
     latest click at-or-before it (last-touch attribution)."""
@@ -1869,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
+        "cube_events": q_cube_events,
         "stream_rollup": q_stream_rollup,
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
@@ -3886,6 +3902,18 @@ FROM r ORDER BY doc_id""",
         "asof_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
+        # CUBE grouping-id convention: first dim = most significant bit,
+        # identical in Spark's grouping_id() and SQL GROUPING()
+        "cube_events": """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) % 24 AS hh, value
+           FROM events)
+SELECT event_type, hh,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hh) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6, 6) AS sum_r
+FROM e GROUP BY CUBE (event_type, hh)
+ORDER BY gid ASC, event_type ASC NULLS FIRST, hh ASC NULLS FIRST""",
         "stream_rollup": STREAM_ROLLUP_SQL,
         "bloom_docs": _bloom_sql(),
         "wsssp_ring": _wsssp_sql(),

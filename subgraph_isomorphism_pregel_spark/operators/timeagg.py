@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import fixed_point_sum
+
 
 def time_bucket(c, bucket_seconds: int = 900):
     """timestamp column -> integer bucket index (floor of epoch/width)."""
@@ -93,3 +95,34 @@ def gapfill_locf(
         F.last("val_obs", ignorenulls=True).over(w).alias("val"),
         F.col("n").isNull().alias("filled"),
     ).orderBy(group_col, "bucket_id")
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """-> CUBE over `dims`: (dims..., gid, n, sum_r), one row per cell of
+    every subset of the dimensions (the full OLAP cube, not just the
+    rollup chain), with gid = SQL-standard grouping id (first dim is the
+    most significant bit: gid 0 = finest cells, 2^len(dims)-1 = grand
+    total) disambiguating a real NULL dimension value from a subtotal.
+
+    sum_r uses the fixed_point_sum discipline (int64 sum of 1e-6-quantized
+    values) so every cell is order-independent and engine-exact.
+
+    Scale shape: Catalyst's Expand replicates each input row 2^len(dims)
+    times and ONE hash aggregate (map-side combined — the expansion never
+    crosses the wire at full width) produces all cells; cardinality is the
+    sum of per-subset distinct counts, not the input size. Keep dims low
+    (<= 3-4) at 100 TB — standard cube discipline."""
+    if not dims:
+        raise ValueError("cube_agg needs at least one dimension")
+    return (
+        df.cube(*dims)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(fixed_point_sum(value_col), 6).alias("sum_r"),
+        )
+    )

@@ -85,3 +85,32 @@ def test_gapfill_rejects_bad_bucket(spark):
 
     with _pytest.raises(ValueError):
         gapfill_locf(ev, bucket_seconds=0)
+
+
+def test_cube_agg_cells_and_gid(spark):
+    """Every subset of the dims appears; subtotals are consistent with the
+    finest cells; gid uses the SQL convention (first dim = MSB)."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import cube_agg
+
+    rows = [("a", 1, 1.5), ("a", 1, 2.5), ("a", 2, 4.0), ("b", 1, 8.0)]
+    df = spark.createDataFrame(rows, "t string, h long, value double")
+    got = {
+        (r["t"], r["h"], r["gid"]): (r["n"], r["sum_r"])
+        for r in cube_agg(df, dims=["t", "h"]).collect()
+    }
+    # finest cells (gid 0)
+    assert got[("a", 1, 0)] == (2, 4.0)
+    assert got[("a", 2, 0)] == (1, 4.0)
+    assert got[("b", 1, 0)] == (1, 8.0)
+    # h marginal (gid 1: h grouped away), t marginal (gid 2), grand (gid 3)
+    assert got[("a", None, 1)] == (3, 8.0)
+    assert got[("b", None, 1)] == (1, 8.0)
+    assert got[(None, 1, 2)] == (3, 12.0)
+    assert got[(None, 2, 2)] == (1, 4.0)
+    assert got[(None, None, 3)] == (4, 16.0)
+    assert len(got) == 8  # 3 + 2 + 2 + 1 cells
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cube_agg(df, dims=[])
