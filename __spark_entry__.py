@@ -824,6 +824,18 @@ def q_sssp_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
 KCORE_K = 32  # on the sf0.01 supply graph: a 290-vertex core after one peel wave
 
 
+def q_coreness_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex core numbers on the supply graph — convergence-detected
+    H-index iteration on the BSP kernel (fixed point = peeling coreness);
+    the oracle unrolls the same H-index sweeps in SQL (8 rounds, measured
+    fixpoint at 4 on this fixture, idempotent past it)."""
+    from subgraph_isomorphism_pregel_spark.operators.coreness import coreness
+
+    v, e = supply_graph(spark, sf_dir)
+    out, _ = coreness(spark, v, e, num_partitions=16)
+    return out.orderBy("id")
+
+
 def q_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the 32-core — iterative peeling on the BSP kernel; the
     oracle unrolls the same peel as MATERIALIZED within-survivor degree
@@ -1905,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_supply": q_modularity_supply,
         "sssp_supply": q_sssp_supply,
         "kcore_supply": q_kcore_supply,
+        "coreness_supply": q_coreness_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
         "rectangles_ring": q_rectangles_ring,
@@ -2997,6 +3010,32 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = 6) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM a{rounds} ORDER BY id"
 
 
+def _coreness_sql(rounds: int = 8) -> str:
+    """Unrolled neighborhood H-index iteration: c_0 = degree, each round
+    recomputes the H-index of every vertex's neighbor values; the fixed
+    point is the core number (the engine's coreness program run in SQL).
+    `rounds` exceeds the measured sweeps-to-fixpoint on the gated fixture
+    (4 at sf0.01); extra rounds are idempotent."""
+    ctes = [
+        SUPPLY_EDGES.strip().rstrip(","),
+        "c0 AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM edges GROUP BY src)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT id, coalesce(max(CASE WHEN val >= rn THEN rn END), 0) AS c FROM (
+    SELECT e.src AS id, p.c AS val,
+           row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+    FROM edges e JOIN c{t - 1} p ON e.dst = p.id) s{t}
+  GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(c AS BIGINT) AS coreness FROM c{rounds} ORDER BY id"
+    )
+
+
 def _cc_sql() -> str:
     """Fixed-point min-propagation (recursive CTE), a faithful twin of the
     engine's run-to-convergence hash-min — no unroll-depth assumption: the
@@ -4019,6 +4058,7 @@ reach AS (
   WHERE r.dist < 64)
 SELECT id, min(dist) AS dist FROM reach GROUP BY id ORDER BY id""",
         "kcore_supply": _kcore_sql(),
+        "coreness_supply": _coreness_sql(),
         "degree_distribution_supply": f"""
 WITH {SUPPLY_EDGES.strip().rstrip(',')}
 SELECT degree, count(*) AS n_vertices FROM (

@@ -1,0 +1,87 @@
+"""Core decomposition (H-index iteration) vs a python peeling oracle."""
+
+import heapq
+import random
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from subgraph_isomorphism_pregel_spark.operators.coreness import (
+    _segment_hindex,
+    coreness,
+)
+
+
+def peel_coreness(pairs):
+    """Exact core numbers by min-degree peeling (lazy-delete heap)."""
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, removed, k = {}, set(), 0
+    h = [(d, v) for v, d in deg.items()]
+    heapq.heapify(h)
+    while h:
+        d, v = heapq.heappop(h)
+        if v in removed or d != deg[v]:
+            continue
+        k = max(k, deg[v])
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(h, (deg[u], u))
+    return core
+
+
+def _graph(spark, pairs, extra_ids=()):
+    e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ids = sorted({x for p in pairs for x in p} | set(extra_ids))
+    v = spark.createDataFrame([(i, 0) for i in ids], "id long, label int")
+    return v, e
+
+
+def test_segment_hindex_closed_form():
+    pos = np.array([0, 0, 1, 1, 1, 2, 0])
+    val = np.array([3, 2, 5, 4, 2, 1, 3])
+    cnt = np.array([1, 1, 1, 2, 1, 1, 1])
+    upos, h = _segment_hindex(pos, val, cnt)
+    assert upos.tolist() == [0, 1, 2] and h.tolist() == [2, 3, 1]
+
+
+def test_coreness_known_shapes(spark):
+    # triangle with a pendant tail and an isolated vertex:
+    # triangle vertices core 2, tail core 1, isolated core 0
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    v, e = _graph(spark, pairs, extra_ids=[9])
+    out, _ = coreness(spark, v, e, num_partitions=4)
+    got = {r["id"]: r["coreness"] for r in out.collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 9: 0}
+
+
+def test_coreness_random_matches_peeling(spark):
+    rng = random.Random(19)
+    pairs = {
+        (u, v)
+        for u in range(40)
+        for v in range(u + 1, 40)
+        if rng.random() < 0.12
+    }
+    v, e = _graph(spark, pairs)
+    out, metrics = coreness(spark, v, e, num_partitions=4)
+    got = {r["id"]: r["coreness"] for r in out.collect()}
+    want = peel_coreness(pairs)
+    # vertices absent from any edge pair are not in `want`
+    assert {k: c for k, c in got.items() if k in want} == want
+    assert all(c == 0 for k, c in got.items() if k not in want)
+    # monotone lattice: converged (last superstep reports zero changes)
+    last = max(m["superstep"] for m in metrics)
+    assert (
+        sum(m["active_vertices"] for m in metrics if m["superstep"] == last)
+        == 0
+    )
