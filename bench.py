@@ -156,6 +156,14 @@ def main() -> None:
 
     throughput["kcore32_size"] = bench("kcore_32", run_kcore)
 
+    def run_coreness():
+        from subgraph_isomorphism_pregel_spark.operators.coreness import coreness
+
+        core, _ = coreness(spark, sv, se, num_partitions=None)
+        return core.agg(F.max("coreness")).collect()[0][0]
+
+    throughput["max_coreness"] = bench("coreness", run_coreness)
+
     rv = re_ = None
 
     def run_build_ring():

@@ -80,3 +80,19 @@ def test_cli_louvain(spark, graph_dir, tmp_path):
     lv = pd.read_parquet(out)
     assert sorted(lv.columns) == ["comm", "id"]
     assert sorted(lv["id"].tolist()) == [0, 1, 2, 3]
+
+
+def test_cli_coreness(spark, graph_dir, tmp_path):
+    # symmetrized input (the kernel programs' contract): 4-cycle with one
+    # chord plus a pendant vertex 4 — cycle vertices core 2, pendant core 1
+    import pandas as pd
+
+    sym = []
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]:
+        sym += [(a, b), (b, a)]
+    p = str(tmp_path / "sym.parquet")
+    pd.DataFrame(sym, columns=["src", "dst"]).to_parquet(p)
+    out = str(tmp_path / "core.parquet")
+    assert cli.main(["--algo", "coreness", "--edges", p, "--output", out]) == 0
+    got = pd.read_parquet(out).set_index("id")["coreness"].to_dict()
+    assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1}
