@@ -297,6 +297,23 @@ def q_harmonic_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.orderBy("id")
 
 
+def q_closeness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled closeness centrality over the ring graph (same 4
+    landmarks and hop bound as landmarks_ring); reached and dist_sum are
+    exact int64, so the one double division hash-gates without rounding."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import (
+        closeness_centrality,
+    )
+
+    v, e = ring_graph(spark, sf_dir)
+    n = v.count()
+    lms = [0, n // 4, n // 2, (3 * n) // 4]
+    c, _ = closeness_centrality(
+        spark, v, e, lms, max_hops=LANDMARK_HOPS, num_partitions=8
+    )
+    return c.orderBy("id")
+
+
 def q_scc_dag_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (forward-backward coloring on the BSP
     kernel) over the deterministic directed dag-of-cycles fixture; scc = min
@@ -1905,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterflies_supply": q_butterflies_supply,
         "landmarks_ring": q_landmarks_ring,
         "harmonic_ring": q_harmonic_ring,
+        "closeness_ring": q_closeness_ring,
         "betweenness_ring": q_betweenness_ring,
         "ktruss_ring": q_ktruss_ring,
         "doc_quantiles": q_doc_quantiles,
@@ -3327,6 +3345,33 @@ def _harmonic_sql() -> str:
     )
 
 
+def _closeness_sql() -> str:
+    """Landmark-sampled closeness from the same landmark BFS CTEs:
+    reached / dist_sum with both aggregates exact ints, so the division is
+    the only float op — bit-identical to the operator."""
+    ctes, joins = _landmark_ctes()
+    hits = " + ".join(
+        f"(CASE WHEN coalesce(m{b}.d, -1) > 0 THEN 1 ELSE 0 END)"
+        for b in range(len(_LANDMARK_SEEDS))
+    )
+    dsum = " + ".join(
+        f"(CASE WHEN coalesce(m{b}.d, -1) > 0 THEN m{b}.d ELSE 0 END)"
+        for b in range(len(_LANDMARK_SEEDS))
+    )
+    return (
+        f"WITH RECURSIVE {RING_GRAPH.strip().rstrip(',')},\n"
+        + ",\n".join(ctes)
+        + f",\nagg AS (SELECT v.id, {hits} AS reached, {dsum} AS dist_sum\n"
+        + f"         FROM rv v {joins})\n"
+        + "SELECT CAST(id AS BIGINT) AS id, CAST(reached AS BIGINT) AS reached,\n"
+        + "       CAST(dist_sum AS BIGINT) AS dist_sum,\n"
+        + "       CASE WHEN dist_sum > 0\n"
+        + "            THEN CAST(reached AS BIGINT) / CAST(dist_sum AS BIGINT)\n"
+        + "            ELSE 0.0 END AS closeness\n"
+        + "FROM agg ORDER BY id"
+    )
+
+
 def _ktruss_sql() -> str:
     """Unrolled k-truss peel: per wave, support(u,v) = common neighbors of
     u and v in the CURRENT symmetric edge set (orientation-free, so no
@@ -4004,6 +4049,7 @@ ORDER BY id
 """,
         "landmarks_ring": _landmarks_sql(),
         "harmonic_ring": _harmonic_sql(),
+        "closeness_ring": _closeness_sql(),
         "betweenness_ring": _betweenness_sql(),
         "ktruss_ring": _ktruss_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the

@@ -416,3 +416,43 @@ def harmonic_centrality(
         ).otherwise(F.lit(0.0))
         total = term if total is None else (total + term)
     return d.select("id", total.alias("harmonic")), metrics
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    vertices: DataFrame,
+    edges: DataFrame,
+    landmarks: list[int],
+    max_hops: int = 32,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """(id, reached, dist_sum, closeness): landmark-sampled closeness
+    centrality on top of landmark_distances — reached = # landmarks s != v
+    found within max_hops, dist_sum = Σ d(s, v) over those, closeness =
+    reached / dist_sum (0.0 when nothing is reached). Both aggregates are
+    exact int64, so the single double division is bit-identical across
+    engines — the score hash-gates without rounding, like its harmonic
+    sibling (same one-kernel-run, k-distance-bands plan)."""
+    d, metrics = landmark_distances(
+        spark, vertices, edges, landmarks,
+        max_hops=max_hops, num_partitions=num_partitions,
+    )
+    reached = None
+    dsum = None
+    for b in range(len(landmarks)):
+        hit = F.when(F.col(f"d{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.when(F.col(f"d{b}") > 0, F.col(f"d{b}")).otherwise(F.lit(0))
+        reached = hit if reached is None else (reached + hit)
+        dsum = term if dsum is None else (dsum + term)
+    closeness = F.when(
+        dsum > 0, reached.cast("long") / dsum.cast("long")
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "id",
+            reached.cast("long").alias("reached"),
+            dsum.cast("long").alias("dist_sum"),
+            closeness.alias("closeness"),
+        ),
+        metrics,
+    )

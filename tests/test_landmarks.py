@@ -55,3 +55,35 @@ def test_landmarks_every_vertex_has_a_row(spark):
     # feature-matrix contract: isolated vertices still carry a row of -1s
     got = run(spark, 5, [(0, 1), (1, 0)], [0, 3], P=2)
     assert got[4] == (-1, -1) and got[3] == (-1, 0) and len(got) == 5
+
+
+def test_closeness_matches_python(spark):
+    """Landmark-sampled closeness == python BFS replay (reached/dist_sum),
+    including unreached (0.0) and self-landmark exclusion."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import (
+        closeness_centrality,
+    )
+
+    rng = random.Random(23)
+    n = 30
+    pairs = {(u, v) for u in range(n) for v in range(u + 1, n) if rng.random() < 0.1}
+    edges = set()
+    for u, v in pairs:
+        edges.add((u, v))
+        edges.add((v, u))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    lms = [0, 7, 19]
+    verts = spark.createDataFrame([(i, 0) for i in range(n)], "id long, label int")
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    out, _ = closeness_centrality(spark, verts, e, lms, max_hops=32, num_partitions=3)
+    got = {
+        r["id"]: (r["reached"], r["dist_sum"], r["closeness"])
+        for r in out.collect()
+    }
+    dists = [bfs(n, adj, s, 32) for s in lms]
+    for v in range(n):
+        ds = [d[v] for d in dists if d.get(v, 0) > 0]
+        want = (len(ds), sum(ds), (len(ds) / sum(ds)) if ds else 0.0)
+        assert got[v] == want, v
