@@ -297,6 +297,16 @@ def q_harmonic_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.orderBy("id")
 
 
+def q_wl_colors_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 1-WL colors after 3 refinement rounds on the ring graph
+    — the isomorphism-filter companion of the matcher; md5 + sorted
+    neighbor-color concatenation is engine-exact."""
+    from subgraph_isomorphism_pregel_spark.operators.wl import wl_refine
+
+    v, e = ring_graph(spark, sf_dir)
+    return wl_refine(v, e, rounds=3).orderBy("id")
+
+
 def q_closeness_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-sampled closeness centrality over the ring graph (same 4
     landmarks and hop bound as landmarks_ring); reached and dist_sum are
@@ -1923,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmarks_ring": q_landmarks_ring,
         "harmonic_ring": q_harmonic_ring,
         "closeness_ring": q_closeness_ring,
+        "wl_colors_ring": q_wl_colors_ring,
         "betweenness_ring": q_betweenness_ring,
         "ktruss_ring": q_ktruss_ring,
         "doc_quantiles": q_doc_quantiles,
@@ -3345,6 +3356,31 @@ def _harmonic_sql() -> str:
     )
 
 
+def _wl_sql(rounds: int = 3) -> str:
+    """Unrolled 1-WL refinement: md5(prev || '|' || sorted neighbor
+    colors), string_agg ORDER BY = Spark's sort_array + concat_ws, so
+    every round's colors are bit-identical."""
+    ctes = [
+        RING_GRAPH.strip().rstrip(","),
+        "c0 AS MATERIALIZED (SELECT id, md5(CAST(label AS VARCHAR)) AS color FROM rv)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""n{t} AS (SELECT e.dst AS id, string_agg(c.color, ',' ORDER BY c.color) AS nbs
+  FROM edges e JOIN c{t - 1} c ON e.src = c.id GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT c.id, md5(c.color || '|' || coalesce(n.nbs, '')) AS color
+  FROM c{t - 1} c LEFT JOIN n{t} n ON c.id = n.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, color FROM c{rounds} ORDER BY id"
+    )
+
+
 def _closeness_sql() -> str:
     """Landmark-sampled closeness from the same landmark BFS CTEs:
     reached / dist_sum with both aggregates exact ints, so the division is
@@ -4050,6 +4086,7 @@ ORDER BY id
         "landmarks_ring": _landmarks_sql(),
         "harmonic_ring": _harmonic_sql(),
         "closeness_ring": _closeness_sql(),
+        "wl_colors_ring": _wl_sql(),
         "betweenness_ring": _betweenness_sql(),
         "ktruss_ring": _ktruss_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the
