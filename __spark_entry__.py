@@ -1250,6 +1250,35 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs over documents SALTED with four
+    deterministic residue tokens per row (built identically in the SQL
+    twin) — the synthetic corpus has a ~31-term vocabulary, so unsalted
+    term-space cosine would only ever see the exact-duplicate pairs; the
+    salt produces a graded 0.4-0.6 cosine spectrum the threshold cuts
+    non-vacuously."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" q"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(" r"),
+            (F.col("doc_id") % 19).cast("string"),
+            F.lit(" s"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(" u"),
+            (F.col("doc_id") % 13).cast("string"),
+        ).alias("text"),
+    )
+    return tfidf_cosine_pairs(salted, threshold=0.35, max_df=60)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.2)
 
@@ -1981,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "dsir_weights": q_dsir_weights,
         "dedup_exact": q_dedup_exact,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -4459,6 +4489,33 @@ s AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS qs FROM q GROUP BY doc_id)
 SELECT s.doc_id, nd.n AS n_tokens, nd.n_distinct,
        round(-(qs / 1e9), 6) AS entropy_r
 FROM s JOIN nd USING (doc_id) ORDER BY doc_id""",
+        "tfidf_cosine_pairs": """
+WITH salted AS (
+  SELECT doc_id,
+         text || ' q' || CAST(doc_id % 23 AS VARCHAR)
+              || ' r' || CAST(doc_id % 19 AS VARCHAR)
+              || ' s' || CAST(doc_id % 17 AS VARCHAR)
+              || ' u' || CAST(doc_id % 13 AS VARCHAR) AS text
+  FROM documents),
+w AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS words
+      FROM salted),
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+wt AS (SELECT doc_id, term, tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / df) AS w
+       FROM tf JOIN dfx USING (term) WHERE df <= 60),
+nq AS (SELECT doc_id, sum(CAST(floor(w*w*1e9 + 0.5) AS BIGINT)) AS q
+       FROM wt GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                sum(CAST(floor(a.w*b.w*1e9 + 0.5) AS BIGINT)) AS dq
+         FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+c AS (SELECT doc_a, doc_b,
+             round((dq/1e9) / (sqrt(na.q/1e9) * sqrt(nb.q/1e9)), 6) AS cos_r
+      FROM dots JOIN nq na ON dots.doc_a = na.doc_id
+                 JOIN nq nb ON dots.doc_b = nb.doc_id)
+SELECT doc_a, doc_b, cos_r FROM c WHERE cos_r >= 0.35 ORDER BY doc_a, doc_b""",
         "dsir_weights": """
 WITH w AS (SELECT doc_id, lang,
              list_filter(string_split(trim(text), ' '), x -> x <> '') AS words

@@ -397,3 +397,76 @@ def dedup_spans(docs: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, cos_r) — exact sparse TF-IDF cosine similarity for
+    document pairs sharing at least one retained term, the term-space
+    near-duplicate detector that complements MinHash (set overlap) and
+    embedding cosine (dense space).
+
+    Vector space: terms with document frequency <= `max_df` (the df prune
+    is the standard stop-term cut AND the scale lever — it bounds each
+    inverted-index posting list, so the shared-term pair join never sees a
+    quadratic hot term; cosine is exact WITHIN this filtered space, and
+    the SQL twin applies the identical cut). Weights w = tf * ln(N/df).
+
+    Engine-exactness: per-term dot and norm contributions (w_a*w_b, w^2)
+    are quantized at 1e-9 and summed as int64 (fixed_point_sum
+    discipline), the two sqrt and one divide are the only float ops, and
+    the threshold filters the ROUNDED score — bit-stable across engines
+    and partitionings.
+
+    Scale shape: two groupBys build (doc, term, w); one equi-join on term
+    (posting lists bounded by max_df) + groupBy(pair) for dots; broadcast
+    norms. Nothing all-pairs."""
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = float(docs.count())
+    wt = (
+        tf.join(dfx, "term")
+        .where(F.col("df") <= max_df)
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))).alias("w"),
+        )
+    )
+    q = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+    norms = wt.groupBy("doc_id").agg(
+        F.sum(q(F.col("w") * F.col("w"))).alias("nq")
+    )
+    a = wt.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = wt.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(q(F.col("wa") * F.col("wb"))).alias("dq"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nq").alias("nqa"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nq").alias("nqb"))
+    cos = F.round(
+        (F.col("dq") / F.lit(1e9))
+        / (
+            F.sqrt(F.col("nqa") / F.lit(1e9))
+            * F.sqrt(F.col("nqb") / F.lit(1e9))
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_r"))
+        .where(F.col("cos_r") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

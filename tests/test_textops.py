@@ -1239,3 +1239,72 @@ def test_dsir_weights(spark, docs):
         for r in dsir_weights(docs).collect()
     }
     assert got2 == replay(corpus)
+
+
+def test_tfidf_cosine_pairs(spark):
+    """Exact python replay of the quantized sparse-cosine pipeline, plus
+    closed-form identical-doc / disjoint-doc behavior."""
+    from subgraph_isomorphism_pregel_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry"),      # exact dup of 1 -> cos 1.0
+        (3, "apple banana date"),        # partial overlap
+        (4, "elderberry fig grape"),     # disjoint -> no pair
+        (5, "the the the the"),          # high-tf single common term
+    ]
+
+    def replay(rows, threshold, max_df):
+        toks = {d: py_tokens(t) for d, t in rows}
+        tf = {}
+        for d, ts in toks.items():
+            for t in ts:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+        df = {}
+        for (d, t), _ in tf.items():
+            df[t] = df.get(t, 0) + 1
+        n = float(len(rows))
+        w = {
+            (d, t): c * math.log(n / df[t])
+            for (d, t), c in tf.items()
+            if df[t] <= max_df
+        }
+        q = lambda x: math.floor(x * 1e9 + 0.5)
+        nq = {}
+        for (d, t), v in w.items():
+            nq[d] = nq.get(d, 0) + q(v * v)
+        dq = {}
+        docs = sorted(toks)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                s = 0
+                shared = False
+                for t in set(x for dd, x in w if dd == a):
+                    if (b, t) in w:
+                        shared = True
+                        s += q(w[(a, t)] * w[(b, t)])
+                if shared:
+                    dq[(a, b)] = s
+        out = {}
+        for (a, b), s in dq.items():
+            cos = round(
+                (s / 1e9)
+                / (math.sqrt(nq[a] / 1e9) * math.sqrt(nq[b] / 1e9)),
+                6,
+            )
+            if cos >= threshold:
+                out[(a, b)] = cos
+        return out
+
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_r"]
+        for r in tfidf_cosine_pairs(d, threshold=0.1, max_df=10).collect()
+    }
+    want = replay(rows, 0.1, 10)
+    assert got == want
+    assert got[(1, 2)] == 1.0           # exact duplicates
+    assert 0.1 <= got[(1, 3)] < 1.0     # partial overlap, graded
+    assert not any(4 in p for p in got)  # disjoint doc never pairs
