@@ -863,6 +863,19 @@ def q_coreness_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id")
 
 
+def q_onion_coreness_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core numbers by the SECOND, structurally different implementation —
+    onion-decomposition wave peeling with an aggregator-driven adaptive
+    threshold — hash-gated against the SAME unrolled H-index SQL oracle as
+    coreness_supply: a bug in either the peeling protocol or the H-index
+    fixed point cannot cancel. Layers are pytest-covered (no SQL twin)."""
+    from subgraph_isomorphism_pregel_spark.operators.onion import onion_layers
+
+    v, e = supply_graph(spark, sf_dir)
+    out, _ = onion_layers(spark, v, e, num_partitions=16)
+    return out.select("id", "coreness").orderBy("id")
+
+
 def q_kcore_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vertices of the 32-core — iterative peeling on the BSP kernel; the
     oracle unrolls the same peel as MATERIALIZED within-survivor degree
@@ -1976,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_supply": q_sssp_supply,
         "kcore_supply": q_kcore_supply,
         "coreness_supply": q_coreness_supply,
+        "onion_coreness_supply": q_onion_coreness_supply,
         "degree_distribution_supply": q_degree_supply,
         "triangles_ring": q_triangles_ring,
         "rectangles_ring": q_rectangles_ring,
@@ -4172,6 +4186,7 @@ reach AS (
 SELECT id, min(dist) AS dist FROM reach GROUP BY id ORDER BY id""",
         "kcore_supply": _kcore_sql(),
         "coreness_supply": _coreness_sql(),
+        "onion_coreness_supply": _coreness_sql(),
         "degree_distribution_supply": f"""
 WITH {SUPPLY_EDGES.strip().rstrip(',')}
 SELECT degree, count(*) AS n_vertices FROM (

@@ -85,3 +85,51 @@ def test_coreness_random_matches_peeling(spark):
         sum(m["active_vertices"] for m in metrics if m["superstep"] == last)
         == 0
     )
+
+
+def py_onion(pairs, extra_ids=()):
+    """Wave replay: t = running max of min alive degree; each wave removes
+    all deg <= t, assigning (layer, t)."""
+    adj = {v: set() for v in extra_ids}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {x: len(ns) for x, ns in adj.items()}
+    alive, t, lay, out = set(adj), -1, 0, {}
+    while alive:
+        t = max(t, min(deg[x] for x in alive))
+        wave = [x for x in alive if deg[x] <= t]
+        lay += 1
+        for x in wave:
+            out[x] = (lay, t)
+            alive.discard(x)
+        for x in wave:
+            for u in adj[x]:
+                if u in alive:
+                    deg[u] -= 1
+    return out
+
+
+def test_onion_layers_matches_replay_and_coreness(spark):
+    from subgraph_isomorphism_pregel_spark.operators.onion import onion_layers
+
+    rng = random.Random(41)
+    pairs = {
+        (u, v)
+        for u in range(36)
+        for v in range(u + 1, 36)
+        if rng.random() < 0.14
+    }
+    v, e = _graph(spark, pairs, extra_ids=[99])  # plus an isolate
+    out, metrics = onion_layers(spark, v, e, num_partitions=4)
+    got = {r["id"]: (r["layer"], r["coreness"]) for r in out.collect()}
+    want = py_onion(pairs, extra_ids=[99])
+    assert got == want
+    # the isolate is its own first wave at threshold 0
+    assert got[99] == (1, 0)
+    # onion coreness == peeling coreness (cross-implementation identity)
+    core = peel_coreness(pairs)
+    assert {k: c for k, (_, c) in got.items() if k in core} == core
+    # every vertex assigned (converged = nothing alive; the final
+    # superstep may legitimately remove the last wave)
+    assert all(l >= 1 and c >= 0 for l, c in got.values())
