@@ -447,6 +447,31 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every click, the user's NEXT purchase
+    at-or-after it within 2 hours (time-to-convert attribution) — the
+    descending-scan twin of asof_events."""
+    from subgraph_isomorphism_pregel_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left, right, keys=["user_id"], payload_cols=["event_id", "value"],
+        direction="forward", tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "matched_event_id",
+        F.round("matched_value", 6).alias("matched_value_r"),
+    ).orderBy("event_id")
+
+
 def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join on the events table: every click in the hour before each
     purchase, per user (attribution windows)."""
@@ -1963,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_ring_core": q_densest_ring_core,
         "shuffle_shards_docs": q_shuffle_shards,
         "asof_events": q_asof_events,
+        "asof_events_forward": q_asof_events_forward,
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "cube_events": q_cube_events,
@@ -4064,6 +4090,17 @@ SELECT doc_id, CAST(rk % {SHARD_N} AS INT) AS shard,
        CAST(rk // {SHARD_N} AS BIGINT) AS rank_in_shard
 FROM r ORDER BY doc_id""",
         "asof_events": ASOF_SQL,
+        # forward: earliest purchase at-or-after each click, within 2h;
+        # equal-ts ties to the greatest payload like the backward twin
+        "asof_events_forward": """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT event_id, user_id, matched_event_id, round(matched_value, 6) AS matched_value_r FROM (
+  SELECT l.event_id, l.user_id, r.event_id AS matched_event_id, r.value AS matched_value,
+         row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC, r.event_id DESC) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+       AND epoch_us(r.ts) - epoch_us(l.ts) <= CAST(7200000000 AS BIGINT))
+WHERE rn = 1 ORDER BY event_id""",
         "range_join_events": RANGE_JOIN_SQL,
         "time_rollup_events": TIME_ROLLUP_SQL,
         # CUBE grouping-id convention: first dim = most significant bit,

@@ -40,11 +40,22 @@ def asof_join(
     payload_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
     """-> left rows + {prefix}<payload_col> columns from the as-of match
-    (null when no right row precedes, or the tolerance lapses)."""
+    (null when no right row qualifies, or the tolerance lapses).
+
+    direction (pandas.merge_asof semantics, inclusive at equal ts):
+      'backward' — latest right row at-or-before the left row (default);
+      'forward'  — earliest right row at-or-after (the same union-window
+                   plan scanned descending);
+      'nearest'  — whichever of the two is closer in time, ties to the
+                   backward match; both carries ride ONE shuffle (same
+                   key partitioning, two per-partition sorts)."""
     if not keys:
         raise ValueError("asof_join needs at least one key column")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward | forward | nearest")
     payload_cols = payload_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
@@ -72,22 +83,58 @@ def asof_join(
         F.lit(None).cast(pay_type).alias("__pay"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__row"),
     )
-    w = (
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__pay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        r_side.unionByName(l_side)
-        .withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
-        .where(F.col("__tag") == 1)
+    # descending time scan: the last right row carried onto a left row is
+    # the EARLIEST right at-or-after it (tag 0 before tag 1 keeps equal-ts
+    # inclusive; __pay asc keeps the greatest-payload tie-break)
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__pay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    m = F.col("__m")
-    if tolerance_seconds is not None:
-        fresh = (
-            F.col("__t").cast("long") - m.getField("__ts").cast("long")
-        ) <= tolerance_seconds
-        m = F.when(m.isNotNull() & fresh, F.col("__m"))
+    union = r_side.unionByName(l_side)
+    if direction == "backward":
+        carried = union.withColumn("__mb", F.last("__pay", ignorenulls=True).over(w_b))
+    elif direction == "forward":
+        carried = union.withColumn("__mf", F.last("__pay", ignorenulls=True).over(w_f))
+    else:
+        carried = union.withColumn(
+            "__mb", F.last("__pay", ignorenulls=True).over(w_b)
+        ).withColumn("__mf", F.last("__pay", ignorenulls=True).over(w_f))
+    carried = carried.where(F.col("__tag") == 1)
+
+    def epoch_us(col):
+        # NTZ-safe epoch micros (cast("long") rejects TIMESTAMP_NTZ);
+        # only differences are used, so any consistent epoch works
+        return F.unix_micros(F.to_utc_timestamp(col, "UTC"))
+
+    def gate(col, delta_us):
+        if tolerance_seconds is None:
+            return col
+        return F.when(
+            col.isNotNull() & (delta_us <= tolerance_seconds * 1_000_000), col
+        )
+
+    t_us = epoch_us(F.col("__t"))
+    if direction == "backward":
+        m = gate(F.col("__mb"), t_us - epoch_us(F.col("__mb").getField("__ts")))
+    elif direction == "forward":
+        m = gate(F.col("__mf"), epoch_us(F.col("__mf").getField("__ts")) - t_us)
+    else:
+        mb = gate(F.col("__mb"), t_us - epoch_us(F.col("__mb").getField("__ts")))
+        mf = gate(F.col("__mf"), epoch_us(F.col("__mf").getField("__ts")) - t_us)
+        db = t_us - epoch_us(mb.getField("__ts"))
+        df_ = epoch_us(mf.getField("__ts")) - t_us
+        m = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)  # tie -> backward (pandas semantics)
+            .otherwise(mf)
+        )
     out_cols = [F.col("__row").getField(c).alias(c) for c in left_cols]
     out_cols += [
         m.getField(c).alias(f"{prefix}{c}") for c in payload_cols
