@@ -1849,6 +1849,17 @@ def q_gapfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(ev, bucket_seconds=GAPFILL_BUCKET_S)
 
 
+def q_gapfill_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type event series with LINEAR interpolation between
+    the nearest observed buckets — gapfill's other standard mode."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import (
+        gapfill_interpolate,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gapfill_interpolate(ev, bucket_seconds=GAPFILL_BUCKET_S)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1959,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigencentrality_ring": q_eigencentrality_ring,
         "decontaminate": q_decontaminate,
         "gapfill_events": q_gapfill_events,
+        "gapfill_interp_events": q_gapfill_interp_events,
         "funnel_events": q_funnel_events,
         "markov_events": q_markov_events,
         "retention_events": q_retention_events,
@@ -3955,6 +3967,39 @@ SELECT r.event_type, r.bucket_id,
        a.n IS NULL AS filled
 FROM r LEFT JOIN a ON r.event_type = a.event_type AND r.bucket_id = a.bucket_id
 ORDER BY r.event_type, r.bucket_id""",
+        # linear interpolation: operand order mirrors the operator's lerp
+        # verbatim so the doubles are bit-identical
+        "gapfill_interp_events": f"""
+WITH b AS (SELECT event_type,
+                  CAST(floor(epoch_us(ts) / ({GAPFILL_BUCKET_S} * 1000000.0)) AS BIGINT)
+                    AS bucket_id,
+                  value
+           FROM events),
+a AS (SELECT event_type, bucket_id, count(*) AS n, round(sum(value), 6) AS val_obs
+      FROM b GROUP BY event_type, bucket_id),
+r AS (SELECT event_type, unnest(range(min(bucket_id), max(bucket_id) + 1)) AS bucket_id
+      FROM a GROUP BY event_type),
+w AS (SELECT r.event_type, r.bucket_id, a.n, a.val_obs,
+       last_value(a.val_obs IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       last_value(CASE WHEN a.n IS NOT NULL THEN r.bucket_id END IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+       first_value(a.val_obs IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       first_value(CASE WHEN a.n IS NOT NULL THEN r.bucket_id END IGNORE NULLS) OVER (
+         PARTITION BY r.event_type ORDER BY r.bucket_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM r LEFT JOIN a ON r.event_type = a.event_type AND r.bucket_id = a.bucket_id)
+SELECT event_type, bucket_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n,
+       CASE WHEN n IS NOT NULL THEN val_obs
+            ELSE round(pv + (nv - pv) * ((bucket_id - pb) / (nb - pb)), 6)
+       END AS val,
+       n IS NULL AS filled
+FROM w ORDER BY event_type, bucket_id""",
         "decontaminate": f"""
 WITH {SHINGLES.strip().rstrip(',')},
 bm AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),

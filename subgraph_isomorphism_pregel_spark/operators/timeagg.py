@@ -126,3 +126,65 @@ def cube_agg(
             F.round(fixed_point_sum(value_col), 6).alias("sum_r"),
         )
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_seconds: int = 900,
+) -> DataFrame:
+    """Gap-filled series with LINEAR interpolation — gapfill_locf's other
+    standard mode: a missing bucket gets
+
+        val = prev + (next - prev) * (bucket - prev_b) / (next_b - prev_b)
+
+    between its nearest observed neighbors (the skeleton spans each
+    group's first..last observed bucket, so every gap has both). Same
+    two-shuffle plan as LOCF plus one backward window on the SAME group
+    key (no extra exchange); the lerp's operand order is mirrored
+    verbatim in the SQL twin so the doubles are bit-identical."""
+    from pyspark.sql import Window
+
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        time_bucket(F.col(ts_col), bucket_seconds).alias("bucket_id"),
+        F.col(value_col).alias("v"),
+    )
+    agg = b.groupBy("grp", "bucket_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 6).alias("val_obs")
+    )
+    rng = (
+        agg.groupBy("grp")
+        .agg(F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi"))
+        .select("grp", F.explode(F.sequence("lo", "hi")).alias("bucket_id"))
+    )
+    j = rng.join(agg, ["grp", "bucket_id"], "left")
+    wp = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("grp")
+        .orderBy("bucket_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("n").isNotNull(), F.col("bucket_id"))
+    pv = F.last("val_obs", ignorenulls=True).over(wp)
+    pb = F.last(obs_b, ignorenulls=True).over(wp)
+    nv = F.first("val_obs", ignorenulls=True).over(wn)
+    nb = F.first(obs_b, ignorenulls=True).over(wn)
+    lerp = F.round(
+        pv + (nv - pv) * ((F.col("bucket_id") - pb) / (nb - pb)), 6
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "bucket_id",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("n").isNotNull(), F.col("val_obs")).otherwise(lerp).alias("val"),
+        F.col("n").isNull().alias("filled"),
+    ).orderBy(group_col, "bucket_id")

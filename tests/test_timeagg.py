@@ -114,3 +114,38 @@ def test_cube_agg_cells_and_gid(spark):
 
     with pytest.raises(ValueError):
         cube_agg(df, dims=[])
+
+
+def test_gapfill_interpolate_closed_form(spark):
+    """Observed buckets 0 (sum 1.0) and 4 (sum 9.0) with a 3-bucket gap:
+    lerp fills 3.0, 5.0, 7.0; observed rows keep their exact aggregates;
+    a second group with adjacent buckets has no fills."""
+    from subgraph_isomorphism_pregel_spark.operators.timeagg import (
+        gapfill_interpolate,
+    )
+
+    rows = [
+        (1, T0, "a", 1.0),
+        (2, T0 + timedelta(minutes=60), "a", 9.0),          # bucket 4
+        (3, T0 + timedelta(minutes=1), "b", 2.0),
+        (4, T0 + timedelta(minutes=16), "b", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = gapfill_interpolate(df, bucket_seconds=900).collect()
+    base = {g: min(r["bucket_id"] for r in out if r["event_type"] == g) for g in "ab"}
+    got = {
+        (r["event_type"], r["bucket_id"] - base[r["event_type"]]): (
+            r["n"], r["val"], r["filled"],
+        )
+        for r in out
+    }
+    assert got[("a", 0)] == (1, 1.0, False)
+    assert got[("a", 1)] == (0, 3.0, True)
+    assert got[("a", 2)] == (0, 5.0, True)
+    assert got[("a", 3)] == (0, 7.0, True)
+    assert got[("a", 4)] == (1, 9.0, False)
+    assert got[("b", 0)] == (1, 2.0, False)
+    assert got[("b", 1)] == (1, 4.0, False)
+    assert len(got) == 7
