@@ -1,7 +1,7 @@
 """spark-submit entry point.
 
     spark-submit --py-files <zip of subgraph_isomorphism_pregel_spark> main.py \
-        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,coreness,mis,mst,matching,coloring,louvain,scc,eigen,katz,buildorder,match} \
+        --algo {pagerank,ppr,hits,cc,lp,sssp,wsssp,triangles,kcore,coreness,onion,mis,mst,matching,coloring,louvain,scc,eigen,katz,buildorder,match} \
         (--edges E.parquet --vertices V.parquet | --corpus C.parquet | --toy) \
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
@@ -23,7 +23,7 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="PySpark link-graph analytics engine")
     p.add_argument("--algo", required=True,
                    choices=["pagerank", "ppr", "hits", "cc", "lp", "sssp", "wsssp",
-                            "triangles", "kcore", "coreness", "mis", "mst", "matching", "coloring", "louvain",
+                            "triangles", "kcore", "coreness", "onion", "mis", "mst", "matching", "coloring", "louvain",
                             "scc", "eigen", "katz", "buildorder", "match"])
     p.add_argument("--edges", help="edge table parquet (src,dst)")
     p.add_argument("--vertices", help="vertex table parquet (id,label)")
@@ -259,6 +259,15 @@ def main(argv=None):
         from subgraph_isomorphism_pregel_spark.operators.coreness import coreness
 
         result, metrics = coreness(
+            spark, vertices, edges,
+            num_partitions=args.partitions,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            checkpoint_every=args.checkpoint_every,
+        )
+    elif args.algo == "onion":
+        from subgraph_isomorphism_pregel_spark.operators.onion import onion_layers
+
+        result, metrics = onion_layers(
             spark, vertices, edges,
             num_partitions=args.partitions,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,

@@ -96,3 +96,21 @@ def test_cli_coreness(spark, graph_dir, tmp_path):
     assert cli.main(["--algo", "coreness", "--edges", p, "--output", out]) == 0
     got = pd.read_parquet(out).set_index("id")["coreness"].to_dict()
     assert got == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_cli_onion(spark, graph_dir, tmp_path):
+    import pandas as pd
+
+    sym = []
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]:
+        sym += [(a, b), (b, a)]
+    p = str(tmp_path / "sym_on.parquet")
+    pd.DataFrame(sym, columns=["src", "dst"]).to_parquet(p)
+    out = str(tmp_path / "onion.parquet")
+    assert cli.main(["--algo", "onion", "--edges", p, "--output", out]) == 0
+    got = pd.read_parquet(out).set_index("id")
+    # pendant 4 peels in wave 1 at threshold 1; 1 and 3 (degree 2) go in
+    # wave 2; removing them exposes 0 and 2, which peel in wave 3 — all
+    # four cycle vertices share coreness 2
+    assert got["coreness"].to_dict() == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1}
+    assert got["layer"].to_dict() == {0: 3, 1: 2, 2: 3, 3: 2, 4: 1}
