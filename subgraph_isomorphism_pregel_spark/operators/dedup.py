@@ -1,5 +1,5 @@
 """Deduplication operators (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding cosine) — the training-data-pipeline suite.
+sparse TF-IDF cosine, embedding cosine) — the training-data-pipeline suite.
 
 Everything stays JVM-side (codegen array/string expressions + shuffle joins);
 hashes are md5 hex strings so each operator has an exact DuckDB-SQL oracle.
