@@ -411,6 +411,24 @@ def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order keys over (user_id, epoch-second) low 16 bits — the
+    multi-dimension clustering key for min/max file skipping; pure
+    shift/mask codegen with an identical DuckDB twin."""
+    from subgraph_isomorphism_pregel_spark.sources.zorder import z2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    micros = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("zx"),
+        (F.floor(micros / F.lit(1_000_000)) % 65536).alias("zy"),
+    )
+    return d.select(
+        "event_id", "zx", "zy", z2("zx", "zy").alias("z")
+    ).orderBy("event_id")
+
+
 def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full OLAP CUBE over (event_type, hour-of-day) with SQL grouping id:
     every subset of the dimensions in one pass (finest cells, both
@@ -2004,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "time_rollup_events": q_time_rollup_events,
         "cube_events": q_cube_events,
+        "zorder_events": q_zorder_events,
         "stream_rollup": q_stream_rollup,
         "bloom_docs": q_bloom_docs,
         "wsssp_ring": q_wsssp_ring,
@@ -3438,6 +3457,37 @@ def _harmonic_sql() -> str:
     )
 
 
+def _zorder_sql() -> str:
+    """Morton interleave as chained CTE spread steps — the magic-number
+    masks verbatim from sources/zorder.py."""
+    steps = [
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ]
+
+    def spread(col, out):
+        lines = [f"{col} & 65535 AS {out}0"]
+        for i, (sh, mask) in enumerate(steps, 1):
+            lines.append(
+                f"({out}{i-1} | ({out}{i-1} << {sh})) & {mask} AS {out}{i}"
+            )
+        return lines
+
+    return f"""
+WITH b AS (SELECT event_id,
+                  user_id % 65536 AS zx,
+                  (epoch_us(ts) // 1000000) % 65536 AS zy
+           FROM events),
+s AS (SELECT event_id, zx, zy,
+             {', '.join(spread('zx', 'sx'))},
+             {', '.join(spread('zy', 'sy'))}
+      FROM b)
+SELECT event_id, zx, zy, CAST(sx4 | (sy4 << 1) AS BIGINT) AS z
+FROM s ORDER BY event_id"""
+
+
 def _wl_sql(rounds: int = 3) -> str:
     """Unrolled 1-WL refinement: md5(prev || '|' || sorted neighbor
     colors), string_agg ORDER BY = Spark's sort_array + concat_ws, so
@@ -4213,6 +4263,7 @@ ORDER BY id
         "harmonic_ring": _harmonic_sql(),
         "closeness_ring": _closeness_sql(),
         "wl_colors_ring": _wl_sql(),
+        "zorder_events": _zorder_sql(),
         "betweenness_ring": _betweenness_sql(),
         "ktruss_ring": _ktruss_sql(),
         # butterflies = Σ over supplier pairs of C(common parts, 2); the
