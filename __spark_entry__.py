@@ -1184,6 +1184,38 @@ def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star pipeline, snapshot-diff leg: synthesize the corpus at TWO
+    revisions (rev 1 deterministically rewires the second import of ~10% of
+    files — sources/corpus.py _file_row), derive the directed import graph
+    at each, and diff them with the single-shuffle graph_diff operator.
+    Output is mapped back from xxhash64 file ids to (repo, src_stem,
+    dst_stem) strings, so the DuckDB twin can rebuild BOTH revisions'
+    edge sets from the generator's arithmetic import formulas and EXCEPT
+    them — an independent derivation of the same commit-to-commit delta."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import graph_diff
+    from subgraph_isomorphism_pregel_spark.sources.corpus import (
+        derive_edges,
+        derive_files,
+        synth_corpus,
+    )
+
+    c0 = synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7)
+    c1 = synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7, rev=1)
+    files = derive_files(c0)  # paths/ids are revision-invariant
+    d = graph_diff(derive_edges(c0, files), derive_edges(c1, files))
+    s = files.select(
+        F.col("file_id").alias("src"), "repo", F.col("stem").alias("src_stem")
+    )
+    t = files.select(F.col("file_id").alias("dst"), F.col("stem").alias("dst_stem"))
+    return (
+        d.join(s, "src")
+        .join(t, "dst")
+        .select("repo", "src_stem", "dst_stem", "change")
+        .orderBy("repo", "src_stem", "dst_stem", "change")
+    )
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -2064,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_star_of_stars_ring": q_match_star_of_stars_ring,
         "match_corpus_wedge": q_match_corpus_wedge,
         "corpus_components": q_corpus_components,
+        "corpus_graph_diff": q_corpus_graph_diff,
         "corpus_pagerank": q_corpus_pagerank,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
@@ -4526,6 +4559,33 @@ reach AS (
 comp AS (SELECT r, j, min(comp) AS comp FROM reach GROUP BY r, j),
 sizes AS (SELECT r, comp, count(*) AS sz FROM comp GROUP BY r, comp)
 SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz""",
+        # snapshot diff: both revisions' DIRECTED edge sets rebuilt from the
+        # generator's arithmetic import formulas (rev 1 rewires the second
+        # import of files with (3j+s)%10=0 from (13j+5+s) to (17j+3+s) mod
+        # fpr — sources/corpus.py _file_row), then set-EXCEPTed both ways
+        "corpus_graph_diff": """
+WITH rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+raw0 AS (SELECT r, j AS sj, (j*7 + 1 + 7) % 50 AS dj FROM rj
+         UNION
+         SELECT r, j, (j*13 + 5 + 7) % 50 FROM rj),
+e0 AS (SELECT r, sj, dj FROM raw0 WHERE sj <> dj),
+raw1 AS (SELECT r, j AS sj, (j*7 + 1 + 7) % 50 AS dj FROM rj
+         UNION
+         SELECT r, j, CASE WHEN (j*3 + 7) % 10 = 0
+                           THEN (j*17 + 3 + 7) % 50
+                           ELSE (j*13 + 5 + 7) % 50 END FROM rj),
+e1 AS (SELECT r, sj, dj FROM raw1 WHERE sj <> dj),
+delta AS (
+  SELECT r, sj, dj, 'added' AS change
+  FROM (SELECT r, sj, dj FROM e1 EXCEPT SELECT r, sj, dj FROM e0)
+  UNION ALL
+  SELECT r, sj, dj, 'removed'
+  FROM (SELECT r, sj, dj FROM e0 EXCEPT SELECT r, sj, dj FROM e1))
+SELECT concat('org', CAST(r % 97 AS VARCHAR), '/repo', CAST(r AS VARCHAR)) AS repo,
+       concat('mod_', CAST(sj AS VARCHAR)) AS src_stem,
+       concat('mod_', CAST(dj AS VARCHAR)) AS dst_stem,
+       change
+FROM delta ORDER BY repo, src_stem, dst_stem, change""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

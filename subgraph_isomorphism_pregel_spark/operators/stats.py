@@ -305,3 +305,38 @@ def modularity(
             ).alias("q_modularity"),
         )
     )
+
+
+def graph_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Edge-level diff of two graph snapshots: (src, dst, change) with
+    change in {'added', 'removed'} — unchanged edges are absent.
+
+    The commit-to-commit question on the source-code dependency graph
+    ("what did this commit do to the link structure?"): derive the edge
+    table at two corpus revisions (sources/corpus.py `synth_corpus(rev=...)`)
+    and diff them. The reference has no snapshot notion (one static load,
+    /root/reference/src/basic/Worker.h:304-344); this extends its runtime
+    vertex-addition capability (F9) to declarative snapshot analytics.
+
+    Scale shape: ONE shuffle total. Both sides are tagged with a presence
+    bit and bit_or-aggregated on (src, dst) — map-side partial aggregation
+    collapses duplicates before the exchange, so neither side needs its own
+    distinct(), and the full outer join / two anti-joins a naive diff would
+    run (two to three shuffles of both inputs) never happen. Output: mask
+    1 = removed (before only), 2 = added (after only), 3 = unchanged
+    (dropped)."""
+    a = before.select("src", "dst", F.lit(1).alias("__t"))
+    b = after.select("src", "dst", F.lit(2).alias("__t"))
+    return (
+        a.unionByName(b)
+        .groupBy("src", "dst")
+        .agg(F.bit_or("__t").alias("__m"))
+        .where(F.col("__m") != 3)
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("__m") == 2, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+        )
+    )

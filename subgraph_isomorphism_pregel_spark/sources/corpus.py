@@ -53,15 +53,23 @@ IMPORT_RE = {
 }
 
 
-def _file_row(r: int, j: int, files_per_repo: int, seed: int) -> dict:
-    """Deterministic cell values for file j of repo r."""
+def _file_row(r: int, j: int, files_per_repo: int, seed: int, rev: int = 0) -> dict:
+    """Deterministic cell values for file j of repo r.
+
+    rev models a LATER COMMIT of the same tree: at rev >= 1 every file with
+    ``(j*3 + seed) % 10 == 0`` (a deterministic ~10% of files) rewires its
+    SECOND import from target ``(13j+5+s) % fpr`` to ``(17j+3+s) % fpr``;
+    all other files are byte-identical to rev 0 and keep their rev-0 commit
+    id (per-file blob versioning: only changed files get a new commit)."""
     lang = LANGS[(r * 31 + j * 7 + seed) % len(LANGS)]
     stem = f"mod_{j}"
     path = f"src/{stem}.{EXT[lang]}"
     repo = f"org{r % 97}/repo{r}"
     # two deterministic intra-repo imports (skip self)
+    changed = rev >= 1 and (j * 3 + seed) % 10 == 0
+    second = (17, 3) if changed else (13, 5)
     tgt = []
-    for mult, add in ((7, 1), (13, 5)):
+    for mult, add in ((7, 1), second):
         t = (j * mult + add + seed) % files_per_repo
         if t != j and t not in tgt:
             tgt.append(t)
@@ -71,10 +79,11 @@ def _file_row(r: int, j: int, files_per_repo: int, seed: int) -> dict:
         f"// line {i} {filler_seed[(i * 3) % 40:(i * 3) % 40 + 12]}" for i in range(6)
     )
     content = "\n".join([f"// {repo}/{path}", *imports, filler])
+    commit_key = f"{repo}:{path}:rev{rev}" if changed else f"{repo}:{path}"
     return {
         "repo": repo,
         "path": path,
-        "commit": hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40],
+        "commit": hashlib.sha256(commit_key.encode()).hexdigest()[:40],
         "lang": lang,
         "content": content,
         "content_sha": hashlib.sha256(content.encode()).hexdigest(),
@@ -92,15 +101,18 @@ def synth_corpus(
     files_per_repo: int = 100,
     seed: int = 42,
     num_partitions: int | None = None,
+    rev: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic corpus: n_repos * files_per_repo rows."""
+    """Distributed deterministic corpus: n_repos * files_per_repo rows.
+    rev >= 1 yields a deterministic LATER SNAPSHOT of the same tree (see
+    _file_row) for commit-to-commit diff operators."""
     n = n_repos * files_per_repo
-    fpr, sd = files_per_repo, seed
+    fpr, sd, rv = files_per_repo, seed, rev
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             idx = pdf["id"].values
-            rows = [_file_row(int(i) // fpr, int(i) % fpr, fpr, sd) for i in idx]
+            rows = [_file_row(int(i) // fpr, int(i) % fpr, fpr, sd, rv) for i in idx]
             yield pd.DataFrame(rows)
 
     rng = spark.range(0, n, numPartitions=num_partitions or spark.sparkContext.defaultParallelism)

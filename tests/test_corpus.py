@@ -50,3 +50,55 @@ def test_pagerank_on_derived_graph(spark):
     rows = scores.collect()
     assert len(rows) == vertices.count()
     assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-6
+
+
+def test_rev0_identical_to_default(spark):
+    """rev=0 must be byte-identical to the historical generator output."""
+    base = synth_corpus(spark, n_repos=2, files_per_repo=15).orderBy("repo", "path").collect()
+    r0 = synth_corpus(spark, n_repos=2, files_per_repo=15, rev=0).orderBy("repo", "path").collect()
+    assert base == r0
+
+
+def test_graph_diff_matches_generator_formula(spark):
+    """graph_diff over the two corpus revisions == the diff computed from
+    _file_row's import targets directly (changed files keep their ids)."""
+    from subgraph_isomorphism_pregel_spark.operators.stats import graph_diff
+
+    n_r, fpr, sd = 2, 20, 42
+    c0 = synth_corpus(spark, n_repos=n_r, files_per_repo=fpr, seed=sd)
+    c1 = synth_corpus(spark, n_repos=n_r, files_per_repo=fpr, seed=sd, rev=1)
+    files = derive_files(c0)
+    id_of = {(r["repo"], r["path"]): r["file_id"] for r in files.collect()}
+
+    def edge_set(rev):
+        out = set()
+        for r in range(n_r):
+            for j in range(fpr):
+                row = _file_row(r, j, fpr, sd, rev)
+                changed = rev >= 1 and (j * 3 + sd) % 10 == 0
+                second = (17, 3) if changed else (13, 5)
+                for mult, add in ((7, 1), second):
+                    t = (j * mult + add + sd) % fpr
+                    if t != j:
+                        trow = _file_row(r, t, fpr, sd, rev)
+                        out.add(
+                            (id_of[(row["repo"], row["path"])],
+                             id_of[(trow["repo"], trow["path"])])
+                        )
+        return out
+
+    s0, s1 = edge_set(0), edge_set(1)
+    want = {(s, d, "added") for (s, d) in s1 - s0} | {
+        (s, d, "removed") for (s, d) in s0 - s1
+    }
+    assert want, "fixture must produce a non-empty diff"
+    d = graph_diff(derive_edges(c0, files), derive_edges(c1, files))
+    got = {(r["src"], r["dst"], r["change"]) for r in d.collect()}
+    assert got == want
+    # changed files get a NEW commit id; unchanged files keep theirs
+    commits0 = {(r["repo"], r["path"]): r["commit"] for r in c0.collect()}
+    commits1 = {(r["repo"], r["path"]): r["commit"] for r in c1.collect()}
+    n_changed = sum(1 for k in commits0 if commits0[k] != commits1[k])
+    assert n_changed == sum(
+        1 for j in range(fpr) if (j * 3 + sd) % 10 == 0
+    ) * n_r
