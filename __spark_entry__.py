@@ -1216,6 +1216,52 @@ def q_corpus_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_license_scan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance leg of the corpus pipeline: decorate the synthesized
+    corpus with deterministic license headers (j%7 picks MIT / Apache-2.0 /
+    GPL-3.0 / none — operators/codescan.py with_license_headers), DETECT
+    them back from the content text with the codegen header scan, and
+    return the license histogram. The DuckDB twin rebuilds the expected
+    histogram purely from the j%7 formula, so a detection bug (wrong
+    phrase, wrong precedence, scan window too small) changes the counts
+    and fails the gate."""
+    from subgraph_isomorphism_pregel_spark.operators.codescan import (
+        license_detect,
+        with_license_headers,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.corpus import synth_corpus
+
+    corpus = with_license_headers(synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7))
+    return (
+        license_detect(corpus)
+        .groupBy("license")
+        .agg(F.count("*").alias("n_files"))
+        .orderBy("license")
+    )
+
+
+def q_secret_scan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential-leak leg: the decorated corpus plants one AWS-shaped key
+    (AKIA + upper(md5(repo/path)[:16])) in every file with j%11==3; the
+    regexp_extract_all scan must find exactly those files and nothing
+    else. Returns the flagged-file list with per-pattern counts; the
+    DuckDB twin reconstructs it from the j%11 formula (repo and path
+    rebuilt from the generator's arithmetic: lang = LANGS[(31r+7j+s)%5])."""
+    from subgraph_isomorphism_pregel_spark.operators.codescan import (
+        secret_scan,
+        with_license_headers,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.corpus import synth_corpus
+
+    corpus = with_license_headers(synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7))
+    return (
+        secret_scan(corpus)
+        .where(F.col("n_secrets") > 0)
+        .select("repo", "path", "n_aws_key", "n_secrets")
+        .orderBy("repo", "path")
+    )
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -2098,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_components": q_corpus_components,
         "corpus_graph_diff": q_corpus_graph_diff,
         "corpus_pagerank": q_corpus_pagerank,
+        "license_scan_corpus": q_license_scan_corpus,
+        "secret_scan_corpus": q_secret_scan_corpus,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -4586,6 +4634,26 @@ SELECT concat('org', CAST(r % 97 AS VARCHAR), '/repo', CAST(r AS VARCHAR)) AS re
        concat('mod_', CAST(dj AS VARCHAR)) AS dst_stem,
        change
 FROM delta ORDER BY repo, src_stem, dst_stem, change""",
+        # license histogram rebuilt from the decorator's j%7 rule alone —
+        # the Spark side must DETECT the headers from the content text
+        "license_scan_corpus": """
+WITH rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+lic AS (SELECT CASE j % 7 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache-2.0'
+                          WHEN 2 THEN 'gpl-3.0' ELSE 'none' END AS license
+        FROM rj)
+SELECT license, count(*) AS n_files FROM lic GROUP BY license ORDER BY license""",
+        # flagged-file list rebuilt from the decorator's j%11 rule; repo and
+        # path come from the generator's arithmetic (lang = LANGS[(31r+7j+s)%5])
+        "secret_scan_corpus": """
+WITH rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+f AS (SELECT r, j,
+             ['py','js','java','cpp','go'][((r*31 + j*7 + 7) % 5) + 1] AS ext
+      FROM rj WHERE j % 11 = 3)
+SELECT concat('org', CAST(r % 97 AS VARCHAR), '/repo', CAST(r AS VARCHAR)) AS repo,
+       concat('src/mod_', CAST(j AS VARCHAR), '.', ext) AS path,
+       CAST(1 AS INTEGER) AS n_aws_key,
+       CAST(1 AS INTEGER) AS n_secrets
+FROM f ORDER BY repo, path""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt
