@@ -1262,6 +1262,22 @@ def q_secret_scan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repo_clones_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork/mirror detection leg: repo-level structural clone pairs over
+    the synthesized corpus. The generator makes a repo's structure (path
+    set, language pattern, import targets) a pure function of r mod 5, so
+    the 20 repos form 5 clone classes of 4 — the DuckDB twin enumerates
+    exactly those C(4,2)*5 = 30 pairs from the arithmetic, while the Spark
+    side must DERIVE them from the content (regex import extraction →
+    per-file structural md5 → order-independent per-repo sum fingerprint →
+    fingerprint equi-join)."""
+    from subgraph_isomorphism_pregel_spark.operators.codescan import repo_clone_pairs
+    from subgraph_isomorphism_pregel_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7)
+    return repo_clone_pairs(corpus).orderBy("repo_a", "repo_b")
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -2146,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "license_scan_corpus": q_license_scan_corpus,
         "secret_scan_corpus": q_secret_scan_corpus,
+        "repo_clones_corpus": q_repo_clones_corpus,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -4654,6 +4671,18 @@ SELECT concat('org', CAST(r % 97 AS VARCHAR), '/repo', CAST(r AS VARCHAR)) AS re
        CAST(1 AS INTEGER) AS n_aws_key,
        CAST(1 AS INTEGER) AS n_secrets
 FROM f ORDER BY repo, path""",
+        # clone classes are exactly r mod 5 in the generator (lang pattern
+        # (31r+7j+s)%5 and the j-only import formulas); the Spark side must
+        # DERIVE the pairs from content via structural fingerprints
+        "repo_clones_corpus": """
+WITH r AS (SELECT r FROM range(0,20) t(r)),
+names AS (SELECT r,
+  concat('org', CAST(r % 97 AS VARCHAR), '/repo', CAST(r AS VARCHAR)) AS name
+  FROM r),
+pairs AS (
+  SELECT least(a.name, b.name) AS repo_a, greatest(a.name, b.name) AS repo_b
+  FROM names a JOIN names b ON a.r < b.r AND a.r % 5 = b.r % 5)
+SELECT repo_a, repo_b FROM pairs ORDER BY repo_a, repo_b""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

@@ -1,5 +1,5 @@
-"""Code-hygiene scans over the source-code corpus table: license detection
-and secret scanning.
+"""Code-hygiene scans over the source-code corpus table: license detection,
+secret scanning, and repo-level structural clone (fork/mirror) detection.
 
 A training-data pipeline over a 10^12-file code corpus must answer two
 compliance questions before anything else reads the data: what license
@@ -98,6 +98,70 @@ def secret_scan(corpus: DataFrame, text_col: str = "content") -> DataFrame:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_secrets", total)
+
+
+def repo_fingerprints(corpus: DataFrame) -> DataFrame:
+    """(repo, n_files, fp1, fp2) — an order-independent 128-bit-class
+    STRUCTURAL fingerprint per repository: each file contributes
+    md5(path | lang | sorted import stems) — content-free, so forks that
+    only rename the org or touch comments still collide — and the two
+    60-bit halves of the digest are SUMMED per repo as decimal(38,0)
+    (exact to ~10^25 hash mass — no int64 overflow even at 10^12 files
+    per repo). Sums are commutative,
+    so the aggregate is one map-side-combinable groupBy with no
+    collect_list: a 10^7-file repo costs the same one shuffle row as a
+    10-file one. Collision probability for distinct structures is
+    ~n^2/2^120 across n repos — negligible below astronomical corpus
+    sizes (and a collision only ever adds a candidate pair; verify
+    exactly downstream if needed)."""
+    from ..sources.corpus import IMPORT_RE
+
+    stems = None
+    for lang, pat in IMPORT_RE.items():
+        ex = F.regexp_extract_all(F.col("content"), F.lit("(?m)" + pat), 1)
+        stems = (
+            F.when(F.col("lang") == lang, ex)
+            if stems is None
+            else stems.when(F.col("lang") == lang, ex)
+        )
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("path"),
+            F.col("lang"),
+            F.concat_ws(",", F.array_sort(stems.otherwise(F.array()))),
+        )
+    )
+    h1 = F.conv(F.substring(key, 1, 15), 16, 10).cast("decimal(38,0)")
+    h2 = F.conv(F.substring(key, 17, 15), 16, 10).cast("decimal(38,0)")
+    return corpus.select("repo", h1.alias("h1"), h2.alias("h2")).groupBy("repo").agg(
+        F.count("*").alias("n_files"),
+        F.sum("h1").alias("fp1"),
+        F.sum("h2").alias("fp2"),
+    )
+
+
+def repo_clone_pairs(corpus: DataFrame) -> DataFrame:
+    """(repo_a, repo_b) — repository pairs with IDENTICAL structural
+    fingerprints (fork / mirror / template-clone detection at repo
+    granularity: same file paths, same languages, same import graph —
+    content differences ignored by construction). One fingerprint
+    aggregate + one equi-join on the fingerprint triple; the join's key
+    cardinality is the number of distinct structures, so only genuine
+    clone classes co-locate (a massive clone class is the one skew case —
+    its pair list is quadratic in the class size by definition)."""
+    fps = repo_fingerprints(corpus)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp1") == F.col("b.fp1"))
+            & (F.col("a.fp2") == F.col("b.fp2"))
+            & (F.col("a.n_files") == F.col("b.n_files"))
+            & (F.col("a.repo") < F.col("b.repo")),
+        )
+        .select(F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b"))
+    )
 
 
 def with_license_headers(corpus: DataFrame) -> DataFrame:

@@ -73,6 +73,36 @@ def test_planted_key_value_is_the_md5_prefix(spark):
     assert key == want
 
 
+def test_repo_clone_pairs_are_the_mod5_classes(spark):
+    # structure (path set, lang pattern, import targets) is a pure function
+    # of r mod 5 in the generator, so clone classes are exactly those
+    from subgraph_isomorphism_pregel_spark.operators.codescan import repo_clone_pairs
+
+    corpus = synth_corpus(spark, 10, 12, seed=SEED)
+    got = {(r["repo_a"], r["repo_b"]) for r in repo_clone_pairs(corpus).collect()}
+    want = set()
+    for r1 in range(10):
+        for r2 in range(r1 + 1, 10):
+            if r1 % 5 == r2 % 5:
+                a, b = sorted([f"org{r1 % 97}/repo{r1}", f"org{r2 % 97}/repo{r2}"])
+                want.add((a, b))
+    assert got == want and len(got) == 5
+
+
+def test_clone_pairs_ignore_content_differences(spark):
+    # decoration rewrites content (headers + planted keys) but not the
+    # structural fingerprint — fork detection is content-free by design
+    from subgraph_isomorphism_pregel_spark.operators.codescan import repo_clone_pairs
+
+    raw = synth_corpus(spark, 6, 9, seed=SEED)
+    p1 = {(r["repo_a"], r["repo_b"]) for r in repo_clone_pairs(raw).collect()}
+    p2 = {
+        (r["repo_a"], r["repo_b"])
+        for r in repo_clone_pairs(with_license_headers(raw)).collect()
+    }
+    assert p1 == p2 and p1
+
+
 def test_private_key_and_hex_patterns_fire(spark):
     df = spark.createDataFrame(
         [
