@@ -1262,6 +1262,49 @@ def q_secret_scan_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance curation end-to-end: decorate the corpus, DETECT
+    licenses, keep only permissive files (MIT / Apache-2.0), REDACT
+    planted secrets, and re-scan the redacted text. Output per kept
+    license: file count, how many files had a secret before redaction,
+    and how many still do after (must be 0 — asserted by the oracle
+    column, not just a test). Composes license_detect → filter →
+    redact_secrets → secret_scan exactly the way a training-data pipeline
+    would; every step is codegen in ONE scan-project stage plus the final
+    histogram aggregate."""
+    from subgraph_isomorphism_pregel_spark.operators.codescan import (
+        license_detect,
+        redact_secrets,
+        secret_scan,
+        with_license_headers,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.corpus import synth_corpus
+
+    corpus = with_license_headers(synth_corpus(spark, n_repos=20, files_per_repo=50, seed=7))
+    lic = license_detect(corpus)
+    kept = corpus.join(lic, ["repo", "path"]).where(
+        F.col("license").isin("mit", "apache-2.0")
+    )
+    before = secret_scan(kept).select(
+        "repo", "path", F.col("n_secrets").alias("secrets_before")
+    )
+    after = secret_scan(redact_secrets(kept)).select(
+        "repo", "path", F.col("n_secrets").alias("secrets_after")
+    )
+    return (
+        kept.select("repo", "path", "license")
+        .join(before, ["repo", "path"])
+        .join(after, ["repo", "path"])
+        .groupBy("license")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum((F.col("secrets_before") > 0).cast("long")).alias("n_had_secret"),
+            F.sum((F.col("secrets_after") > 0).cast("long")).alias("n_still_secret"),
+        )
+        .orderBy("license")
+    )
+
+
 def q_repo_clones_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork/mirror detection leg: repo-level structural clone pairs over
     the synthesized corpus. The generator makes a repo's structure (path
@@ -2163,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan_corpus": q_license_scan_corpus,
         "secret_scan_corpus": q_secret_scan_corpus,
         "repo_clones_corpus": q_repo_clones_corpus,
+        "corpus_curation": q_corpus_curation,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -4683,6 +4727,18 @@ pairs AS (
   SELECT least(a.name, b.name) AS repo_a, greatest(a.name, b.name) AS repo_b
   FROM names a JOIN names b ON a.r < b.r AND a.r % 5 = b.r % 5)
 SELECT repo_a, repo_b FROM pairs ORDER BY repo_a, repo_b""",
+        # curation summary rebuilt from the decoration formulas: kept
+        # licenses are j%7 in {0,1}, a planted key is j%11=3, and
+        # n_still_secret must be 0 — the redaction contract sits in the
+        # oracle itself, not just a pytest assertion
+        "corpus_curation": """
+WITH rj AS (SELECT t1.r, t2.j FROM range(0,20) t1(r), range(0,50) t2(j)),
+kept AS (SELECT CASE j % 7 WHEN 0 THEN 'mit' ELSE 'apache-2.0' END AS license,
+                CASE WHEN j % 11 = 3 THEN 1 ELSE 0 END AS had
+         FROM rj WHERE j % 7 IN (0, 1))
+SELECT license, count(*) AS n_files, CAST(sum(had) AS BIGINT) AS n_had_secret,
+       CAST(0 AS BIGINT) AS n_still_secret
+FROM kept GROUP BY license ORDER BY license""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt

@@ -100,6 +100,21 @@ def secret_scan(corpus: DataFrame, text_col: str = "content") -> DataFrame:
     return out.withColumn("n_secrets", total)
 
 
+def redact_secrets(
+    corpus: DataFrame, text_col: str = "content", marker: str = "[REDACTED]"
+) -> DataFrame:
+    """Replace every secret-shaped token (SECRET_PATTERNS) in `text_col`
+    with `marker` — the write-side companion of secret_scan for corpora
+    that must keep the file but not the credential. A chain of
+    `regexp_replace` calls in one projection: single pass, codegen, no
+    shuffle; `secret_scan(redact_secrets(c))` is all-zeros by
+    construction (the marker matches no pattern)."""
+    expr = F.col(text_col)
+    for pat in SECRET_PATTERNS.values():
+        expr = F.regexp_replace(expr, pat, marker)
+    return corpus.withColumn(text_col, expr)
+
+
 def repo_fingerprints(corpus: DataFrame) -> DataFrame:
     """(repo, n_files, fp1, fp2) — an order-independent 128-bit-class
     STRUCTURAL fingerprint per repository: each file contributes

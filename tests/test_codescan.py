@@ -103,6 +103,18 @@ def test_clone_pairs_ignore_content_differences(spark):
     assert p1 == p2 and p1
 
 
+def test_redact_secrets_removes_planted_keys(spark):
+    from subgraph_isomorphism_pregel_spark.operators.codescan import redact_secrets
+
+    red = redact_secrets(_decorated(spark))
+    assert secret_scan(red).where("n_secrets > 0").count() == 0
+    # the marker is present exactly where a key was planted, content
+    # otherwise untouched (headers still detectable)
+    assert red.where("content LIKE '%[REDACTED]%'").count() == N_REPOS * 2
+    hist = {r["license"] for r in license_detect(red).collect()}
+    assert hist == {"mit", "apache-2.0", "gpl-3.0", "none"}
+
+
 def test_private_key_and_hex_patterns_fire(spark):
     df = spark.createDataFrame(
         [
