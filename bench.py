@@ -320,6 +320,28 @@ def main() -> None:
     cv.unpersist()
     ce.unpersist()
 
+    # compliance pass over the same corpus scale: decorate, detect licenses,
+    # redact + re-scan secrets, and find repo-level structural clone pairs —
+    # the codegen scans dominate; clone pairs add one fingerprint aggregate
+    from subgraph_isomorphism_pregel_spark.operators.codescan import (
+        license_detect,
+        redact_secrets,
+        repo_clone_pairs,
+        secret_scan,
+        with_license_headers,
+    )
+    from subgraph_isomorphism_pregel_spark.sources.corpus import synth_corpus
+
+    def run_compliance():
+        c = with_license_headers(
+            synth_corpus(spark, n_repos=n_repos, files_per_repo=60, seed=11)
+        )
+        license_detect(c).groupBy("license").count().count()
+        assert secret_scan(redact_secrets(c)).where(F.col("n_secrets") > 0).count() == 0
+        return repo_clone_pairs(c).count()
+
+    throughput["clone_pairs"] = bench("corpus_compliance", run_compliance)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench(
         "minhash_lsh_dedup",
