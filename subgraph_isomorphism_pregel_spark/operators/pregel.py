@@ -491,10 +491,20 @@ class Pregel:
         carry0: dict | None = None,
         keep_checkpoints: int = 2,
         checkpoint_every: int = 1,
+        state0: DataFrame | None = None,
     ) -> tuple[DataFrame, list[dict]]:
         """Run the program to convergence or max_steps.
 
         Returns (final struct⋈state DataFrame, metrics rows).
+
+        state0: optional WARM-START state table (schema `pid int, ` +
+        program.state_schema, one row per partition) used INSTEAD of
+        program.init — the incremental-recompute hook: seed the run from a
+        previous run's final state after the graph grew (add_vertices), so
+        convergence restarts from the old fixed point instead of from
+        scratch. Ignored when `resume` finds a durable checkpoint (the
+        checkpoint is the newer truth). Bucketed by pid on write like any
+        other state, so the superstep cogroups stay exchange-free.
 
         Layout: the graph is split into a STATIC structure table
         (pid, ids, labels, indptr, indices, ...) written once, and a DYNAMIC
@@ -574,7 +584,10 @@ class Pregel:
                         )
                     yield pd.DataFrame(out)
 
-            state_df = struct_tbl.mapInPandas(do_init, state_schema)
+            state_df = (
+                state0 if state0 is not None
+                else struct_tbl.mapInPandas(do_init, state_schema)
+            )
         state_tbl = self._save_bucketed(
             state_df, f"{tname}_s{start_step:05d}", resume_path
         ).persist()

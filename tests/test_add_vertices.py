@@ -120,3 +120,76 @@ def test_add_vertices_rejects_bad_edges(spark):
     nv, ne = _graph(spark, {2: 0}, {(2, 99), (99, 2)})
     with pytest.raises(Exception, match="absent"):
         add_vertices(spark, parts, nv, ne, P).collect()
+
+
+def test_warm_restart_after_delta(spark):
+    """pagerank_warm seeded from the pre-delta fixed point converges to
+    the SAME scores as a cold run on the grown graph (power iteration has
+    one fixed point; the start only changes the step count) — in FEWER
+    supersteps, which is the point of warm-starting a nightly delta."""
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+        pagerank,
+        pagerank_warm,
+    )
+
+    P = 4
+    # skewed IN-degrees (directed arithmetic fanout) so the fixed point is
+    # far from uniform — on a symmetric ring uniform IS the fixed point and
+    # a cold start would trivially win
+    vs0 = {i: i % 3 for i in range(40)}
+    # (i^2+1)%40 collides heavily (quadratic residues), so in-degree ranges
+    # 0..several — coprime LINEAR maps would be permutations and make the
+    # transition doubly stochastic (uniform fixed point) again
+    es0 = {(i, (i * i + 1) % 40) for i in range(40)} | {
+        (i, (7 * i + 3) % 40) for i in range(40)
+    }
+    es0 = {(a, b) for a, b in es0 if a != b}
+    v0, e0 = _graph(spark, vs0, es0)
+
+    prior, m0 = pagerank(spark, v0, e0, num_partitions=P, tol=1e-8)
+    prior = prior.cache()
+
+    vs1 = {200: 0, 201: 1}
+    es1 = {(200, 201), (201, 200), (0, 200), (200, 0)}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P).cache()
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, mc = pagerank(spark, vall, eall, num_partitions=P, tol=1e-8)
+    warm, mw = pagerank_warm(
+        spark, grown, prior, n_vertices=42, num_partitions=P, tol=1e-8
+    )
+
+    rc = {r["id"]: r["score"] for r in cold.collect()}
+    rw = {r["id"]: r["score"] for r in warm.collect()}
+    assert set(rc) == set(rw)
+    for k in rc:
+        assert abs(rc[k] - rw[k]) < 1e-6, k
+    steps_cold = len({m["superstep"] for m in mc})
+    steps_warm = len({m["superstep"] for m in mw})
+    assert steps_warm < steps_cold, (steps_warm, steps_cold)
+
+
+def test_warm_restart_identity_is_instant(spark):
+    """Warm-starting from the fixed point of the SAME graph re-converges
+    immediately (<= 2 supersteps at the same tol)."""
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+        pagerank,
+        pagerank_warm,
+    )
+
+    P = 4
+    vs = {i: 0 for i in range(30)}
+    es = {(i, (i + 1) % 30) for i in range(30)} | {((i + 1) % 30, i) for i in range(30)}
+    v, e = _graph(spark, vs, es)
+    scores, _ = pagerank(spark, v, e, num_partitions=P, tol=1e-8)
+    parts = build_parts(spark, v, e, P)
+    warm, mw = pagerank_warm(
+        spark, parts, scores, n_vertices=30, num_partitions=P, tol=1e-8
+    )
+    assert len({m["superstep"] for m in mw}) <= 2
+    rw = {r["id"]: r["score"] for r in warm.collect()}
+    rs = {r["id"]: r["score"] for r in scores.collect()}
+    for k in rs:
+        assert abs(rs[k] - rw[k]) < 1e-7, k
