@@ -193,3 +193,94 @@ def test_warm_restart_identity_is_instant(spark):
     rs = {r["id"]: r["score"] for r in scores.collect()}
     for k in rs:
         assert abs(rs[k] - rw[k]) < 1e-7, k
+
+
+def test_warm_cc_local_delta_is_fast_and_exact(spark):
+    """Incremental CC: attaching one new vertex to a long path re-labels in
+    O(1) supersteps warm (only the delta frontier floods) vs O(diameter)
+    cold; untouched far-range int64 labels survive bit-exact (the get_indexer
+    path — a float64 roundtrip would corrupt ids past 2^53)."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        connected_components,
+        connected_components_warm,
+    )
+
+    P = 4
+    n = 60
+    BIG = 10**15 + 7
+    a_ids = list(range(n))
+    b_ids = [BIG + i for i in range(n)]
+
+    def path_edges(ids):
+        es = set()
+        for x, y in zip(ids, ids[1:]):
+            es |= {(x, y), (y, x)}
+        return es
+
+    vs0 = {i: 0 for i in a_ids + b_ids}
+    es0 = path_edges(a_ids) | path_edges(b_ids)
+    v0, e0 = _graph(spark, vs0, es0)
+    prior, m0 = connected_components(spark, v0, e0, num_partitions=P)
+    prior = prior.cache()
+
+    vs1 = {500: 0}
+    es1 = {(a_ids[-1], 500), (500, a_ids[-1])}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P).cache()
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, mc = connected_components(spark, vall, eall, num_partitions=P)
+    touched = spark.createDataFrame([(a_ids[-1],), (500,)], "id long")
+    warm, mw = connected_components_warm(spark, grown, prior, touched, P)
+
+    rc = {r["id"]: r["component"] for r in cold.collect()}
+    rw = {r["id"]: r["component"] for r in warm.collect()}
+    assert rc == rw
+    assert all(rw[i] == BIG for i in b_ids)  # untouched big-int labels exact
+    steps_cold = len({m["superstep"] for m in mc})
+    steps_warm = len({m["superstep"] for m in mw})
+    assert steps_warm <= 4 < steps_cold, (steps_warm, steps_cold)
+
+
+def test_warm_cc_merge_delta_exact(spark):
+    """A delta that MERGES two components must still reach the cold fixed
+    point (the wave crosses the whole absorbed component — exactness is the
+    claim here, not speed)."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        connected_components,
+        connected_components_warm,
+    )
+
+    P = 4
+    a_ids = list(range(20))
+    b_ids = [1000 + i for i in range(20)]
+
+    def path_edges(ids):
+        es = set()
+        for x, y in zip(ids, ids[1:]):
+            es |= {(x, y), (y, x)}
+        return es
+
+    vs0 = {i: 0 for i in a_ids + b_ids}
+    es0 = path_edges(a_ids) | path_edges(b_ids)
+    v0, e0 = _graph(spark, vs0, es0)
+    prior, _ = connected_components(spark, v0, e0, num_partitions=P)
+    prior = prior.cache()
+
+    vs1 = {600: 0}
+    es1 = {(a_ids[-1], 600), (600, a_ids[-1]), (b_ids[-1], 600), (600, b_ids[-1])}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P)
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, _ = connected_components(spark, vall, eall, num_partitions=P)
+    touched = spark.createDataFrame(
+        [(a_ids[-1],), (b_ids[-1],), (600,)], "id long"
+    )
+    warm, _ = connected_components_warm(spark, grown, prior, touched, P)
+    rc = {r["id"]: r["component"] for r in cold.collect()}
+    rw = {r["id"]: r["component"] for r in warm.collect()}
+    assert rc == rw
+    assert set(rw.values()) == {0}
