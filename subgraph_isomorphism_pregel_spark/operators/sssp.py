@@ -250,6 +250,121 @@ def sssp(
     return distances_df(final), metrics
 
 
+def warm_sssp_state(
+    parts: DataFrame, P: int, prior: DataFrame, touched: DataFrame
+) -> DataFrame:
+    """Kernel state for INCREMENTAL SSSP after append-only growth: old
+    vertices keep their prior hop distance (UNREACHED when absent from
+    prior — the bounded contract drops those rows), new vertices start
+    UNREACHED, and only delta-touched ids start `changed`. Exact under
+    growth for the same reason as warm CC: added edges only SHORTEN
+    distances, prior distances are valid upper bounds, and every strict
+    improvement enters through a delta edge — the min-plus wave follows
+    the shortcut wavefront instead of re-flooding from the source.
+    Distances map through get_indexer (int64 end to end)."""
+    from .pregel import _part_to_dict
+
+    pr = prior.select(
+        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
+        "id",
+        F.col("dist").alias("d"),
+        F.lit(0).alias("t"),
+    )
+    tc = touched.select(
+        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
+        "id",
+        F.lit(None).cast("long").alias("d"),
+        F.lit(1).alias("t"),
+    )
+    side = pr.unionByName(tc)
+
+    def mk(struct_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(struct_pdf) == 0:
+            return pd.DataFrame(
+                columns=["pid", "dist", "changed", "msgs_in", "active"]
+            )
+        part = _part_to_dict(struct_pdf.iloc[0])
+        ids = np.asarray(part["ids"])
+        dist = np.full(len(ids), UNREACHED, dtype=np.int64)
+        changed = np.zeros(len(ids), dtype=np.int32)
+        if len(side_pdf):
+            pri = side_pdf[side_pdf["t"] == 0]
+            if len(pri):
+                idx = pd.Index(pri["id"].to_numpy(dtype="int64"))
+                pos = idx.get_indexer(ids)
+                m = pos >= 0
+                dist[m] = pri["d"].to_numpy(dtype="int64")[pos[m]]
+            tch = set(side_pdf[side_pdf["t"] == 1]["id"].to_numpy().tolist())
+            if tch:
+                is_t = np.fromiter(
+                    (i in tch for i in ids), dtype=bool, count=len(ids)
+                )
+                # only FINITE touched distances scatter: an UNREACHED
+                # vertex has nothing to offer until it receives (scattering
+                # would send UNREACHED+1 = 0 and poison the flood); it
+                # wakes up the step a finite touched neighbor reaches it
+                changed[is_t & (dist != UNREACHED)] = 1
+        return pd.DataFrame(
+            [
+                {
+                    "pid": int(part["pid"]),
+                    "dist": dist,
+                    "changed": changed,
+                    "msgs_in": 0,
+                    "active": int(changed.sum()),
+                }
+            ]
+        )
+
+    schema = "pid int, dist array<long>, changed array<int>, msgs_in long, active long"
+    return (
+        parts.select("pid", "ids")
+        .groupBy("pid")
+        .cogroup(side.groupBy("pid"))
+        .applyInPandas(mk, schema)
+    )
+
+
+def sssp_warm(
+    spark: SparkSession,
+    parts: DataFrame,
+    prior: DataFrame,
+    touched: DataFrame,
+    source: int,
+    max_hops: int = 64,
+    num_partitions: int = 32,
+    max_steps: int = 200,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+) -> tuple[DataFrame, list[dict]]:
+    """Incremental bounded SSSP on a grown parts table: warm-start min-plus
+    from prior distances with only the delta frontier active, run to
+    convergence (the wave is as deep as the shortcut's reach, not the
+    source's eccentricity), and re-apply the hop bound on output — a
+    vertex whose improved distance still exceeds max_hops carries no row,
+    exactly like the cold bounded run. `source` is only used to guard the
+    degenerate no-prior case (cold semantics: flood from source)."""
+    P = num_partitions
+    has_prior = prior.limit(1).count() > 0
+    if not has_prior:
+        final, metrics = Pregel(spark, parts, P).run(
+            sssp_program(source, P),
+            max_steps=max_hops,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+        )
+        return distances_df(final), metrics
+    state0 = warm_sssp_state(parts, P, prior, touched)
+    final, metrics = Pregel(spark, parts, P).run(
+        sssp_program(source, P),
+        max_steps=max_steps,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        state0=state0,
+    )
+    return distances_df(final).where(F.col("dist") <= max_hops), metrics
+
+
 def landmark_program(landmarks: list[int], P: int) -> VertexProgram:
     """Multi-source BFS: ONE kernel run computes hop distances to k
     landmarks simultaneously (the landmark-embedding / closeness feature

@@ -284,3 +284,114 @@ def test_warm_cc_merge_delta_exact(spark):
     rw = {r["id"]: r["component"] for r in warm.collect()}
     assert rc == rw
     assert set(rw.values()) == {0}
+
+
+def test_warm_sssp_shortcut_delta(spark):
+    """Incremental SSSP: a delta vertex that shortcuts the far end of a
+    path re-relaxes only the shortcut's reach (meet-in-the-middle), not
+    the whole eccentricity — distances equal the cold bounded run, in
+    fewer supersteps."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp, sssp_warm
+
+    P = 4
+    n = 50
+    ids = list(range(n))
+    es0 = set()
+    for x, y in zip(ids, ids[1:]):
+        es0 |= {(x, y), (y, x)}
+    vs0 = {i: 0 for i in ids}
+    v0, e0 = _graph(spark, vs0, es0)
+    prior, m0 = sssp(spark, v0, e0, source=0, max_hops=64, num_partitions=P)
+    prior = prior.cache()
+
+    vs1 = {300: 0}
+    es1 = {(0, 300), (300, 0), (300, n - 1), (n - 1, 300)}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P).cache()
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, mc = sssp(spark, vall, eall, source=0, max_hops=64, num_partitions=P)
+    touched = spark.createDataFrame([(0,), (300,), (n - 1,)], "id long")
+    warm, mw = sssp_warm(
+        spark, grown, prior, touched, source=0, max_hops=64, num_partitions=P
+    )
+    rc = {r["id"]: r["dist"] for r in cold.collect()}
+    rw = {r["id"]: r["dist"] for r in warm.collect()}
+    assert rc == rw
+    assert rw[n - 1] == 2 and rw[300] == 1
+    # exactness is the claim here: this shortcut re-relaxes HALF the path
+    # (meet-in-the-middle), so warm and cold step counts are comparable —
+    # the step saving is asserted on the local-delta test below
+
+
+def test_warm_sssp_local_delta_is_fast(spark):
+    """A delta leaf hanging off the near end of a long path re-relaxes in
+    O(1) supersteps warm vs O(eccentricity) cold."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp, sssp_warm
+
+    P = 4
+    n = 50
+    ids = list(range(n))
+    es0 = set()
+    for x, y in zip(ids, ids[1:]):
+        es0 |= {(x, y), (y, x)}
+    vs0 = {i: 0 for i in ids}
+    v0, e0 = _graph(spark, vs0, es0)
+    prior, _ = sssp(spark, v0, e0, source=0, max_hops=64, num_partitions=P)
+    prior = prior.cache()
+
+    vs1 = {300: 0}
+    es1 = {(5, 300), (300, 5)}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P)
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, mc = sssp(spark, vall, eall, source=0, max_hops=64, num_partitions=P)
+    touched = spark.createDataFrame([(5,), (300,)], "id long")
+    warm, mw = sssp_warm(
+        spark, grown, prior, touched, source=0, max_hops=64, num_partitions=P
+    )
+    rc = {r["id"]: r["dist"] for r in cold.collect()}
+    rw = {r["id"]: r["dist"] for r in warm.collect()}
+    assert rc == rw and rw[300] == 6
+    steps_cold = len({m["superstep"] for m in mc})
+    steps_warm = len({m["superstep"] for m in mw})
+    assert steps_warm <= 4 < steps_cold, (steps_warm, steps_cold)
+
+
+def test_warm_sssp_respects_hop_bound(spark):
+    """The warm run re-applies the hop bound on OUTPUT: mid-path vertices
+    beyond max_hops from the source stay unlabeled exactly as in the cold
+    bounded run, even though the warm wave may pass near them."""
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp, sssp_warm
+
+    P = 4
+    n = 40
+    ids = list(range(n))
+    es0 = set()
+    for x, y in zip(ids, ids[1:]):
+        es0 |= {(x, y), (y, x)}
+    vs0 = {i: 0 for i in ids}
+    v0, e0 = _graph(spark, vs0, es0)
+    prior, _ = sssp(spark, v0, e0, source=0, max_hops=10, num_partitions=P)
+    prior = prior.cache()
+
+    vs1 = {300: 0}
+    es1 = {(0, 300), (300, 0), (300, n - 1), (n - 1, 300)}
+    parts0 = build_parts(spark, v0, e0, P)
+    nv, ne = _graph(spark, vs1, es1)
+    grown = add_vertices(spark, parts0, nv, ne, P)
+
+    vall, eall = _graph(spark, {**vs0, **vs1}, es0 | es1)
+    cold, _ = sssp(spark, vall, eall, source=0, max_hops=10, num_partitions=P)
+    touched = spark.createDataFrame([(0,), (300,), (n - 1,)], "id long")
+    warm, _ = sssp_warm(
+        spark, grown, prior, touched, source=0, max_hops=10, num_partitions=P
+    )
+    rc = {r["id"]: r["dist"] for r in cold.collect()}
+    rw = {r["id"]: r["dist"] for r in warm.collect()}
+    assert rc == rw
+    # both ends labeled through the shortcut, the middle stays out of bound
+    assert 20 not in rw and rw[n - 1] == 2
