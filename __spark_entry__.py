@@ -1321,6 +1321,79 @@ def q_repo_clones_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_clone_pairs(corpus).orderBy("repo_a", "repo_b")
 
 
+def q_cc_incremental_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC under the hash gate: cold-label the 17 disjoint
+    rings, grow the graph with 4 bridge vertices (vertex n+k merges rings
+    2k and 2k+1), warm-restart the flood from ONLY the delta frontier
+    (connected_components_warm), and return the component-size histogram.
+    The DuckDB twin computes plain recursive-CTE CC on the UNION edge set
+    — equality proves the warm path reaches the exact cold fixed point
+    through the add_vertices + state0 machinery."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        connected_components,
+        connected_components_warm,
+    )
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import build_parts
+    from subgraph_isomorphism_pregel_spark.operators.pregel import add_vertices
+    from subgraph_isomorphism_pregel_spark.sources.graph import multi_ring_graph
+
+    P = 8
+    v, e = multi_ring_graph(spark, sf_dir, rings=61)
+    n = v.count()
+    prior, _ = connected_components(spark, v, e, num_partitions=P)
+    parts = build_parts(spark, v, e, P)
+    nv = spark.createDataFrame([(n + k, 0) for k in range(4)], "id long, label int")
+    ne = spark.createDataFrame(
+        [(n + k, 2 * k) for k in range(4)]
+        + [(2 * k, n + k) for k in range(4)]
+        + [(n + k, 2 * k + 1) for k in range(4)]
+        + [(2 * k + 1, n + k) for k in range(4)],
+        "src long, dst long",
+    )
+    grown = add_vertices(spark, parts, nv, ne, P)
+    touched = spark.createDataFrame(
+        sorted({(n + k,) for k in range(4)} | {(j,) for j in range(8)}), "id long"
+    )
+    comp, _ = connected_components_warm(spark, grown, prior, touched, P)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("sz")
+    )
+
+
+def q_sssp_incremental_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental bounded SSSP under the hash gate: cold distances from
+    source 0 reach only ring 0; one bridge vertex n (edges to 0 and 1)
+    makes ring 1 reachable; sssp_warm re-relaxes from the delta frontier
+    only. The DuckDB twin runs the bounded recursive CTE from source 0 on
+    the UNION edge set — equality proves warm re-relaxation lands on the
+    cold bounded contract exactly (including the output hop-bound
+    re-application)."""
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import build_parts
+    from subgraph_isomorphism_pregel_spark.operators.pregel import add_vertices
+    from subgraph_isomorphism_pregel_spark.operators.sssp import sssp, sssp_warm
+    from subgraph_isomorphism_pregel_spark.sources.graph import multi_ring_graph
+
+    P = 8
+    v, e = multi_ring_graph(spark, sf_dir, rings=61)
+    n = v.count()
+    prior, _ = sssp(spark, v, e, source=0, max_hops=64, num_partitions=P)
+    parts = build_parts(spark, v, e, P)
+    nv = spark.createDataFrame([(n, 0)], "id long, label int")
+    ne = spark.createDataFrame(
+        [(n, 0), (0, n), (n, 1), (1, n)], "src long, dst long"
+    )
+    grown = add_vertices(spark, parts, nv, ne, P)
+    touched = spark.createDataFrame([(0,), (1,), (n,)], "id long")
+    dists, _ = sssp_warm(
+        spark, grown, prior, touched, source=0, max_hops=64, num_partitions=P
+    )
+    return dists.orderBy("id")
+
+
 def q_match_cycle4_semijoin_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cycle-4 with the hub-safe backward-edge plan (left-semi joins against
     the edge table instead of per-vertex collected adjacency arrays)."""
@@ -2207,6 +2280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scan_corpus": q_secret_scan_corpus,
         "repo_clones_corpus": q_repo_clones_corpus,
         "corpus_curation": q_corpus_curation,
+        "cc_incremental_rings": q_cc_incremental_rings,
+        "sssp_incremental_rings": q_sssp_incremental_rings,
         "match_cycle4_semijoin_ring": q_match_cycle4_semijoin_ring,
         "match_bsp_path3_ring": q_match_bsp_path3_ring,
         "token_count": q_token_count,
@@ -4739,6 +4814,58 @@ kept AS (SELECT CASE j % 7 WHEN 0 THEN 'mit' ELSE 'apache-2.0' END AS license,
 SELECT license, count(*) AS n_files, CAST(sum(had) AS BIGINT) AS n_had_secret,
        CAST(0 AS BIGINT) AS n_still_secret
 FROM kept GROUP BY license ORDER BY license""",
+        # incremental CC: plain recursive-CTE CC on the UNION of the
+        # 17-ring fixture and the 4 bridge vertices — the Spark side must
+        # reach this through cold-prior + add_vertices + warm flood
+        "cc_incremental_rings": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part),
+succ AS (SELECT i AS src,
+                CASE WHEN i + 61 < (SELECT n FROM nn) THEN i + 61
+                     ELSE i % 61 END AS dst
+         FROM ids),
+delta AS (SELECT (SELECT n FROM nn) + k AS src, 2*k AS dst FROM range(0,4) t(k)
+          UNION ALL
+          SELECT (SELECT n FROM nn) + k, 2*k + 1 FROM range(0,4) t(k)),
+raw AS (SELECT src, dst FROM succ UNION ALL SELECT src, dst FROM delta),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw) t
+  WHERE src <> dst),
+verts AS (SELECT i AS id FROM ids
+          UNION ALL SELECT (SELECT n FROM nn) + k FROM range(0,4) t(k)),
+reach AS (
+  SELECT id, id AS comp FROM verts
+  UNION
+  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+SELECT sz, count(*) AS n_components FROM sizes GROUP BY sz ORDER BY sz""",
+        # incremental SSSP: bounded recursive-CTE BFS from source 0 on the
+        # union edge set (ring fixture + one bridge vertex)
+        "sssp_incremental_rings": """
+WITH RECURSIVE
+nn AS (SELECT count(*) AS n FROM part),
+ids AS (SELECT p_partkey - (SELECT min(p_partkey) FROM part) AS i FROM part),
+succ AS (SELECT i AS src,
+                CASE WHEN i + 61 < (SELECT n FROM nn) THEN i + 61
+                     ELSE i % 61 END AS dst
+         FROM ids),
+delta AS (SELECT (SELECT n FROM nn) AS src, 0 AS dst
+          UNION ALL SELECT (SELECT n FROM nn), 1),
+raw AS (SELECT src, dst FROM succ UNION ALL SELECT src, dst FROM delta),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM raw UNION SELECT dst AS src, src AS dst FROM raw) t
+  WHERE src <> dst),
+reach AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS dist
+  UNION
+  SELECT e.dst AS id, r.dist + 1
+  FROM reach r JOIN edges e ON r.id = e.src
+  WHERE r.dist < 64)
+SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY id ORDER BY id""",
         "match_cycle4_semijoin_ring": f"""
 WITH {RING_GRAPH.strip().rstrip(',')}
 SELECT count(*) AS cnt
