@@ -345,8 +345,13 @@ def pagerank_warm(
     table (typically the output of add_vertices after a graph delta) ->
     ((id, score), metrics). Converges to the same fixed point as a cold
     run (power iteration is contraction-mapped; the start only changes
-    the step count) — asserted in tests — but reaches tol in however few
-    steps the delta perturbed, which is the point."""
+    the step count) — asserted in tests. Usually reaches tol in far fewer
+    steps than the cold ladder (5 vs 43 on the sf0.1 bench); the honest
+    caveat is that a sharply LOCALIZED delta can occasionally re-converge
+    slower than cold-from-uniform when its error vector rides a slow
+    local mode (uniform error decays via global mixing) — the returned
+    metrics carry the per-run superstep count so a scheduler can monitor
+    exactly this."""
     P = num_partitions
     n_prior = prior.count()
     scale = (n_prior / n_vertices) if (n_prior and n_vertices) else 1.0

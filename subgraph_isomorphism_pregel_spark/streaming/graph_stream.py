@@ -1,0 +1,146 @@
+"""Continuously ingested link graph: a Structured Streaming edge feed drives
+incremental graph growth + warm PageRank re-rank per micro-batch.
+
+This wires the engine's three incremental pieces into the north-star loop:
+
+    edge stream -> foreachBatch:
+        new endpoints      -> add_vertices   (append-only CSR rebuild,
+                                              untouched blocks byte-identical)
+        prior scores       -> pagerank_warm  (state0 seeded from the last
+                                              fixed point; converges in the
+                                              few supersteps the delta
+                                              actually perturbed)
+
+The reference is strictly batch (one MPI job per run); its runtime
+vertex-addition hook (F9) is the primitive this loop is built on. Spark-first
+mechanics: the stream is a standard file/readStream source, deltas land via
+`foreachBatch` (the documented sink for stateful driver-side iteration), and
+all per-batch work is the same bucketed-cogroup kernel the batch engine runs
+— no second code path.
+
+Scale notes: per batch the only full-graph costs are the touched-block CSR
+rebuilds (append-only: blocks without new vertices/edges pass through
+byte-identical) and the warm run's few supersteps; the prior scores never
+leave the cluster (cogroup into the state table, pid-keyed). The driver holds
+only n_vertices and the DataFrame handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pagerank import build_parts, pagerank, pagerank_warm, scores_df
+from ..operators.pregel import add_vertices
+
+# an edge-delta feed: every row is one new directed edge whose endpoints
+# carry their labels (the source of truth for vertices first seen here)
+EDGE_DELTA_SCHEMA = "src long, dst long, src_label int, dst_label int"
+
+
+class IncrementalPageRank:
+    """Driver-side state machine: (parts, prior scores, n) evolved batch by
+    batch. `apply_delta` is idempotent per batch content (deterministic
+    kernel), so foreachBatch's at-least-once replay after a driver restart
+    re-derives the same scores."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        vertices: DataFrame,
+        edges: DataFrame,
+        num_partitions: int = 8,
+        tol: float = 1e-6,
+    ) -> None:
+        self.spark = spark
+        self.P = num_partitions
+        self.tol = tol
+        self.parts = build_parts(spark, vertices, edges, num_partitions).persist()
+        self.known = vertices.select("id").persist()
+        self.n = self.known.count()
+        scores, metrics = pagerank(
+            spark, vertices, edges, num_partitions=num_partitions, tol=tol
+        )
+        self.scores = scores.persist()
+        self.scores.count()
+        self.steps_log: list[int] = [max(m["superstep"] for m in metrics)]
+
+    def apply_delta(self, batch: DataFrame) -> None:
+        """One micro-batch of EDGE_DELTA_SCHEMA rows: grow the graph by the
+        batch's unseen endpoints + edges, warm re-rank from the current
+        scores. Duplicate edges within a batch are deduplicated; endpoints
+        already in the graph are joined out distributedly (left-anti on the
+        known-id table — never a driver-side membership set)."""
+        batch = batch.persist()
+        try:
+            ends = batch.select(
+                F.col("src").alias("id"), F.col("src_label").alias("label")
+            ).unionByName(
+                batch.select(F.col("dst").alias("id"), F.col("dst_label").alias("label"))
+            )
+            # first-seen label wins deterministically (min over the batch)
+            new_v = (
+                ends.join(self.known, "id", "left_anti")
+                .groupBy("id")
+                .agg(F.min("label").cast("int").alias("label"))
+            ).persist()
+            new_e = batch.select("src", "dst").distinct()
+            n_new = new_v.count()
+            grown = add_vertices(self.spark, self.parts, new_v, new_e, self.P)
+            grown = grown.persist()
+            grown.count()
+            old_parts, old_known, old_scores = self.parts, self.known, self.scores
+            self.parts = grown
+            self.known = old_known.unionByName(new_v.select("id")).persist()
+            self.n += n_new
+            scores, metrics = pagerank_warm(
+                self.spark,
+                self.parts,
+                old_scores,
+                n_vertices=self.n,
+                num_partitions=self.P,
+                tol=self.tol,
+            )
+            self.scores = scores.persist()
+            self.scores.count()
+            self.steps_log.append(max(m["superstep"] for m in metrics))
+            old_parts.unpersist()
+            old_known.unpersist()
+            old_scores.unpersist()
+            new_v.unpersist()
+        finally:
+            batch.unpersist()
+
+    def unpersist(self) -> None:
+        for df in (self.parts, self.known, self.scores):
+            df.unpersist()
+
+
+def edge_delta_stream(spark: SparkSession, deltas_dir: str) -> DataFrame:
+    """File-stream reader over an edge-delta directory (one parquet file per
+    delta batch, EDGE_DELTA_SCHEMA); maxFilesPerTrigger=1 makes each file
+    one micro-batch — deltas apply in arrival order."""
+    return (
+        spark.readStream.schema(EDGE_DELTA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(deltas_dir)
+    )
+
+
+def run_ingest(
+    ipr: IncrementalPageRank, deltas: DataFrame, checkpoint_dir: str
+):
+    """Attach the incremental ranker to a delta stream; returns the
+    streaming query (AvailableNow: drain everything queued, then stop —
+    swap the trigger for a live feed)."""
+
+    def on_batch(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.take(1):
+            ipr.apply_delta(batch_df)
+
+    return (
+        deltas.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
