@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pagerank import build_parts, pagerank, pagerank_warm, scores_df
+from ..operators.pagerank import build_parts, pagerank, pagerank_warm
 from ..operators.pregel import add_vertices
 
 # an edge-delta feed: every row is one new directed edge whose endpoints
@@ -57,6 +57,10 @@ class IncrementalPageRank:
         self.tol = tol
         self.parts = build_parts(spark, vertices, edges, num_partitions).persist()
         self.known = vertices.select("id").persist()
+        # the directed edge set, maintained so a REPLAYED batch (foreachBatch
+        # is at-least-once: a crash between apply and epoch commit re-delivers)
+        # anti-joins to an empty delta instead of appending duplicate edges
+        self.edges = edges.select("src", "dst").persist()
         self.n = self.known.count()
         scores, metrics = pagerank(
             spark, vertices, edges, num_partitions=num_partitions, tol=tol
@@ -84,19 +88,35 @@ class IncrementalPageRank:
                 .groupBy("id")
                 .agg(F.min("label").cast("int").alias("label"))
             ).persist()
-            new_e = batch.select("src", "dst").distinct()
+            new_e = (
+                batch.select("src", "dst")
+                .distinct()
+                .join(self.edges, ["src", "dst"], "left_anti")
+                .persist()
+            )
             n_new = new_v.count()
+            if n_new == 0 and new_e.limit(1).count() == 0:
+                new_v.unpersist()
+                new_e.unpersist()
+                return  # full replay of an applied batch: nothing to do
             grown = add_vertices(self.spark, self.parts, new_v, new_e, self.P)
             grown = grown.persist()
             grown.count()
-            old_parts, old_known, old_scores = self.parts, self.known, self.scores
+            old = (self.parts, self.known, self.scores, self.edges)
+            prior = old[2]
             self.parts = grown
-            self.known = old_known.unionByName(new_v.select("id")).persist()
+            self.known = self.known.unionByName(new_v.select("id")).persist()
+            self.edges = self.edges.unionByName(new_e).persist()
+            # force the unions into cache while their inputs are still
+            # cached — unpersisting the old generation first would make
+            # later batches recompute the anti-join lineage from scratch
+            self.known.count()
+            self.edges.count()
             self.n += n_new
             scores, metrics = pagerank_warm(
                 self.spark,
                 self.parts,
-                old_scores,
+                prior,
                 n_vertices=self.n,
                 num_partitions=self.P,
                 tol=self.tol,
@@ -104,15 +124,15 @@ class IncrementalPageRank:
             self.scores = scores.persist()
             self.scores.count()
             self.steps_log.append(max(m["superstep"] for m in metrics))
-            old_parts.unpersist()
-            old_known.unpersist()
-            old_scores.unpersist()
+            for df in old:
+                df.unpersist()
             new_v.unpersist()
+            new_e.unpersist()
         finally:
             batch.unpersist()
 
     def unpersist(self) -> None:
-        for df in (self.parts, self.known, self.scores):
+        for df in (self.parts, self.known, self.scores, self.edges):
             df.unpersist()
 
 

@@ -102,3 +102,22 @@ def test_disconnected_delta_is_the_rescale_exact_case(spark):
     assert ipr.steps_log[-1] <= 2, ipr.steps_log
     assert ipr.n == 42
     ipr.unpersist()
+
+
+def test_replayed_batch_is_a_noop(spark):
+    """foreachBatch is at-least-once: re-delivering an already-applied batch
+    must not duplicate edges (scores unchanged, no extra warm run)."""
+    v, e, _vs, _es = _base(spark)
+    ipr = IncrementalPageRank(spark, v, e, num_partitions=4, tol=1e-8)
+    batch = spark.createDataFrame(
+        [(200, 0, 0, 0), (0, 200, 0, 0)], EDGE_DELTA_SCHEMA
+    )
+    ipr.apply_delta(batch)
+    after_first = {r["id"]: r["score"] for r in ipr.scores.collect()}
+    n_runs = len(ipr.steps_log)
+    ipr.apply_delta(batch)  # replay
+    after_second = {r["id"]: r["score"] for r in ipr.scores.collect()}
+    assert after_first == after_second
+    assert len(ipr.steps_log) == n_runs  # no new warm run was spent
+    assert ipr.n == 41
+    ipr.unpersist()
