@@ -6,7 +6,8 @@
         [--query query.txt] [--order degree|anti-degree|random|candidate] \
         [--pseudo on|off] [--prune on|off] [--mode join|bsp] \
         [--backward auto|adjlist|semijoin] [--factorize on|off|auto] \
-        [--partitions 32] [--k 3] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet]
+        [--partitions 32] [--k 3] [--checkpoint-dir DIR] [--resume] [--output OUT.parquet] \
+        [--deltas-dir DIR]   # pagerank: drain edge-delta files as warm micro-batches
 
 Mirrors the reference CLI (-d -q -order -pseudo, /root/reference/src/utils/
 global.h:265-327) with table inputs instead of HDFS text files. The query file
@@ -63,6 +64,10 @@ def parse_args(argv):
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="durable checkpoint cadence in supersteps (1 = every step)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--deltas-dir",
+                   help="edge-delta parquet directory (src,dst,src_label,dst_label): "
+                        "after the cold run, drain each file as one micro-batch of "
+                        "add_vertices + warm re-rank (--algo pagerank only)")
     p.add_argument("--output", help="write the result DataFrame to this parquet path")
     p.add_argument("--metrics-output", help="write the per-(superstep,partition) metrics table to this parquet path")
     p.add_argument("--cores", type=int, default=None)
@@ -115,7 +120,36 @@ def main(argv=None):
     vertices, edges = load_graph(spark, args)
     metrics = []
 
-    if args.algo == "pagerank":
+    if args.algo == "pagerank" and args.deltas_dir:
+        # continuously ingested mode: cold bootstrap, then drain the delta
+        # directory as micro-batches of add_vertices + warm re-rank
+        import tempfile
+
+        from subgraph_isomorphism_pregel_spark.streaming.graph_stream import (
+            IncrementalPageRank,
+            edge_delta_stream,
+            run_ingest,
+        )
+        from subgraph_isomorphism_pregel_spark.streaming.windowed import drain
+
+        ipr = IncrementalPageRank(
+            spark, vertices, edges, num_partitions=args.partitions, tol=args.tol
+        )
+        ck = args.checkpoint_dir or tempfile.mkdtemp(prefix="sip_ingest_")
+        q = run_ingest(ipr, edge_delta_stream(spark, args.deltas_dir), ck + "/stream")
+        drain(q)
+        result = ipr.scores
+        print(
+            json.dumps(
+                {
+                    "batches": len(ipr.steps_log) - 1,
+                    "supersteps_per_run": ipr.steps_log,
+                    "n_vertices": ipr.n,
+                }
+            ),
+            file=sys.stderr,
+        )
+    elif args.algo == "pagerank":
         from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
 
         result, metrics = pagerank(

@@ -114,3 +114,48 @@ def test_cli_onion(spark, graph_dir, tmp_path):
     # four cycle vertices share coreness 2
     assert got["coreness"].to_dict() == {0: 2, 1: 2, 2: 2, 3: 2, 4: 1}
     assert got["layer"].to_dict() == {0: 3, 1: 2, 2: 3, 3: 2, 4: 1}
+
+
+def test_cli_pagerank_ingest(spark, tmp_path):
+    """--deltas-dir: cold bootstrap + streamed warm micro-batches must land
+    on the cold fixed point of the unioned graph."""
+    base_e = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    base_v = pd.DataFrame({"id": [0, 1, 2, 3], "label": [0, 1, 0, 1]})
+    gdir = tmp_path / "g"
+    gdir.mkdir()
+    base_e.to_parquet(gdir / "edges.parquet")
+    base_v.to_parquet(gdir / "vertices.parquet")
+    ddir = tmp_path / "deltas"
+    ddir.mkdir()
+    pd.DataFrame(
+        {"src": [7, 0], "dst": [0, 7], "src_label": [0, 0], "dst_label": [0, 0]}
+    ).astype({"src": "int64", "dst": "int64", "src_label": "int32", "dst_label": "int32"}).to_parquet(ddir / "d0.parquet")
+    out = str(tmp_path / "scores.parquet")
+    assert (
+        cli.main(
+            [
+                "--algo", "pagerank",
+                "--edges", str(gdir / "edges.parquet"),
+                "--vertices", str(gdir / "vertices.parquet"),
+                "--deltas-dir", str(ddir),
+                "--partitions", "2",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    got = pd.read_parquet(out)
+    assert set(got["id"]) == {0, 1, 2, 3, 7}
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import pagerank
+
+    vall = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (3, 1), (7, 0)], "id long, label int"
+    )
+    eall = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (7, 0), (0, 7)], "src long, dst long"
+    )
+    cold, _ = pagerank(spark, vall, eall, num_partitions=2)
+    rc = {r["id"]: r["score"] for r in cold.collect()}
+    rw = dict(zip(got["id"], got["score"]))
+    for k in rc:
+        assert abs(rc[k] - rw[k]) < 1e-5, k
