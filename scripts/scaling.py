@@ -178,6 +178,50 @@ def run_louvain():
 
 if "louvain" in JOBS:
     out["louvain_sec"], out["louvain_result"] = best(run_louvain)
+
+
+if "incremental" in JOBS:
+    # incremental re-rank: grow the 48M-edge graph by 64 delta vertices
+    # (one edge each onto an existing vertex) and warm-start a fixed-step
+    # PageRank from a cold run's scores — N->4N evidence for the round-5
+    # incremental path (build_parts + add_vertices + state0 seeding +
+    # warm supersteps, timed end to end; the prior itself is computed
+    # once outside the timer). Consistency key: quantized score sum
+    # (per-score round to 1e-12 then int64 sum — order-free, exact).
+    from pyspark.sql import functions as F
+    from subgraph_isomorphism_pregel_spark.operators.pagerank import (
+        build_parts,
+        pagerank_warm,
+    )
+    from subgraph_isomorphism_pregel_spark.operators.pregel import add_vertices
+
+    n_v = v.count()
+    prior, _ = pagerank(spark, v, e, num_partitions=32, fixed_steps=steps)
+    prior = prior.persist()
+    prior.count()
+    nv_delta = spark.createDataFrame(
+        [(n_v + i, 0) for i in range(64)], "id long, label int"
+    )
+    ne_delta = spark.createDataFrame(
+        [(n_v + i, i * 1000) for i in range(64)]
+        + [(i * 1000, n_v + i) for i in range(64)],
+        "src long, dst long",
+    )
+
+    def run_incremental():
+        parts = build_parts(spark, v, e, 32)
+        grown = add_vertices(spark, parts, nv_delta, ne_delta, 32)
+        scores, _ = pagerank_warm(
+            spark, grown, prior, n_vertices=n_v + 64,
+            num_partitions=32, fixed_steps=steps,
+        )
+        chk = scores.agg(
+            F.sum(F.round(F.col("score") * 1e12).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        return int(chk)
+
+    out["incremental_sec"], out["incremental_result"] = best(run_incremental)
+    prior.unpersist()
 print("RESULT " + json.dumps(out))
 """
 
@@ -235,7 +279,7 @@ def eff(hi, lo, factor=4):
 # across levels); everything `_sec` is a timing and may be min-merged
 RESULT_KEYS = (
     "n_edges", "triangles", "match_path3", "match_deferred", "msf_result",
-    "louvain_result",
+    "louvain_result", "incremental_result",
 )
 
 
@@ -346,6 +390,15 @@ def main() -> None:
                 f"{6 * ne / r[lo]['louvain_sec']:,.0f} → "
                 f"{6 * ne / r[hi]['louvain_sec']:,.0f} edges/s | "
                 f"**{eff(1 / r[hi]['louvain_sec'], 1 / r[lo]['louvain_sec'], hi // lo)}** |"
+            )
+        if "incremental_sec" in r[lo] and "incremental_sec" in r[hi]:
+            extra_rows.append(
+                f"| Incremental re-rank (delta + warm, {PR_STEPS} supersteps) | "
+                f"local[{lo}]→local[{hi}] | "
+                f"{r[lo]['incremental_sec']}s → {r[hi]['incremental_sec']}s | "
+                f"{PR_STEPS * ne / r[lo]['incremental_sec']:,.0f} → "
+                f"{PR_STEPS * ne / r[hi]['incremental_sec']:,.0f} edges/s | "
+                f"**{eff(1 / r[hi]['incremental_sec'], 1 / r[lo]['incremental_sec'], hi // lo)}** |"
             )
 
     # per-key over the levels that HAVE the key: SIP_SCALING_JOBS subsets
