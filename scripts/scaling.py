@@ -513,8 +513,20 @@ Notes:
 - The reference repo publishes no benchmark numbers (only a toy transcript,
   see /root/repo/BASELINE.md); these are this engine's recorded baselines.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written trailing sections (e.g. "## Round-5 headline
+    # suite") across regeneration: everything from the first second-level
+    # heading of the EXISTING file onward is re-appended verbatim — the
+    # generated report itself contains no "## " headings
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(md)
 
 
