@@ -22,10 +22,20 @@ Scale notes: per batch the only full-graph costs are the touched-block CSR
 rebuilds (append-only: blocks without new vertices/edges pass through
 byte-identical) and the warm run's few supersteps; the prior scores never
 leave the cluster (cogroup into the state table, pid-keyed). The driver holds
-only n_vertices and the DataFrame handles.
+only n_vertices and the DataFrame handles. On an UNBOUNDED stream the three
+evolving tables (parts / known / edges) would otherwise chain one cogroup or
+union per micro-batch — plan depth grows linearly and a cache eviction
+recomputes the whole history — so every `cut_every` batches they are cut to
+parquet and read back (the mis.py / ktruss.py lineage discipline; scores are
+already flat, the kernel round-trips state through its bucketed checkpoint
+table every superstep).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,10 +61,19 @@ class IncrementalPageRank:
         edges: DataFrame,
         num_partitions: int = 8,
         tol: float = 1e-6,
+        cut_every: int = 8,
     ) -> None:
         self.spark = spark
         self.P = num_partitions
         self.tol = tol
+        # lineage-cut cadence: parts/known/edges chain one cogroup/union per
+        # applied batch; every cut_every batches they round-trip through
+        # parquet so plan depth stays bounded on an unbounded stream. 0
+        # disables (short drains, tests).
+        self.cut_every = cut_every
+        self._applied = 0
+        self._gen = 0
+        self._cutdir: str | None = None
         self.parts = build_parts(spark, vertices, edges, num_partitions).persist()
         self.known = vertices.select("id").persist()
         # the directed edge set, maintained so a REPLAYED batch (foreachBatch
@@ -128,12 +147,42 @@ class IncrementalPageRank:
                 df.unpersist()
             new_v.unpersist()
             new_e.unpersist()
+            self._applied += 1
+            if self.cut_every and self._applied % self.cut_every == 0:
+                self._cut_lineage()
         finally:
             batch.unpersist()
+
+    def _cut_lineage(self) -> None:
+        """Round-trip the three evolving tables through parquet: the read-back
+        plan is a leaf scan, so the next batch's cogroup/union starts from
+        depth 1 regardless of how many batches have been applied. The previous
+        generation's files are removed only after the new one is materialized
+        (count() below), so a crash mid-cut never strands the live handles."""
+        if self._cutdir is None:
+            self._cutdir = tempfile.mkdtemp(prefix="ipr_cut_")
+        prev = os.path.join(self._cutdir, f"gen{self._gen}")
+        self._gen += 1
+        gen = os.path.join(self._cutdir, f"gen{self._gen}")
+        old = (self.parts, self.known, self.edges)
+        for name, df in zip(("parts", "known", "edges"), old):
+            df.write.mode("overwrite").parquet(os.path.join(gen, name))
+        self.parts = self.spark.read.parquet(os.path.join(gen, "parts")).persist()
+        self.known = self.spark.read.parquet(os.path.join(gen, "known")).persist()
+        self.edges = self.spark.read.parquet(os.path.join(gen, "edges")).persist()
+        for df in (self.parts, self.known, self.edges):
+            df.count()
+        for df in old:
+            df.unpersist()
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
 
     def unpersist(self) -> None:
         for df in (self.parts, self.known, self.scores, self.edges):
             df.unpersist()
+        if self._cutdir is not None:
+            shutil.rmtree(self._cutdir, ignore_errors=True)
+            self._cutdir = None
 
 
 def edge_delta_stream(spark: SparkSession, deltas_dir: str) -> DataFrame:

@@ -104,6 +104,39 @@ def test_disconnected_delta_is_the_rescale_exact_case(spark):
     ipr.unpersist()
 
 
+def test_lineage_cut_preserves_fixed_point(spark):
+    """With cut_every=2 the parquet lineage cut fires twice across five
+    batches; scores must still land on the cold fixed point over the
+    fully-grown graph, and the cut generation dirs must rotate (only the
+    newest kept) and vanish on unpersist()."""
+    v, e, vs, es = _base(spark)
+    ipr = IncrementalPageRank(spark, v, e, num_partitions=4, tol=1e-8, cut_every=2)
+    deltas = [
+        [(200 + i, (3 * i) % 40, 0, (3 * i) % 3), ((3 * i) % 40, 200 + i, (3 * i) % 3, 0)]
+        for i in range(5)
+    ]
+    for rows in deltas:
+        ipr.apply_delta(spark.createDataFrame(rows, EDGE_DELTA_SCHEMA))
+    assert ipr._applied == 5 and ipr._gen == 2
+    cutdir = ipr._cutdir
+    assert cutdir is not None and sorted(os.listdir(cutdir)) == ["gen2"]
+
+    new_vs = {200 + i: 0 for i in range(5)}
+    new_es = {(r[0], r[1]) for rows in deltas for r in rows}
+    vall = spark.createDataFrame(
+        sorted({**dict(vs), **new_vs}.items()), "id long, label int"
+    )
+    eall = spark.createDataFrame(sorted(set(es) | new_es), "src long, dst long")
+    cold, _ = pagerank(spark, vall, eall, num_partitions=4, tol=1e-8)
+    rc = {r["id"]: r["score"] for r in cold.collect()}
+    rw = {r["id"]: r["score"] for r in ipr.scores.collect()}
+    ipr.unpersist()
+    assert set(rc) == set(rw) and len(rw) == 45
+    for k in rc:
+        assert abs(rc[k] - rw[k]) < 1e-6, k
+    assert not os.path.isdir(cutdir)
+
+
 def test_replayed_batch_is_a_noop(spark):
     """foreachBatch is at-least-once: re-delivering an already-applied batch
     must not duplicate edges (scores unchanged, no extra warm run)."""
