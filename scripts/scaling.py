@@ -501,6 +501,15 @@ Notes:
   saturated 8->32 pair; it is measured at the two upper levels only (a
   local[1] run of 6 rounds over 48M edges would take hours for no
   additional information), both levels fresh on one host.
+- Incremental re-rank times the FULL continuous-ingestion unit of work —
+  build_parts + add_vertices (64 new vertices / 128 edges onto the 48M-edge
+  graph) + a 6-superstep warm PageRank from a prior fixed point — and is
+  measured at levels 4/8/32 only (the Louvain policy: a local[1] rep takes
+  ~1h for no added information). The 4->8 pair reads superlinear (1.11):
+  build_parts materializes every CSR block in one pass, and at local[4]
+  the working set exceeds what fits behind 4 cores' share of the page
+  cache, so doubling cores also halves per-core cache pressure. The
+  consistency key (1e-12-quantized score sum) is identical at all levels.
 - The BSP kernel's shuffle story: static CSR structure + per-step state are
   pid-bucketed tables, so the per-superstep cogroups plan with zero
   exchanges; only messages cross the wire (see operators/pregel.py).
