@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -132,10 +133,26 @@ def main(argv=None):
         )
         from subgraph_isomorphism_pregel_spark.streaming.windowed import drain
 
+        ck = args.checkpoint_dir or tempfile.mkdtemp(prefix="sip_ingest_")
+        # a reused stream checkpoint skips already-committed delta files,
+        # but the ranker below bootstraps from the BASE graph each run —
+        # silently losing every previously committed delta. Replay safety
+        # (graph_stream.py) covers within-run crashes, not fresh processes
+        # over an old checkpoint: refuse rather than emit a wrong graph.
+        commits = os.path.join(ck, "stream", "commits")
+        if os.path.isdir(commits) and any(
+            not f.startswith(".") for f in os.listdir(commits)
+        ):
+            raise SystemExit(
+                f"--deltas-dir: checkpoint {ck}/stream already holds committed "
+                "batches from an earlier run; their deltas would NOT be "
+                "re-applied to the base graph. Use a fresh --checkpoint-dir "
+                "(and a base graph that already includes the applied deltas), "
+                "or delete the old checkpoint to re-ingest every delta file."
+            )
         ipr = IncrementalPageRank(
             spark, vertices, edges, num_partitions=args.partitions, tol=args.tol
         )
-        ck = args.checkpoint_dir or tempfile.mkdtemp(prefix="sip_ingest_")
         q = run_ingest(ipr, edge_delta_stream(spark, args.deltas_dir), ck + "/stream")
         drain(q)
         result = ipr.scores

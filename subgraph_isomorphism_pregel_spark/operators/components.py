@@ -183,9 +183,11 @@ def warm_cc_state(
                 mask = np.zeros(len(ids), dtype=bool)
             # vertices with no prior label are NEW — they must flood
             changed[~mask] = 1
-            tch = set(side_pdf[side_pdf["t"] == 1]["id"].to_numpy().tolist())
-            if tch:
-                changed[np.fromiter((i in tch for i in ids), dtype=bool, count=len(ids))] = 1
+            tch = side_pdf[side_pdf["t"] == 1]["id"].to_numpy(dtype="int64")
+            if len(tch):
+                # vectorized membership — a Python per-id loop costs seconds
+                # per multi-million-vertex block on every warm restart
+                changed[np.isin(ids, tch)] = 1
         else:
             changed[:] = 1  # no prior at all: cold semantics
         return pd.DataFrame(
@@ -267,6 +269,15 @@ def bipartite_components(
         spark, vertices, edges, num_partitions, max_steps
     )
     ids = vertices.select("id")
+    # the 2v / 2v+1 cover encoding needs headroom: |id| >= 2^62 would wrap
+    # int64 and alias distinct cover vertices (full-range hashed id spaces
+    # can reach this — remap through a dense rank first if so)
+    top = ids.agg(F.max(F.abs(F.col("id"))).alias("m")).collect()[0]["m"]
+    if top is not None and top >= (1 << 62):
+        raise ValueError(
+            "bipartite_components: |id| must be < 2^62 for the double-cover "
+            f"encoding (max |id| = {top}); densely re-rank ids first"
+        )
     cover_v = (
         ids.select((F.col("id") * 2).alias("id"))
         .unionByName(ids.select((F.col("id") * 2 + 1).alias("id")))
@@ -282,11 +293,17 @@ def bipartite_components(
     cover, m2 = connected_components(
         spark, cover_v, cover_e, num_partitions, max_steps
     )
-    even = cover.where(F.col("id") % 2 == 0).select(
-        (F.col("id") / 2).cast("long").alias("id"), F.col("component").alias("c0")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a NEGATIVE odd
+    # cover id (2v+1 for v < 0, e.g. -5 % 2 == -1) matches neither branch
+    # and the vertex silently drops out of the even⋈odd join
+    # integer div, not /2: float division loses exactness past 2^53 while
+    # cover ids range up to 2^62 (both operands are even, so truncating
+    # division is exact for either sign)
+    even = cover.where(F.pmod(F.col("id"), F.lit(2)) == 0).select(
+        F.expr("id div 2").alias("id"), F.col("component").alias("c0")
     )
-    odd = cover.where(F.col("id") % 2 == 1).select(
-        ((F.col("id") - 1) / 2).cast("long").alias("id"),
+    odd = cover.where(F.pmod(F.col("id"), F.lit(2)) == 1).select(
+        F.expr("(id - 1) div 2").alias("id"),
         F.col("component").alias("c1"),
     )
     flags = even.join(odd, "id").select(

@@ -11,12 +11,17 @@ path query over the per-user timeline).
 
 Spark shapes (all pure codegen, no Python in the hot path):
 
-  funnel       — one chained min-timestamp aggregation per step: step i
-                 joins step i-1's per-user first-completion time and
-                 takes min(ts) past it. Every join and aggregate hashes
-                 on the SAME user key, so AQE reuses one exchange; the
-                 per-step results are tiny (<= |users| rows) and the
-                 final counts collapse to k rows via a unioned aggregate.
+  funnel       — ONE user-keyed aggregation for the whole funnel: the
+                 user's funnel-relevant events are sorted in-row
+                 (array_sort over (ts, type) structs) and a single
+                 codegen array fold (F.aggregate + F.transform) walks
+                 them once, greedily filling the k first-completion
+                 times — the greedy frontier fill is exactly the
+                 chained min-after-previous semantics. Per-step counts
+                 then collapse from k·|users| positions in one tiny
+                 aggregate. One |events|-sized shuffle TOTAL regardless
+                 of funnel length (the previous shape chained k
+                 join+agg rounds whose plan grew quadratically with k).
   transitions  — one lag() window partitioned by user (single shuffle),
                  then a (prev, next) count and a broadcast-joined
                  per-prev total for row-normalized probabilities.
@@ -26,15 +31,15 @@ Spark shapes (all pure codegen, no Python in the hot path):
 
 Scale notes: funnels and retention are bounded by |users| after the
 first aggregate, never by |events|; the transition matrix is bounded by
-|event_type|^2. The only |events|-sized shuffle in the module is the
-single user-keyed window in `markov_transitions` (unavoidable: order
-within user is the semantics). Determinism: transition ties at equal
+|event_type|^2. The |events|-sized shuffles are one user-keyed
+aggregation in `funnel` (funnel-relevant events only — the collected
+per-user list is bounded by a user's matching events, the standard
+sequence-analytics contract) and the single user-keyed window in
+`markov_transitions` (unavoidable: order within user is the semantics). Determinism: transition ties at equal
 timestamps break on event_id, and all rates/probabilities are rounded
 to 6dp before output (the engine-independence convention)."""
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,27 +62,55 @@ def funnel(
     completion time."""
     if len(steps) < 1:
         raise ValueError("steps must be non-empty")
+    spark = events.sparkSession
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),
         F.col(type_col).alias("et"),
+    ).where(F.col("et").isin(*set(steps)) & F.col("t").isNotNull())
+    t_type = ev.schema["t"].dataType
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    init = F.array(*[F.lit(None).cast(t_type) for _ in steps])
+
+    def advance(acc, x):
+        # one event advances at most the frontier step: position j fills
+        # only when it is empty, the event type matches steps[j], and
+        # step j-1 was ALREADY complete strictly before this event (the
+        # old acc gates, so a single event can never fill two positions;
+        # F.get is 0-based and NULL-safe at j-1 = -1)
+        def cell(c, j):
+            prev = F.get(acc, j - 1)
+            prev_ok = (j == F.lit(0)) | (prev.isNotNull() & (x["t"] > prev))
+            fill = c.isNull() & (x["et"] == F.get(steps_lit, j)) & prev_ok
+            return F.when(fill, x["t"]).otherwise(c)
+
+        return F.transform(acc, cell)
+
+    # the greedy forward pass over the time-sorted events computes exactly
+    # the chained semantics: t_j = min ts of a steps[j] event strictly
+    # after t_{j-1} (the first matching event past the frontier IS that
+    # min in sorted order; timestamp ties lose to strict >, so the
+    # (t, et) sort tiebreak never changes the result)
+    done = (
+        ev.groupBy("u")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "et"))).alias("seq"))
+        .select(F.aggregate("seq", init, advance).alias("d"))
+        .select(F.posexplode("d").alias("idx", "t0"))
+        .groupBy("idx")
+        .agg(F.count("t0").alias("users"))
     )
-    per_step = []  # per-user first-completion DataFrames, one per step
-    prev = None
-    for st in steps:
-        cur = ev.where(F.col("et") == st).select("u", "t")
-        if prev is not None:
-            cur = cur.join(prev, "u").where(F.col("t") > F.col("t0")).select("u", "t")
-        done = cur.groupBy("u").agg(F.min("t").alias("t0"))
-        per_step.append(done)
-        prev = done
-    counts = [
-        d.agg(F.count("*").alias("users")).select(
-            F.lit(i + 1).alias("step_no"), F.lit(st).alias("step"), "users"
+    base = spark.createDataFrame(
+        [(i, i + 1, s) for i, s in enumerate(steps)],
+        "idx int, step_no int, step string",
+    )
+    out = (
+        base.join(done, "idx", "left")
+        .select(
+            "step_no",
+            "step",
+            F.coalesce(F.col("users"), F.lit(0)).cast("long").alias("users"),
         )
-        for i, (st, d) in enumerate(zip(steps, per_step))
-    ]
-    out = reduce(DataFrame.unionAll, counts)
+    )
     w = Window.orderBy("step_no").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

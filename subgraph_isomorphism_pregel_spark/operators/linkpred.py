@@ -195,9 +195,14 @@ def negative_edges(
     Spark shape: pure codegen — one sequence-explode over sources (k +
     padding candidates each), the hash mapped through a dense-rank vertex
     table, one left-anti join against the edge list, two src-partitioned
-    windows. The dense-rank table is one global sort of the VERTEX set
-    (the id→position map negative sampling fundamentally needs when ids
-    aren't contiguous); everything downstream is linear in k·|V|.
+    windows. The dense rank (the id→position map negative sampling
+    fundamentally needs when ids aren't contiguous) is computed
+    DISTRIBUTEDLY: range-partition by id, rank locally per partition,
+    then add broadcast per-partition offsets — a global
+    row_number().over(orderBy(id)) would drag every vertex into one task.
+    The rank depends only on id order, not on where the sampled range
+    boundaries land, so the output stays deterministic; everything
+    downstream is linear in k·|V|.
 
     `oversample` pads the candidate list (default 3k+8); a source adjacent
     to nearly everything can still return fewer than k rows — deterministic
@@ -214,8 +219,32 @@ def negative_edges(
         .distinct()
     )
     n = verts.count()
-    vr = verts.select(
-        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("r")
+    P = max(1, min(2048, edges.sparkSession.sparkContext.defaultParallelism * 2))
+    ranged = verts.repartitionByRange(P, "id").withColumn(
+        "p", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "lr", F.row_number().over(Window.partitionBy("p").orderBy("id")) - 1
+    )
+    # per-partition offsets: a P-row table, its prefix sum a trivial
+    # single-task window (RangePartitioner numbers partitions in id order)
+    off = (
+        local.groupBy("p")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    vr = local.join(F.broadcast(off.select("p", "off")), "p").select(
+        "id", (F.col("lr") + F.col("off")).alias("r")
     )
     cand = e.select("src").distinct().select(
         "src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")

@@ -294,11 +294,11 @@ def warm_sssp_state(
                 pos = idx.get_indexer(ids)
                 m = pos >= 0
                 dist[m] = pri["d"].to_numpy(dtype="int64")[pos[m]]
-            tch = set(side_pdf[side_pdf["t"] == 1]["id"].to_numpy().tolist())
-            if tch:
-                is_t = np.fromiter(
-                    (i in tch for i in ids), dtype=bool, count=len(ids)
-                )
+            tch = side_pdf[side_pdf["t"] == 1]["id"].to_numpy(dtype="int64")
+            if len(tch):
+                # vectorized membership — a Python per-id loop costs seconds
+                # per multi-million-vertex block on every warm restart
+                is_t = np.isin(ids, tch)
                 # only FINITE touched distances scatter: an UNREACHED
                 # vertex has nothing to offer until it receives (scattering
                 # would send UNREACHED+1 = 0 and poison the flood); it

@@ -591,9 +591,14 @@ def dsir_weights(
         ((F.col("ct") + F.lit(1.0)) * F.lit(r_tot))
         / ((F.col("cr") + F.lit(1.0)) * F.lit(t_tot))
     )
-    lut = counts.select(
+    # materialize the n_buckets-row LUT locally (JVM computes the ln, so q
+    # is bit-identical to the lazy form) and release the cached bucket
+    # table — leaving it cached leaked executor storage on every call
+    lut_local = counts.select(
         "bucket", F.floor(llr * F.lit(1e9) + F.lit(0.5)).cast("long").alias("q")
-    )
+    ).toPandas()
+    counts.unpersist()
+    lut = docs.sparkSession.createDataFrame(lut_local, "bucket long, q long")
     return (
         tok.join(F.broadcast(lut), "bucket")
         .groupBy("doc_id")

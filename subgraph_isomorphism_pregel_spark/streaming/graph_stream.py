@@ -51,8 +51,12 @@ EDGE_DELTA_SCHEMA = "src long, dst long, src_label int, dst_label int"
 class IncrementalPageRank:
     """Driver-side state machine: (parts, prior scores, n) evolved batch by
     batch. `apply_delta` is idempotent per batch content (deterministic
-    kernel), so foreachBatch's at-least-once replay after a driver restart
-    re-derives the same scores."""
+    kernel + edge anti-join), so foreachBatch's at-least-once re-delivery
+    WITHIN a run (a crash between apply and epoch commit) re-derives the
+    same scores. A NEW process over an old stream checkpoint is different:
+    committed batches are never redelivered, so the caller must bootstrap
+    from a base graph that already contains them (main.py refuses the
+    reused-checkpoint + base-graph combination for exactly this reason)."""
 
     def __init__(
         self,

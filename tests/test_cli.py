@@ -159,3 +159,21 @@ def test_cli_pagerank_ingest(spark, tmp_path):
     rw = dict(zip(got["id"], got["score"]))
     for k in rc:
         assert abs(rc[k] - rw[k]) < 1e-5, k
+
+    # reusing a stream checkpoint with the BASE graph would silently skip
+    # every committed delta: the CLI must refuse, not emit a wrong graph
+    import pytest
+
+    ck = str(tmp_path / "ck")
+    argv = [
+        "--algo", "pagerank",
+        "--edges", str(gdir / "edges.parquet"),
+        "--vertices", str(gdir / "vertices.parquet"),
+        "--deltas-dir", str(ddir),
+        "--partitions", "2",
+        "--checkpoint-dir", ck,
+        "--output", out,
+    ]
+    assert cli.main(argv) == 0
+    with pytest.raises(SystemExit, match="committed batches"):
+        cli.main(argv)

@@ -668,6 +668,36 @@ def test_bipartite_components_matches_brute_force(spark, graph):
     assert len(metrics) > 0  # both CC runs report superstep metrics
 
 
+def test_bipartite_negative_ids_and_range_guard(spark):
+    """Signed id spaces (xxhash64-derived graphs): a NEGATIVE odd cover id
+    (2v+1 for v<0) must not drop out of the parity split — pmod, not %.
+    An odd 5-cycle and an even 4-cycle, both entirely on negative ids,
+    plus one positive-id edge pair crossing zero. Ids near ±2^62 raise."""
+    from subgraph_isomorphism_pregel_spark.operators.components import (
+        bipartite_components,
+    )
+
+    cyc5 = [(-10, -9), (-9, -8), (-8, -7), (-7, -6), (-6, -10)]
+    cyc4 = [(-20, -19), (-19, -18), (-18, -17), (-17, -20)]
+    bridge = [(-1, 2)]
+    und = cyc5 + cyc4 + bridge
+    es = und + [(b, a) for a, b in und]
+    vs = sorted({x for t in und for x in t})
+    v = spark.createDataFrame([(i, 0) for i in vs], "id long, label int")
+    e = spark.createDataFrame(es, "src long, dst long")
+    out, _ = bipartite_components(spark, v, e, num_partitions=4)
+    got = {
+        r["component"]: (r["n_vertices"], r["is_bipartite"]) for r in out.collect()
+    }
+    assert got == bipartite_brute(vs, es)
+    assert got[-10] == (5, False) and got[-20] == (4, True) and got[-1] == (2, True)
+
+    vbig = spark.createDataFrame([(1 << 62, 0), (5, 0)], "id long, label int")
+    ebig = spark.createDataFrame([(1 << 62, 5), (5, 1 << 62)], "src long, dst long")
+    with pytest.raises(ValueError, match="2\\^62"):
+        bipartite_components(spark, vbig, ebig, num_partitions=2)
+
+
 def test_bipartite_multi_ring_closed_form(spark):
     """The disjoint-cycles fixture: ring r has (n-1-r)//17 + 1 members and
     is bipartite iff that is even — the formula the DuckDB oracle uses."""
