@@ -143,44 +143,30 @@ def warm_cc_state(
     prior: (id, component); touched: ids incident to the delta (both
     endpoints of every new edge, plus all new vertices). One cogroup of
     the struct blocks with the pid-keyed inputs — no driver-side
-    materialization."""
-    from .pregel import _part_to_dict
+    materialization (warm_state_cogroup, the scaffold shared with the
+    incremental PageRank / SSSP builders)."""
+    from .pregel import match_prior_values, pid_keyed, warm_state_cogroup
 
-    pr = prior.select(
-        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
-        "id",
-        F.col("component").alias("comp"),
-        F.lit(0).alias("t"),
-    )
-    tc = touched.select(
-        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
-        "id",
-        F.lit(None).cast("long").alias("comp"),
-        F.lit(1).alias("t"),
+    pr = pid_keyed(prior, P, F.col("component").alias("comp"), F.lit(0).alias("t"))
+    tc = pid_keyed(
+        touched, P, F.lit(None).cast("long").alias("comp"), F.lit(1).alias("t")
     )
     side = pr.unionByName(tc)
 
-    def mk(struct_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(struct_pdf) == 0:
-            return pd.DataFrame(
-                columns=["pid", "comp", "changed", "msgs_in", "active"]
-            )
-        part = _part_to_dict(struct_pdf.iloc[0])
+    def build(part: dict, side_pdf: pd.DataFrame) -> dict:
         ids = np.asarray(part["ids"])
         comp = ids.astype(np.int64).copy()  # default: own id (new vertices)
         changed = np.zeros(len(ids), dtype=np.int32)
         if len(side_pdf):
             pri = side_pdf[side_pdf["t"] == 0]
+            mask = np.zeros(len(ids), dtype=bool)
             if len(pri):
-                # get_indexer keeps labels int64 end to end — a float64
-                # roundtrip (reindex) would corrupt ids past 2^53, and
-                # corpus file ids are full-range xxhash64
-                idx = pd.Index(pri["id"].to_numpy(dtype="int64"))
-                pos = idx.get_indexer(ids)
-                mask = pos >= 0
-                comp[mask] = pri["comp"].to_numpy(dtype="int64")[pos[mask]]
-            else:
-                mask = np.zeros(len(ids), dtype=bool)
+                vals, mask = match_prior_values(
+                    ids,
+                    pri["id"].to_numpy(dtype="int64"),
+                    pri["comp"].to_numpy(dtype="int64"),
+                )
+                comp[mask] = vals
             # vertices with no prior label are NEW — they must flood
             changed[~mask] = 1
             tch = side_pdf[side_pdf["t"] == 1]["id"].to_numpy(dtype="int64")
@@ -190,25 +176,15 @@ def warm_cc_state(
                 changed[np.isin(ids, tch)] = 1
         else:
             changed[:] = 1  # no prior at all: cold semantics
-        return pd.DataFrame(
-            [
-                {
-                    "pid": int(part["pid"]),
-                    "comp": comp,
-                    "changed": changed,
-                    "msgs_in": 0,
-                    "active": int(changed.sum()),
-                }
-            ]
-        )
+        return {
+            "comp": comp,
+            "changed": changed,
+            "msgs_in": 0,
+            "active": int(changed.sum()),
+        }
 
     schema = "pid int, comp array<long>, changed array<int>, msgs_in long, active long"
-    return (
-        parts.select("pid", "ids")
-        .groupBy("pid")
-        .cogroup(side.groupBy("pid"))
-        .applyInPandas(mk, schema)
-    )
+    return warm_state_cogroup(parts, side, ("pid", "ids"), schema, build)
 
 
 def connected_components_warm(

@@ -31,6 +31,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _wedge_cube(
+    edges: DataFrame, max_center_degree: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared construction for the neighborhood-overlap scorers ->
+    (e, deg, wedges): the symmetrized self-loop-free edge list, the
+    per-vertex degree table keyed `z`, and the u < v wedge stream joined
+    with its center's degree, centers past `max_center_degree` pruned
+    BEFORE the self-join (the broadcast degree filter — pruned wedges are
+    never materialized)."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "z")
+    cdeg = deg if max_center_degree is None else deg.where(
+        F.col("deg") <= max_center_degree
+    )
+    wedges = (
+        e.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("v")), "z")
+        .where(F.col("u") < F.col("v"))
+        .join(F.broadcast(cdeg), "z")
+    )
+    return e, deg, wedges
+
+
+def _ranked_topk(cand: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Global top-k by (score desc, u, v) with a dense 1-based rank — the
+    orderBy+limit is a TakeOrdered; the rank window then runs over only
+    the k surviving rows (single tiny task)."""
+    order = [F.desc(score_col), F.asc("u"), F.asc("v")]
+    top = cand.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.select("u", "v", "cn", score_col, F.row_number().over(w).alias("rank"))
+
+
 def adamic_adar_topk(
     edges: DataFrame,
     k: int = 20,
@@ -41,27 +75,14 @@ def adamic_adar_topk(
     non-adjacent pairs by Adamic-Adar score."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "z")
-    if max_center_degree is not None:
-        deg = deg.where(F.col("deg") <= max_center_degree)
-    wedges = (
-        e.select(F.col("src").alias("z"), F.col("dst").alias("u"))
-        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("v")), "z")
-        .where(F.col("u") < F.col("v"))
-        .join(F.broadcast(deg), "z")
-    )
+    e, _deg, wedges = _wedge_cube(edges, max_center_degree)
     scores = wedges.groupBy("u", "v").agg(
         F.count("*").alias("cn"),
         F.round(F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6).alias("aa_r"),
     )
     adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     cand = scores.join(adj, ["u", "v"], "left_anti")
-    top = cand.orderBy(F.desc("aa_r"), F.asc("u"), F.asc("v")).limit(k)
-    # rank window runs over only the k surviving rows (single tiny task)
-    w = Window.orderBy(F.desc("aa_r"), F.asc("u"), F.asc("v"))
-    return top.select("u", "v", "cn", "aa_r", F.row_number().over(w).alias("rank"))
+    return _ranked_topk(cand, "aa_r", k)
 
 
 def jaccard_topk(
@@ -92,18 +113,7 @@ def jaccard_topk(
     degrees in the denominator, so pruned Jaccard stays a lower bound."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg")).withColumnRenamed("src", "z")
-    cdeg = deg if max_center_degree is None else deg.where(
-        F.col("deg") <= max_center_degree
-    )
-    wedges = (
-        e.select(F.col("src").alias("z"), F.col("dst").alias("u"))
-        .join(e.select(F.col("src").alias("z"), F.col("dst").alias("v")), "z")
-        .where(F.col("u") < F.col("v"))
-        .join(F.broadcast(cdeg.select("z")), "z", "left_semi")
-    )
+    e, deg, wedges = _wedge_cube(edges, max_center_degree)
     scores = wedges.groupBy("u", "v").agg(F.count("*").alias("cn"))
     adj = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     cand = (
@@ -121,9 +131,7 @@ def jaccard_topk(
             ).alias("jac_r"),
         )
     )
-    top = cand.orderBy(F.desc("jac_r"), F.asc("u"), F.asc("v")).limit(k)
-    w = Window.orderBy(F.desc("jac_r"), F.asc("u"), F.asc("v"))
-    return top.select("u", "v", "cn", "jac_r", F.row_number().over(w).alias("rank"))
+    return _ranked_topk(cand, "jac_r", k)
 
 
 def cooccurrence_projection(

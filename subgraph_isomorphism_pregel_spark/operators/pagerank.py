@@ -275,58 +275,38 @@ def warm_pagerank_state(
     size. The reference has no analog (it rebuilds state per run,
     /root/reference/src/basic/Worker.h:218-287); this is what its runtime
     vertex-addition hook (F9) is FOR at web scale."""
-    from .pregel import _part_to_dict
+    from .pregel import match_prior_values, pid_keyed, warm_state_cogroup
 
     N = float(n_vertices)
-    by_pid = prior.select(
-        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"), "id", "score"
-    )
+    by_pid = pid_keyed(prior, P, "score")
 
-    def mk(struct_pdf: pd.DataFrame, sc_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(struct_pdf) == 0:
-            return pd.DataFrame(
-                columns=["pid", "rank", "dang_pos", "max_delta",
-                         "dangling_partial", "msgs_in", "active"]
-            )
-        part = _part_to_dict(struct_pdf.iloc[0])
+    def build(part: dict, sc_pdf: pd.DataFrame) -> dict:
         ids = np.asarray(part["ids"])
         nv = len(ids)
         rank = np.full(nv, 1.0 / N)
         if len(sc_pdf):
-            # grown blocks may hold unsorted ids (append-only CSR rebuild) —
-            # match by value, not by searchsorted
-            m = pd.Series(
-                sc_pdf["score"].to_numpy(), index=sc_pdf["id"].to_numpy()
+            vals, mask = match_prior_values(
+                ids,
+                sc_pdf["id"].to_numpy(dtype="int64"),
+                sc_pdf["score"].to_numpy(dtype="float64"),
             )
-            hit = m.reindex(ids)
-            mask = hit.notna().to_numpy()
-            rank[mask] = hit.to_numpy(dtype="float64")[mask] * scale
+            rank[mask] = vals * scale
         outdeg = np.diff(np.asarray(part["indptr"])).astype(np.int64)
         dang_pos = np.nonzero(outdeg == 0)[0].astype(np.int64)
-        return pd.DataFrame(
-            [
-                {
-                    "pid": int(part["pid"]),
-                    "rank": rank,
-                    "dang_pos": dang_pos,
-                    "max_delta": 1.0,
-                    "dangling_partial": float(rank[dang_pos].sum()),
-                    "msgs_in": 0,
-                    "active": nv,
-                }
-            ]
-        )
+        return {
+            "rank": rank,
+            "dang_pos": dang_pos,
+            "max_delta": 1.0,
+            "dangling_partial": float(rank[dang_pos].sum()),
+            "msgs_in": 0,
+            "active": nv,
+        }
 
     schema = (
         "pid int, rank array<double>, dang_pos array<long>, max_delta double, "
         "dangling_partial double, msgs_in long, active long"
     )
-    return (
-        parts.select("pid", "ids", "indptr")
-        .groupBy("pid")
-        .cogroup(by_pid.groupBy("pid"))
-        .applyInPandas(mk, schema)
-    )
+    return warm_state_cogroup(parts, by_pid, ("pid", "ids", "indptr"), schema, build)
 
 
 def pagerank_warm(

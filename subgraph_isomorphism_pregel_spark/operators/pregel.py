@@ -457,6 +457,60 @@ def _part_to_dict(row: pd.Series) -> dict:
     return {k: (_np(v) if isinstance(v, (list, np.ndarray)) else v) for k, v in row.items()}
 
 
+def pid_keyed(df: DataFrame, P: int, *cols) -> DataFrame:
+    """pid-tag a per-vertex side table for a cogroup against the struct
+    blocks (same pmod discipline as build_parts)."""
+    return df.select(
+        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"), "id", *cols
+    )
+
+
+def match_prior_values(
+    ids: np.ndarray, id_np: np.ndarray, val_np: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, mask): prior values positioned onto a block's id array by
+    VALUE — grown blocks may hold unsorted ids after the append-only CSR
+    rebuild, so positional/searchsorted matching is wrong there.
+    get_indexer keeps the id dtype int64 end to end — a float64 roundtrip
+    would corrupt ids past 2^53, and corpus file ids are full-range
+    xxhash64."""
+    idx = pd.Index(id_np)
+    pos = idx.get_indexer(ids)
+    mask = pos >= 0
+    return val_np[pos[mask]], mask
+
+
+def warm_state_cogroup(
+    parts: DataFrame,
+    side: DataFrame,
+    struct_cols: tuple[str, ...],
+    schema: str,
+    build: Callable[[dict, pd.DataFrame], dict],
+) -> DataFrame:
+    """Shared scaffold of the warm-start state builders (incremental
+    PageRank / CC / SSSP): cogroup the CSR struct blocks with a pid-keyed
+    side table and emit ONE packed state row per block. `build(part,
+    side_pdf)` returns the per-algorithm state fields (everything except
+    pid); the empty-struct guard (side rows whose pid holds no block) and
+    the applyInPandas wiring live here exactly once."""
+    empty_cols = [f.strip().split()[0] for f in schema.split(",")]
+
+    def mk(struct_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(struct_pdf) == 0:
+            return pd.DataFrame(columns=empty_cols)
+        part = _part_to_dict(struct_pdf.iloc[0])
+        row = build(part, side_pdf)
+        row["pid"] = int(part["pid"])
+        return pd.DataFrame([row])
+
+    return (
+        parts.select(*struct_cols)
+        .groupBy("pid")
+        .cogroup(side.groupBy("pid"))
+        .applyInPandas(mk, schema)
+    )
+
+
 class Pregel:
     """Driver for the superstep loop. One instance per (graph, partitioning)."""
 

@@ -262,38 +262,27 @@ def warm_sssp_state(
     improvement enters through a delta edge — the min-plus wave follows
     the shortcut wavefront instead of re-flooding from the source.
     Distances map through get_indexer (int64 end to end)."""
-    from .pregel import _part_to_dict
+    from .pregel import match_prior_values, pid_keyed, warm_state_cogroup
 
-    pr = prior.select(
-        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
-        "id",
-        F.col("dist").alias("d"),
-        F.lit(0).alias("t"),
-    )
-    tc = touched.select(
-        F.pmod(F.col("id"), F.lit(P)).cast("int").alias("pid"),
-        "id",
-        F.lit(None).cast("long").alias("d"),
-        F.lit(1).alias("t"),
+    pr = pid_keyed(prior, P, F.col("dist").alias("d"), F.lit(0).alias("t"))
+    tc = pid_keyed(
+        touched, P, F.lit(None).cast("long").alias("d"), F.lit(1).alias("t")
     )
     side = pr.unionByName(tc)
 
-    def mk(struct_pdf: pd.DataFrame, side_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(struct_pdf) == 0:
-            return pd.DataFrame(
-                columns=["pid", "dist", "changed", "msgs_in", "active"]
-            )
-        part = _part_to_dict(struct_pdf.iloc[0])
+    def build(part: dict, side_pdf: pd.DataFrame) -> dict:
         ids = np.asarray(part["ids"])
         dist = np.full(len(ids), UNREACHED, dtype=np.int64)
         changed = np.zeros(len(ids), dtype=np.int32)
         if len(side_pdf):
             pri = side_pdf[side_pdf["t"] == 0]
             if len(pri):
-                idx = pd.Index(pri["id"].to_numpy(dtype="int64"))
-                pos = idx.get_indexer(ids)
-                m = pos >= 0
-                dist[m] = pri["d"].to_numpy(dtype="int64")[pos[m]]
+                vals, m = match_prior_values(
+                    ids,
+                    pri["id"].to_numpy(dtype="int64"),
+                    pri["d"].to_numpy(dtype="int64"),
+                )
+                dist[m] = vals
             tch = side_pdf[side_pdf["t"] == 1]["id"].to_numpy(dtype="int64")
             if len(tch):
                 # vectorized membership — a Python per-id loop costs seconds
@@ -304,25 +293,15 @@ def warm_sssp_state(
                 # would send UNREACHED+1 = 0 and poison the flood); it
                 # wakes up the step a finite touched neighbor reaches it
                 changed[is_t & (dist != UNREACHED)] = 1
-        return pd.DataFrame(
-            [
-                {
-                    "pid": int(part["pid"]),
-                    "dist": dist,
-                    "changed": changed,
-                    "msgs_in": 0,
-                    "active": int(changed.sum()),
-                }
-            ]
-        )
+        return {
+            "dist": dist,
+            "changed": changed,
+            "msgs_in": 0,
+            "active": int(changed.sum()),
+        }
 
     schema = "pid int, dist array<long>, changed array<int>, msgs_in long, active long"
-    return (
-        parts.select("pid", "ids")
-        .groupBy("pid")
-        .cogroup(side.groupBy("pid"))
-        .applyInPandas(mk, schema)
-    )
+    return warm_state_cogroup(parts, side, ("pid", "ids"), schema, build)
 
 
 def sssp_warm(
