@@ -22,3 +22,12 @@ No code is ported from the reference; it is cited by file:line for parity only.
 """
 
 __version__ = "0.1.0"
+
+# Python-worker fast path: mtime-guard zipimporter TOC reloads (a CPython
+# 3.12 behavior backported for 3.11 — pyspark's per-task preamble calls
+# importlib.invalidate_caches(), which on 3.11 re-parses every zip on the
+# worker PYTHONPATH; ~140 ms/task measured here). Unpickling any UDF of
+# this engine imports this package in the worker, which installs the guard.
+from . import workerenv as _workerenv  # noqa: E402
+
+_workerenv.install()
