@@ -203,14 +203,21 @@ def connected_components_warm(
     (asserted in tests); superstep count scales with the DELTA's reach,
     not the graph diameter."""
     P = num_partitions
+    # two consumers execute the (typically lazy build+rebuild) parts plan —
+    # the kernel's struct save and the warm-state save; persist so it runs
+    # once (same discipline as pagerank_warm)
+    parts = parts.persist()
     state0 = warm_cc_state(parts, P, prior, touched)
-    final, metrics = Pregel(spark, parts, P).run(
-        cc_program(P),
-        max_steps=max_steps,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every,
-        state0=state0,
-    )
+    try:
+        final, metrics = Pregel(spark, parts, P).run(
+            cc_program(P),
+            max_steps=max_steps,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            state0=state0,
+        )
+    finally:
+        parts.unpersist()
     return components_df(final), metrics
 
 

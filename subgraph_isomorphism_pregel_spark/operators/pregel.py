@@ -61,7 +61,7 @@ from typing import Any, Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 BASE_SCHEMA = (
@@ -713,24 +713,40 @@ class Pregel:
             # point, the lineage cut, and the next step's exchange-free input.
             # Off-cadence steps persist a pid-hash-partitioned DataFrame
             # instead (same zero-exchange cogroups, no parquet round-trip).
+            #
+            # Stats ride the SAME action via an Observation (CollectMetrics
+            # over the write): one Spark job per superstep instead of two —
+            # the old follow-up .select(stats).collect() cost a second job
+            # (~15% of a superstep at sf0.1) re-reading the just-written
+            # table. The observation is the same P-row gather, folded on the
+            # driver exactly as before (the Spark analog of the reference's
+            # agg_sync, /root/reference/src/basic/Worker.h:158-215).
+            stat_cols = [c for c, _ in program.stats]
             durable = (step % checkpoint_every == 0) or step == max_steps
             if durable:
+                obs = Observation(f"{tname}_stats_{step:05d}")
+                observed = new_state.observe(
+                    obs,
+                    F.collect_list(
+                        F.struct(F.col("pid"), *[F.col(c) for c in stat_cols])
+                    ).alias("rows"),
+                )
                 new_tbl = self._save_bucketed(
-                    new_state, f"{tname}_s{step:05d}",
+                    observed, f"{tname}_s{step:05d}",
                     os.path.join(checkpoint_dir, f"step_{step:05d}"),
                 ).persist()
+                per_pid = obs.get["rows"]
             else:
                 new_tbl = new_state.repartition(self.P, "pid").persist()
+                per_pid = None
             t_write = time.time()
             old_tbl = state_tbl
             state_tbl = new_tbl
 
-            # ONE collect per superstep: per-pid scalar stat columns (P rows),
-            # global aggregates folded on the driver — the Spark analog of the
-            # reference's agg_sync gather (/root/reference/src/basic/Worker.h:158-215).
-            per_pid = state_tbl.select(
-                "pid", *[c for c, _ in program.stats]
-            ).collect()
+            if per_pid is None:
+                # off-cadence step: the stats collect doubles as the action
+                # that materializes the persisted state
+                per_pid = state_tbl.select("pid", *stat_cols).collect()
             old_tbl.unpersist()
             if os.environ.get("SIP_DEBUG"):
                 print(

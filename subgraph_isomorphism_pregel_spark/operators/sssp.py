@@ -333,14 +333,21 @@ def sssp_warm(
             checkpoint_every=checkpoint_every,
         )
         return distances_df(final), metrics
+    # persist: the struct save and the warm-state save both execute the
+    # (typically lazy build+rebuild) parts plan (same discipline as
+    # pagerank_warm / connected_components_warm)
+    parts = parts.persist()
     state0 = warm_sssp_state(parts, P, prior, touched)
-    final, metrics = Pregel(spark, parts, P).run(
-        sssp_program(source, P),
-        max_steps=max_steps,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every,
-        state0=state0,
-    )
+    try:
+        final, metrics = Pregel(spark, parts, P).run(
+            sssp_program(source, P),
+            max_steps=max_steps,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            state0=state0,
+        )
+    finally:
+        parts.unpersist()
     return distances_df(final).where(F.col("dist") <= max_hops), metrics
 
 
