@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -77,9 +77,18 @@ def greedy_coloring(
         ).distinct(),
         "e0",
     )
-    unc = cut(vertices.select("id").distinct(), "u0")
-    n_unc = unc.count()
-    colored: DataFrame | None = None
+    # ONE state table (id, color: null = uncolored), rewritten per round —
+    # the round-4 two-table form (per-round `newly` cut + shrinking `unc`
+    # cut + a colored-union of r leaf scans) paid two parquet writes, a
+    # count job and ~8 broadcast/shuffle stages per round; this form is one
+    # write, one shuffle and three broadcasts (measured 20.3s -> see
+    # OPTIMIZATION_r06.md), writes the same O(V) bytes per round the old
+    # `unc` cut already wrote, and keeps the plan O(1)-deep in rounds.
+    state = cut(
+        vertices.select("id").distinct().select("id", F.lit(None).cast("int").alias("color")),
+        "s0",
+    )
+    n_unc = state.count()
     r = 0
     while True:
         if rounds is not None and r >= rounds:
@@ -87,61 +96,50 @@ def greedy_coloring(
         if n_unc == 0:
             break
         r += 1
-        # ready: uncolored vertices outranking every uncolored neighbor
-        uu = e.join(
-            unc.select(F.col("id").alias("src")), "src", "left_semi"
-        ).join(unc.select(F.col("id").alias("dst")), "dst", "left_semi")
-        best = (
-            uu.select(
-                F.col("dst").alias("id"),
-                F.struct(
-                    _priority(F.col("src"), salt).alias("p"),
-                    F.col("src").alias("i"),
-                ).alias("t"),
-            )
-            .groupBy("id")
-            .agg(F.min("t").alias("nbr"))
+        # decorate each (src, dst) edge with the source's color, then fold
+        # BOTH per-destination aggregates in one pass: the best uncolored
+        # neighbor priority (Jones-Plassmann readiness) and the set of
+        # already-taken neighbor colors (greedy mex input)
+        est = e.join(
+            state.select(
+                F.col("id").alias("src"),
+                F.col("color").alias("c_src"),
+                _priority(F.col("id"), salt).alias("p_src"),
+            ),
+            "src",
+        )
+        agg = est.groupBy(F.col("dst").alias("id")).agg(
+            F.min(
+                F.when(
+                    F.col("c_src").isNull(),
+                    F.struct(F.col("p_src").alias("p"), F.col("src").alias("i")),
+                )
+            ).alias("nbr"),
+            F.collect_set("c_src").alias("cs"),
         )
         own = F.struct(_priority(F.col("id"), salt).alias("p"), F.col("id").alias("i"))
-        ready = unc.join(best, "id", "left").where(
-            F.col("nbr").isNull() | (own < F.col("nbr"))
-        ).select("id")
-        # mex over already-colored neighbor colors (sorted-scan fold)
-        if colored is not None:
-            ncol = (
-                e.join(ready.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .join(
-                    colored.select(F.col("id").alias("src"), "color"), "src"
-                )
-                .select(F.col("dst").alias("id"), "color")
-                .groupBy("id")
-                .agg(F.collect_set("color").alias("cs"))
-            )
-            newly = ready.join(ncol, "id", "left").select(
-                "id",
-                F.aggregate(
-                    F.array_sort(
-                        F.coalesce("cs", F.array().cast("array<int>"))
-                    ),
-                    F.lit(0),
-                    lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
-                ).alias("color"),
-            )
-        else:
-            newly = ready.select("id", F.lit(0).alias("color"))
-        newly = cut(newly, f"n{r}")
-        # accumulate as a union of the per-round parquet cuts — each leg
-        # is a leaf scan, so the lineage stays flat and the colored set is
-        # never rewritten (re-cutting the union would be O(V x rounds) IO)
-        colored = newly if colored is None else colored.unionAll(newly)
-        # measured: cutting the (shrinking) uncolored set each round beats
-        # deriving it lazily from the colored legs (22.4s vs 24-25s at
-        # sf0.1 — the anti-join against 18 unioned scans recomputes three
-        # times per round inside the ready/neighbor subtrees)
-        unc = cut(unc.join(newly, "id", "left_anti"), f"u{r}")
-        # count on the fresh parquet cut; the max-priority uncolored
-        # vertex is always ready, so n_unc strictly decreases
-        n_unc -= newly.count()
-    if colored is None:
-        colored = spark.createDataFrame([], "id long, color int")
+        # ready: uncolored vertices outranking every uncolored neighbor;
+        # their color is the mex over the sorted neighbor-color set
+        # (collect_set drops the null c_src entries of uncolored neighbors)
+        mex = F.aggregate(
+            F.array_sort(F.coalesce("cs", F.array().cast("array<int>"))),
+            F.lit(0),
+            lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
+        )
+        new_color = F.when(
+            F.col("color").isNull()
+            & (F.col("nbr").isNull() | (own < F.col("nbr"))),
+            mex,
+        ).otherwise(F.col("color"))
+        obs = Observation(f"coloring_r{r}_{workdir[-8:]}")
+        nxt = (
+            state.join(agg, "id", "left")
+            .select("id", new_color.alias("color"))
+            .observe(obs, F.count(F.when(F.col("color").isNull(), 1)).alias("unc"))
+        )
+        # the cut write is also the action that fires the observation —
+        # no separate count job per round
+        state = cut(nxt, f"s{r}")
+        n_unc = int(obs.get["unc"])
+    colored = state.where(F.col("color").isNotNull())
     return colored.select("id", F.col("color").cast("int").alias("color")), r

@@ -109,15 +109,21 @@ def louvain_local_moves(
     deg = cut(deg, "deg")
     m2 = deg.agg(F.sum("k")).collect()[0][0] or 0
 
-    comm = cut(deg.select("id", F.col("id").alias("comm")), "c0")
+    # ONE state table (id, comm, k) per round: carrying the static degree
+    # beside the mutable community removes the two per-round deg joins, and
+    # folding best-candidate + stay-listed into ONE per-src aggregate
+    # replaces the old scored/stay_listed/stay_unlisted/best four-subtree
+    # shape (each its own broadcast stage per round). Scores, tie-breaks
+    # and the stay default are the identical integer expressions.
+    state = cut(deg.select("id", F.col("id").alias("comm"), "k"), "c0")
     for r in range(1, rounds + 1):
-        tot = comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("tot"))
-        active = comm.where(_bucket(F.col("id"), buckets, salt) == (r - 1) % buckets)
+        tot = state.groupBy("comm").agg(F.sum("k").alias("tot"))
+        active = state.where(_bucket(F.col("id"), buckets, salt) == (r - 1) % buckets)
         # weight from each active vertex to each neighboring community
         kvc = (
             e.join(active.select(F.col("id").alias("src")), "src", "left_semi")
             .join(
-                comm.select(F.col("id").alias("dst"), F.col("comm").alias("c")),
+                state.select(F.col("id").alias("dst"), F.col("comm").alias("c")),
                 "dst",
             )
             .groupBy("src", "c")
@@ -125,12 +131,12 @@ def louvain_local_moves(
         )
         scored = (
             kvc.join(tot.withColumnRenamed("comm", "c"), "c")
-            .join(active.select(F.col("id").alias("src"), "comm"), "src")
-            .join(deg.select(F.col("id").alias("src"), "k"), "src")
+            .join(active.select(F.col("id").alias("src"), "comm", "k"), "src")
             .select(
                 "src",
                 "c",
                 "comm",
+                "k",
                 (
                     F.lit(m2) * F.col("kvc")
                     - F.col("k")
@@ -143,43 +149,44 @@ def louvain_local_moves(
                 ).alias("score"),
             )
         )
-        # stay score: the current community's row, or — when v has no
-        # neighbor inside it — computed with k_{v,comm} = 0
-        stay_listed = scored.where(F.col("c") == F.col("comm")).select(
-            "src", F.col("score").alias("stay")
+        # per-src fold: best candidate (same min(struct(-score, c))
+        # smallest-community tie-break) + the stay score of the own-
+        # community row when a neighbor sits inside it
+        per_src = scored.groupBy("src").agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+            ).alias("b"),
+            F.max(
+                F.when(F.col("c") == F.col("comm"), F.col("score"))
+            ).alias("stay_l"),
+            F.min("comm").alias("mcomm"),
+            F.min("k").alias("mk"),
         )
-        stay_unlisted = (
-            active.select(F.col("id").alias("src"), "comm")
-            .join(stay_listed, "src", "left_anti")
-            .join(tot, "comm")
-            .join(deg.select(F.col("id").alias("src"), "k"), "src")
-            .select(
-                "src",
-                (-F.col("k") * (F.col("tot") - F.col("k"))).alias("stay"),
-            )
-        )
-        stay = stay_listed.unionByName(stay_unlisted)
-        best = (
-            scored.groupBy("src")
-            .agg(
-                F.min(
-                    F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
-                ).alias("b")
-            )
-            .select("src", (-F.col("b.ns")).alias("best"), F.col("b.c").alias("bc"))
-        )
+        # stay default (no neighbor in the own community): k_{v,comm} = 0
+        # -> stay = -k * (tot(comm) - k), with tot joined on the own comm
         movers = (
-            best.join(stay, "src")
-            .where(F.col("best") > F.col("stay"))
-            .select(F.col("src").alias("id"), F.col("bc").alias("nc"))
+            per_src.join(
+                tot.withColumnRenamed("comm", "mcomm").withColumnRenamed(
+                    "tot", "mtot"
+                ),
+                "mcomm",
+            )
+            .where(
+                (-F.col("b.ns"))
+                > F.coalesce(
+                    F.col("stay_l"),
+                    -F.col("mk") * (F.col("mtot") - F.col("mk")),
+                )
+            )
+            .select(F.col("src").alias("id"), F.col("b.c").alias("nc"))
         )
-        comm = cut(
-            comm.join(movers, "id", "left").select(
-                "id", F.coalesce(F.col("nc"), F.col("comm")).alias("comm")
+        state = cut(
+            state.join(movers, "id", "left").select(
+                "id", F.coalesce(F.col("nc"), F.col("comm")).alias("comm"), "k"
             ),
             f"c{r}",
         )
-    return comm
+    return state.select("id", "comm")
 
 
 def louvain(
