@@ -513,6 +513,18 @@ class SubgraphMatcher:
                 melted = part if melted is None else melted.unionByName(part)
             if self.defer_broadcast:
                 melted = F.broadcast(melted)
+            else:
+                # the distinct-tuple set is SMALL (AQE coalesces it to a
+                # couple of partitions by byte size) but the legs join
+                # below EXPLODES it by the per-parent label fanout — a
+                # blowup AQE cannot see, so the whole fold ran as 2 tasks
+                # on 32 cores on the hub fixture (8.8s of a 13s query).
+                # Round-robin the melted tuples across the full
+                # parallelism first; the exchange is proportional to the
+                # tuple set, not the exploded stream — scale-safe.
+                melted = melted.repartition(
+                    melted.sparkSession.sparkContext.defaultParallelism
+                )
             ai = self.adj.where(F.col("dst_label") == F.lit(lbl)).select(
                 F.col("src").alias(f"__src{gi}"),
                 F.col("dst").alias(f"__nb{gi}"),
