@@ -111,6 +111,14 @@ def bpe_train(
 
     wt = cut(word_table(docs, text_col), "w000")
     merges: list[tuple[int, str, str, int]] = []
+    # apply each learned merge LAZILY (one more builtin replace on the ws
+    # column) and cut the lineage to parquet only every CUT_EVERY rounds:
+    # per round the argmax aggregate re-evaluates at most CUT_EVERY codegen
+    # replaces over the vocabulary table (cheap) instead of paying a parquet
+    # write+read round-trip per merge — halves the Spark jobs per merge
+    # with a bit-identical merge sequence (replace order is preserved).
+    CUT_EVERY = 8
+    since_cut = 0
     for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(wt)
@@ -122,18 +130,21 @@ def bpe_train(
             break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merges.append((rank, l, r, cnt))
-        wt = cut(
-            wt.select(
-                "word",
-                F.replace(
-                    F.col("ws"),
-                    F.lit(f"{L}{l}{R}{L}{r}{R}"),
-                    F.lit(f"{L}{l}{r}{R}"),
-                ).alias("ws"),
-                "n",
-            ),
-            f"w{rank:03d}",
+        wt = wt.select(
+            "word",
+            F.replace(
+                F.col("ws"),
+                F.lit(f"{L}{l}{R}{L}{r}{R}"),
+                F.lit(f"{L}{l}{r}{R}"),
+            ).alias("ws"),
+            "n",
         )
+        since_cut += 1
+        if since_cut >= CUT_EVERY:
+            wt = cut(wt, f"w{rank:03d}")
+            since_cut = 0
+    if since_cut:
+        wt = cut(wt, "wfinal")
     mdf = spark.createDataFrame(
         merges, "rank int, left string, right string, freq long"
     )
