@@ -147,31 +147,39 @@ def hits(
     rev = e.select(
         (F.col("dst") * 2 + 1).alias("src"), (F.col("src") * 2).alias("dst")
     )
-    de = fwd.unionAll(rev)
+    # the doubled tables derive from a DISTINCT (a shuffle of the caller's
+    # raw edge plan) and feed four consumers — the partition sizing count,
+    # the role counts, and both sides of the CSR build cogroup; persist so
+    # the dedup shuffle runs once instead of ~four times
+    de = fwd.unionAll(rev).persist()
     dv = de.select(F.col("src").alias("id")).distinct().withColumn(
         "label", (F.col("id") % 2).cast("int")
-    )
-    if num_partitions is None:
-        num_partitions = auto_partitions(de.count())
-    # initial per-role sums of squares (all-ones start): just the role counts
-    counts = {
-        int(r["label"]): int(r["n"])
-        for r in dv.groupBy("label").agg(F.count("*").alias("n")).collect()
-    }
-    parts = build_parts(spark, dv, de, num_partitions)
-    prog = hits_program(num_partitions, fixed_steps=steps)
-    kern = Pregel(spark, parts, num_partitions)
-    final, metrics = kern.run(
-        prog,
-        max_steps=steps,
-        checkpoint_dir=checkpoint_dir,
-        resume=resume,
-        checkpoint_every=checkpoint_every,
-        carry0={
-            "hub_ss": float(counts.get(0, 0)),
-            "auth_ss": float(counts.get(1, 0)),
-        },
-    )
+    ).persist()
+    try:
+        if num_partitions is None:
+            num_partitions = auto_partitions(de.count())
+        # initial per-role sums of squares (all-ones start): the role counts
+        counts = {
+            int(r["label"]): int(r["n"])
+            for r in dv.groupBy("label").agg(F.count("*").alias("n")).collect()
+        }
+        parts = build_parts(spark, dv, de, num_partitions)
+        prog = hits_program(num_partitions, fixed_steps=steps)
+        kern = Pregel(spark, parts, num_partitions)
+        final, metrics = kern.run(
+            prog,
+            max_steps=steps,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+            checkpoint_every=checkpoint_every,
+            carry0={
+                "hub_ss": float(counts.get(0, 0)),
+                "auth_ss": float(counts.get(1, 0)),
+            },
+        )
+    finally:
+        de.unpersist()
+        dv.unpersist()
     z = F.explode(F.arrays_zip("ids", "value")).alias("z")
     doubled = final.select(z).select(
         F.col("z.ids").alias("did"), F.col("z.value").alias("value")

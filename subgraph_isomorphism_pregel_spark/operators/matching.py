@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -65,7 +65,15 @@ def maximal_matching(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    s = cut(
+    def cut_counted(df: DataFrame, name: str) -> tuple[DataFrame, int]:
+        # the survivor count rides the cut write as an Observation — the
+        # old loop re-read the fresh parquet with a limit(1).count() job
+        # per round just to test emptiness
+        obs = Observation(f"mm_{name}_{workdir[-6:]}")
+        out = cut(df.observe(obs, F.count(F.lit(1)).alias("n")), name)
+        return out, int(obs.get["n"])
+
+    s, n_s = cut_counted(
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
@@ -79,7 +87,7 @@ def maximal_matching(
     while True:
         if rounds is not None and r >= rounds:
             break
-        if s.limit(1).count() == 0:
+        if n_s == 0:
             break
         r += 1
         t = F.struct("p", "u", "v").alias("t")
@@ -104,7 +112,7 @@ def maximal_matching(
         sat = acc.select(F.col("u").alias("x")).unionAll(
             acc.select(F.col("v").alias("x"))
         )
-        s = cut(
+        s, n_s = cut_counted(
             s.join(sat.select(F.col("x").alias("u")), "u", "left_anti").join(
                 sat.select(F.col("x").alias("v")), "v", "left_anti"
             ),
