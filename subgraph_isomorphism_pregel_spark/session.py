@@ -83,9 +83,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SIP_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # split single-file tables aggressively so map stages use all cores
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # split single-file tables aggressively so map stages use all cores.
+        # SCALE KNOBS (env-overridable; defaults tuned for the local bench's
+        # single-file small-SF tables): on a cluster reading many large
+        # files set SIP_MAX_PARTITION_BYTES to 256-1024 MB so scan tasks
+        # amortize scheduling (guide §6), and SIP_PARQUET_CODEC=zstd for
+        # a better ratio at similar read speed on big shuffled datasets.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SIP_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SIP_PARQUET_CODEC", "snappy"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
