@@ -52,6 +52,14 @@ CODEGEN_MAX_TERMS = 64
 # ~0.8 MB; a 10^7-degree hub would be one ~80 MB shuffle row).
 HUB_DEGREE_THRESHOLD = 100_000
 
+# deferred-group legs: spread the melted probe tuples across the full
+# parallelism only when the graph can actually EXPLODE them — the legs
+# stream is bounded by |tuples| x parents x max_degree, so on a
+# low-max-degree graph a tuple set small enough for AQE to coalesce stays
+# small after the join and the extra exchange is pure cost (measured
+# +0.3-0.5 s on the ring's tiny deferred queries, -8 s on the hub).
+DEFER_SPREAD_MIN_DEGREE = 64
+
 # factorize='auto': branch-factorize when the simulated flat-pipeline
 # stream (_flat_stream_est — the same estimator the nested decision uses)
 # exceeds this multiple of the summed per-branch grouped-table streams —
@@ -522,7 +530,7 @@ class SubgraphMatcher:
                 melted = part if melted is None else melted.unionByName(part)
             if self.defer_broadcast:
                 melted = F.broadcast(melted)
-            else:
+            elif self.max_degree >= DEFER_SPREAD_MIN_DEGREE:
                 # the distinct-tuple set is SMALL (AQE coalesces it to a
                 # couple of partitions by byte size) but the legs join
                 # below EXPLODES it by the per-parent label fanout — a
@@ -530,7 +538,10 @@ class SubgraphMatcher:
                 # on 32 cores on the hub fixture (8.8s of a 13s query).
                 # Round-robin the melted tuples across the full
                 # parallelism first; the exchange is proportional to the
-                # tuple set, not the exploded stream — scale-safe.
+                # tuple set, not the exploded stream — scale-safe. Gated
+                # on max degree (see DEFER_SPREAD_MIN_DEGREE): a graph
+                # that cannot fan a tuple out past ~64 rows keeps the
+                # coalesced partitioning.
                 melted = melted.repartition(
                     melted.sparkSession.sparkContext.defaultParallelism
                 )
