@@ -1171,6 +1171,21 @@ class SubgraphMatcher:
             btabs.append((t, bg))
         out_keys = [f"img_{u}" for u in sorted(group_set)]
         terms: list[DataFrame] = []
+        # the same (branch, kept-keys) re-aggregation appears in many
+        # inclusion–exclusion terms (a branch with one pinned vertex has
+        # only two distinct key sets across all 2^|P| terms) — share one
+        # DataFrame per distinct key set so the runtime reuses a single
+        # aggregate subtree instead of planning/executing it per term
+        agg_cache: dict[tuple[int, tuple[str, ...]], DataFrame] = {}
+
+        def agg_branch(bi: int, t: DataFrame, keep: list[str]) -> DataFrame:
+            key = (bi, tuple(keep))
+            if key not in agg_cache:
+                agg_cache[key] = t.groupBy(*keep).agg(
+                    F.sum(f"c{bi}").alias(f"c{bi}")
+                )
+            return agg_cache[key]
+
         for mask in range(1 << len(pairs)):
             M = [pairs[i] for i in range(len(pairs)) if (mask >> i) & 1]
             pinned = {u for p in M for u in p}
@@ -1181,7 +1196,7 @@ class SubgraphMatcher:
                 keep = [
                     f"img_{u}" for u in bg if u == w or u in pinned or u in group_set
                 ]
-                cs.append(t.groupBy(*keep).agg(F.sum(f"c{bi}").alias(f"c{bi}")))
+                cs.append(agg_branch(bi, t, keep))
             joined = cs[0]
             for c in cs[1:]:
                 joined = joined.join(c, f"img_{w}")
