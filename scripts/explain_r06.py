@@ -28,13 +28,13 @@ _captures: list[tuple[str, str]] = []
 _current_query = ["?"]
 
 
-def _fmt(df) -> str:
+def _fmt(df, limit: int = 300) -> str:
     s = df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     lines = s.splitlines()
-    if len(lines) > 300:
-        s = "\n".join(lines[:300]) + f"\n... [truncated, {len(lines)} lines total]"
+    if len(lines) > limit:
+        s = "\n".join(lines[:limit]) + f"\n... [truncated, {len(lines)} lines total]"
     return s
 
 
@@ -191,16 +191,19 @@ def main() -> None:
     from subgraph_isomorphism_pregel_spark.operators.match import SubgraphMatcher
     from subgraph_isomorphism_pregel_spark.plans.sketch_tree import build_plan
 
-    hub_mid = spark.range(1, 51).selectExpr("0 as src", "id as dst")
-    hub_leaf = spark.range(1, 51).selectExpr(
-        "id as src", "explode(sequence(0, 19)) as j"
-    ).selectExpr("src", "100000 + (src * 37 + j * 13) % 200 as dst")
+    # max degree must clear DEFER_SPREAD_MIN_DEGREE (64) so the captured
+    # plan reflects the hub regime the change targets: 120 mids under one
+    # root (root degree 120), 40 leaves per mid
+    hub_mid = spark.range(1, 121).selectExpr("0 as src", "id as dst")
+    hub_leaf = spark.range(1, 121).selectExpr(
+        "id as src", "explode(sequence(0, 39)) as j"
+    ).selectExpr("src", "100000 + (src * 37 + j * 13) % 400 as dst")
     hub_fwd = hub_mid.union(hub_leaf)
     hub_e = hub_fwd.union(hub_fwd.selectExpr("dst as src", "src as dst")).distinct()
     hub_v = (
         spark.range(0, 1).selectExpr("id", "0 as label")
-        .union(spark.range(1, 51).selectExpr("id", "1 as label"))
-        .union(spark.range(100000, 100200).selectExpr("id", "2 as label"))
+        .union(spark.range(1, 121).selectExpr("id", "1 as label"))
+        .union(spark.range(100000, 100400).selectExpr("id", "2 as label"))
     )
     m = SubgraphMatcher(spark, hub_v, hub_e)
     fact_qv = {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}
@@ -216,7 +219,7 @@ def main() -> None:
             "# AQE coalesced the tuple set to ~2 partitions and the whole\n"
             "# Venn-atom fold ran 2-way parallel (8.8s of a 13s query at sf0.1).\n\n"
         )
-        fh.write(_fmt(f))
+        fh.write(_fmt(f, limit=2000))
     print(f"wrote match_hub_pipeline_{TAG}.txt")
     m.unpersist()
 
